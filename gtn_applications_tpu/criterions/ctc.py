@@ -1,0 +1,70 @@
+"""Connectionist Temporal Classification criterion (TPU-native).
+
+Capability parity with /root/reference/criterions/ctc.py: the reference
+builds a 2L+1-state WFST per sample on CPU and scores it with GTN's C++
+``intersect`` + ``forward_score`` under a thread pool (ctc.py:31-94).  Here
+the lattice is a batched fixed-shape recursion on device
+(ops.lattice.ctc_loss); gradients are the exact posterior marginals via JAX
+AD.  The ``use_pt`` flag of the reference selects cuDNN CTC — both paths
+compute the same value here, so the flag is accepted for config
+compatibility and ignored.
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lattice
+from .common import pad_targets
+
+
+class CTC(nn.Module):
+    """CTC loss module.
+
+    Attributes:
+      blank: index of the blank label (reference appends blank last:
+        utils.py:256 output_size = num_tokens + 1).
+      use_pt: accepted for config compatibility (reference ctc.py:101-104);
+        the TPU path is used regardless.
+    """
+
+    blank: int
+    use_pt: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, targets, target_lengths=None, input_lengths=None):
+        """Mean CTC loss.
+
+        Args:
+          inputs: [B, T, C] unnormalized logits.
+          targets: [B, L] padded int array, or a ragged list of sequences.
+          target_lengths: [B] lengths (required when targets is padded).
+        """
+        if target_lengths is None:
+            targets, target_lengths = pad_targets(targets)
+        log_probs = jax.nn.log_softmax(inputs, axis=2)
+        return lattice.ctc_loss(
+            log_probs, targets, target_lengths, self.blank, "mean", input_lengths
+        )
+
+    def viterbi(self, outputs, input_lengths=None):
+        """Greedy best-path decode with repeat/blank collapse.
+
+        Mirrors ctc.py:126-135.  Returns a list of 1-D int numpy arrays.
+        """
+        preds = np.asarray(lattice.ctc_greedy_decode(outputs))
+        if input_lengths is not None:
+            input_lengths = np.asarray(input_lengths)
+        out = []
+        for b, pred in enumerate(preds):
+            if input_lengths is not None:
+                pred = pred[: int(input_lengths[b])]
+            if len(pred) > 0:
+                mask = np.concatenate([[True], pred[1:] != pred[:-1]])
+                pred = pred[mask]
+            pred = pred[pred != self.blank]
+            out.append(pred.astype(np.int32))
+        return out

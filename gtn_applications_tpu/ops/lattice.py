@@ -1,0 +1,283 @@
+"""Batched lattice dynamic programs for chain-structured criteria (CTC / ASG).
+
+This module replaces the per-sample GTN pipeline
+``gtn.forward_score(gtn.intersect(emissions, criterion_graph))`` (reference:
+/root/reference/criterions/ctc.py:49-51, asg.py:111-115) with batched,
+fixed-shape recursions over ``[B, S]`` state tensors driven by
+``jax.lax.scan`` over time.  The criterion graphs here are chains with
+self-loops and bounded skips, so the "composition" collapses to gathering
+emission channels into lattice states; no runtime graph construction is
+needed.  Gradients come from JAX AD through the scan, which produces exactly
+the beta recursion / posterior arc marginals that ``gtn.backward`` computes.
+
+Shapes use padded targets ``[B, L]`` with explicit ``target_lengths`` —
+ragged Python lists die at this boundary.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .semiring import NEG, logaddexp, logsumexp, logsumexp_stack
+
+
+# ---------------------------------------------------------------------------
+# CTC
+# ---------------------------------------------------------------------------
+
+
+def ctc_state_tables(targets, blank):
+    """Per-state label / skip tables for the 2L+1-state CTC lattice.
+
+    The lattice is the intersection of the standard CTC criterion graph
+    (reference builds it per sample at criterions/ctc.py:14-29) with a length
+    T linear emission graph: state s has label blank for even s and
+    ``targets[(s-1)//2]`` for odd s; a skip s-2 -> s is allowed for odd s >= 3
+    when the two neighbouring labels differ.
+    """
+    B, L = targets.shape
+    S = 2 * L + 1
+    s = jnp.arange(S)
+    tgt_idx = jnp.maximum((s - 1) // 2, 0)
+    is_label = (s % 2) == 1
+    labels = jnp.where(
+        is_label[None, :], targets[:, tgt_idx], jnp.full((S,), blank)[None, :]
+    )
+    prev_tgt = jnp.take_along_axis(
+        targets, jnp.maximum(tgt_idx - 1, 0)[None, :].repeat(B, 0), axis=1
+    )
+    skip_ok = (
+        is_label[None, :]
+        & (s >= 3)[None, :]
+        & (targets[:, tgt_idx] != prev_tgt)
+    )
+    return labels, skip_ok
+
+
+def ctc_forward_score(log_probs, targets, target_lengths, blank, input_lengths=None):
+    """Log-semiring forward score of the CTC lattice.
+
+    Args:
+      log_probs: ``[B, T, C]`` log probabilities.
+      targets: ``[B, L]`` padded target indices.
+      target_lengths: ``[B]`` true target lengths.
+      blank: blank index.
+      input_lengths: optional ``[B]`` true input lengths (default: T).
+
+    Returns:
+      ``[B]`` forward scores (log total path probability).
+    """
+    B, T, C = log_probs.shape
+    L = targets.shape[1]
+    S = 2 * L + 1
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    labels, skip_ok = ctc_state_tables(targets, blank)
+    # Emissions gathered into lattice states: [T, B, S]
+    em = jnp.take_along_axis(
+        log_probs, labels[:, None, :].repeat(T, 1), axis=2
+    ).transpose(1, 0, 2)
+
+    alpha0 = jnp.full((B, S), NEG)
+    alpha0 = alpha0.at[:, 0].set(em[0, :, 0])
+    if L > 0:
+        # state 1 only exists when the target is non-empty
+        first = jnp.where(target_lengths > 0, em[0, :, 1], NEG)
+        alpha0 = alpha0.at[:, 1].set(first)
+
+    def shift(x, k):
+        return jnp.concatenate([jnp.full((B, k), NEG), x[:, :-k]], axis=1)
+
+    def step(alpha, inputs):
+        em_t, t = inputs
+        stay = alpha
+        prev = shift(alpha, 1)
+        skip = jnp.where(skip_ok, shift(alpha, 2), NEG)
+        new = em_t + logsumexp_stack([stay, prev, skip])
+        live = (t < input_lengths)[:, None]
+        new = jnp.where(live, new, alpha)
+        return new, None
+
+    ts = jnp.arange(1, T)
+    alpha, _ = jax.lax.scan(step, alpha0, (em[1:], ts))
+
+    # Accepting states are 2*len and 2*len - 1 (only 2*len == 0 when len == 0).
+    last = jnp.take_along_axis(alpha, (2 * target_lengths)[:, None], axis=1)[:, 0]
+    prev_idx = jnp.maximum(2 * target_lengths - 1, 0)
+    prev = jnp.take_along_axis(alpha, prev_idx[:, None], axis=1)[:, 0]
+    prev = jnp.where(target_lengths > 0, prev, NEG)
+    return logaddexp(last, prev)
+
+
+def ctc_loss(
+    log_probs,
+    targets,
+    target_lengths,
+    blank,
+    reduction="mean",
+    input_lengths=None,
+):
+    """Mean-over-batch negative CTC forward score.
+
+    Matches the reference semantics (criterions/ctc.py:31-69): per-sample
+    loss is scaled by 1/len(target) when reduction == 'mean', then the batch
+    mean is taken.
+    """
+    scores = ctc_forward_score(
+        log_probs, targets, target_lengths, blank, input_lengths
+    )
+    losses = -scores
+    if reduction == "mean":
+        scale = jnp.where(target_lengths > 0, 1.0 / jnp.maximum(target_lengths, 1), 1.0)
+        losses = losses * scale
+    elif reduction != "none":
+        raise ValueError(f"invalid value for reduction '{reduction}'")
+    return jnp.mean(losses)
+
+
+def ctc_greedy_decode(outputs):
+    """Framewise argmax [B, T, C] -> per-frame predictions [B, T].
+
+    Repeat/blank collapse (reference criterions/ctc.py:126-135) is ragged and
+    happens host-side in the criterion wrapper.
+    """
+    return jnp.argmax(outputs, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# ASG
+# ---------------------------------------------------------------------------
+
+
+def asg_fcc_score(inputs, transitions, input_lengths=None):
+    """Unconstrained ("fully connected") ASG forward score.
+
+    ``gtn.forward_score(gtn.intersect(emissions, transitions))`` with the
+    dense (N+1) x N transition graph of asg.py:54-69: row 0 holds start
+    scores p(j | <s>) and row i+1 holds p(j | i); every state accepts.
+    Returns [B].
+    """
+    B, T, C = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+    alpha0 = transitions[0][None, :] + inputs[:, 0]
+
+    trans = transitions[1:]  # [C, C], trans[i, j] = p(j | i)
+
+    def step(alpha, xs):
+        em_t, t = xs
+        new = em_t + logsumexp(alpha[:, :, None] + trans[None, :, :], axis=1)
+        new = jnp.where((t < input_lengths)[:, None], new, alpha)
+        return new, None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (inputs.transpose(1, 0, 2)[1:], jnp.arange(1, T))
+    )
+    return logsumexp(alpha, axis=1)
+
+
+def asg_fal_score(inputs, transitions, targets, target_lengths, input_lengths=None):
+    """Force-aligned ASG score through the target chain.
+
+    ``forward_score(intersect(intersect(fal, transitions), emissions))``
+    (asg.py:108-113): position l emits targets[l-1]; staying pays the
+    self transition p(tgt | tgt), advancing pays p(tgt_l | tgt_{l-1}),
+    and the first emission pays the start score from row 0.  Returns [B].
+    """
+    B, T, C = inputs.shape
+    L = targets.shape[1]
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    # Per-position emission streams: em_tgt[b, t, l] = inputs[b, t, targets[l]]
+    em_tgt = jnp.take_along_axis(
+        inputs, targets[:, None, :].repeat(T, 1), axis=2
+    ).transpose(1, 0, 2)  # [T, B, L]
+
+    # Transition costs per position (positions l = 1..L map to index l-1 here)
+    self_cost = transitions[targets + 1, targets]  # [B, L]
+    prev_targets = jnp.concatenate([jnp.zeros((B, 1), targets.dtype), targets[:, :-1]], 1)
+    adv_cost = transitions[prev_targets + 1, targets]  # [B, L], l >= 2 entries
+    start_cost = transitions[0, targets[:, 0]]  # [B]
+    adv_cost = adv_cost.at[:, 0].set(start_cost)
+
+    # alpha over positions 1..L (index l-1), after consuming t+1 frames
+    alpha0 = jnp.full((B, L), NEG)
+    alpha0 = alpha0.at[:, 0].set(adv_cost[:, 0] + em_tgt[0, :, 0])
+
+    def step(alpha, xs):
+        em_t, t = xs
+        stay = alpha + self_cost
+        prev = jnp.concatenate([jnp.full((B, 1), NEG), alpha[:, :-1]], 1) + adv_cost
+        new = em_t + logaddexp(stay, prev)
+        new = jnp.where((t < input_lengths)[:, None], new, alpha)
+        return new, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, (em_tgt[1:], jnp.arange(1, T)))
+    idx = jnp.maximum(target_lengths - 1, 0)[:, None]
+    score = jnp.take_along_axis(alpha, idx, axis=1)[:, 0]
+    return jnp.where(target_lengths > 0, score, 0.0)
+
+
+def asg_loss(
+    inputs,
+    transitions,
+    targets,
+    target_lengths,
+    reduction="mean",
+    input_lengths=None,
+):
+    """ASG criterion: free energy minus clamped (force-aligned) energy.
+
+    Matches asg.py:84-139: loss_b = fcc_b - fal_b, optional 1/len scale,
+    batch mean.
+    """
+    fcc = asg_fcc_score(inputs, transitions, input_lengths)
+    fal = asg_fal_score(inputs, transitions, targets, target_lengths, input_lengths)
+    losses = fcc - fal
+    if reduction == "mean":
+        scale = jnp.where(target_lengths > 0, 1.0 / jnp.maximum(target_lengths, 1), 1.0)
+        losses = losses * scale
+    elif reduction != "none":
+        raise ValueError(f"invalid value for reduction '{reduction}'")
+    return jnp.mean(losses)
+
+
+def asg_viterbi(outputs, transitions, input_lengths=None):
+    """Tropical (Viterbi) decode through the dense ASG transition graph.
+
+    Returns (paths [B, T] int32, scores [B]).  Frames at t >= input_length
+    repeat the previous state.  Host code collapses repeats / garbage /
+    replabels (asg.py:211-237).
+    """
+    B, T, C = outputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+    alpha0 = transitions[0][None, :] + outputs[:, 0]
+    trans = transitions[1:]
+
+    def step(alpha, xs):
+        em_t, t = xs
+        scores = alpha[:, :, None] + trans[None, :, :]  # [B, C_from, C_to]
+        best_prev = jnp.argmax(scores, axis=1)
+        new = em_t + jnp.max(scores, axis=1)
+        live = (t < input_lengths)[:, None]
+        new = jnp.where(live, new, alpha)
+        best_prev = jnp.where(
+            live, best_prev, jnp.arange(C)[None, :].repeat(B, 0)
+        )
+        return new, best_prev
+
+    alpha, backptrs = jax.lax.scan(
+        step, alpha0, (outputs.transpose(1, 0, 2)[1:], jnp.arange(1, T))
+    )
+    last = jnp.argmax(alpha, axis=1)
+    score = jnp.max(alpha, axis=1)
+
+    def backstep(state, bp_t):
+        prev = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0]
+        return prev, state
+
+    first, path_rev = jax.lax.scan(backstep, last, backptrs, reverse=True)
+    path = jnp.concatenate([first[None, :], path_rev], axis=0).transpose(1, 0)
+    return path, score

@@ -1,0 +1,74 @@
+"""Log and tropical semiring primitives for lattice dynamic programs.
+
+These are the numeric building blocks that replace the GTN C++ library's
+log-semiring ``forward_score`` / ``viterbi_score`` shortest-distance routines
+(reference: gtn calls in /root/reference/criterions/ctc.py:50,
+asg.py:111-115, stc.py:86, transducer.py:283-288).
+
+Design notes (TPU-first):
+  * All state values live in fp32.  We avoid true ``-inf`` and use a large
+    finite negative constant ``NEG`` so that dead lattice states never produce
+    NaNs in either the forward scan or its transpose (the backward scan XLA
+    derives is exactly the beta recursion / posterior computation).
+  * ``logsumexp`` is implemented with an explicit stop-gradient max shift so
+    the derived gradient is the numerically stable softmax form.
+"""
+
+import jax
+import jax.numpy as jnp
+
+# Large finite stand-in for log(0).  exp(NEG - finite) == 0 in fp32 and
+# NEG + NEG does not overflow to -inf, keeping gradients NaN-free.
+NEG = -1e30
+
+
+def _stable_shift(m):
+    # Keep the shift finite even when every input is NEG.
+    return jax.lax.stop_gradient(jnp.maximum(m, NEG))
+
+
+def logaddexp(a, b):
+    """Numerically stable log(exp(a) + exp(b)) safe at NEG."""
+    m = _stable_shift(jnp.maximum(a, b))
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+
+
+def logsumexp_stack(xs):
+    """Stable logsumexp over a list of same-shaped arrays (stacked axis 0)."""
+    x = jnp.stack(xs, axis=0)
+    m = _stable_shift(jnp.max(x, axis=0))
+    return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0))
+
+
+def logsumexp(x, axis=-1, keepdims=False):
+    """Stable logsumexp along ``axis`` safe when all entries are NEG."""
+    m = _stable_shift(jnp.max(x, axis=axis, keepdims=True))
+    out = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
+    if not keepdims:
+        out = jnp.squeeze(out, axis=axis)
+    return out
+
+
+def segment_logsumexp(values, segment_ids, num_segments, indices_are_sorted=False):
+    """logsumexp of ``values`` grouped by ``segment_ids`` -> [num_segments].
+
+    Used by the generic sparse-arc lattice scan: combine all arc
+    contributions entering the same destination state.  Works on batched
+    values via vmap.  Stable: per-segment max shift.
+    """
+    seg_max = jax.ops.segment_max(
+        values, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    seg_max = _stable_shift(jnp.maximum(seg_max, NEG))
+    shifted = jnp.exp(values - seg_max[segment_ids])
+    sums = jax.ops.segment_sum(
+        shifted, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    return seg_max + jnp.log(jnp.maximum(sums, 1e-38))
+
+
+def segment_max(values, segment_ids, num_segments, indices_are_sorted=False):
+    out = jax.ops.segment_max(
+        values, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    return jnp.maximum(out, NEG)

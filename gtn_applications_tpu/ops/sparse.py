@@ -1,0 +1,180 @@
+"""Generic sparse-arc lattice scan: forward score and Viterbi over compiled WFSTs.
+
+Any acceptor WFST (token/alignment/transition graphs from the transducer
+criterion, STC label graphs, pruned n-gram transition models with epsilon
+backoff arcs) is compiled host-side into fixed-shape arc tables (see
+``gtn_applications_tpu.wfst.compile``), then scored against a ``[T, C]``
+emission stream entirely on device.  This replaces GTN's runtime
+``compose`` + ``forward_score`` (reference /root/reference/criterions/
+transducer.py:260-296) with "gather emission channels along arcs, then
+scan".
+
+Epsilon (backoff) arcs do not consume a frame; they are handled by a
+bounded-depth closure unrolled inside the scan (depth = longest epsilon
+chain, computed at compile time — backoff chains are strictly
+order-decreasing so the bound is small).
+
+Arc table convention (all int32 / float32, padded to fixed length):
+  src[A], dst[A], label[A]  : arc endpoints and emission channel
+  weight[A]                 : arc weight (NEG for padding arcs)
+  start[S]                  : initial state potentials (0 or NEG)
+  accept[S]                 : accepting-state mask potentials (0 or NEG)
+  eps_src[E], eps_dst[E], eps_weight[E], eps_depth : epsilon closure tables
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .semiring import NEG, logaddexp, logsumexp, segment_logsumexp
+
+
+class ArcTable(NamedTuple):
+    """Device-ready compiled acceptor."""
+
+    src: jnp.ndarray       # [A] int32
+    dst: jnp.ndarray       # [A] int32
+    label: jnp.ndarray     # [A] int32
+    weight: jnp.ndarray    # [A] float32 (NEG on padding)
+    start: jnp.ndarray     # [S] float32 (0 / NEG)
+    accept: jnp.ndarray    # [S] float32 (0 / NEG)
+    eps_src: jnp.ndarray   # [E] int32
+    eps_dst: jnp.ndarray   # [E] int32
+    eps_weight: jnp.ndarray  # [E] float32 (NEG on padding)
+    eps_depth: int         # static python int
+
+    @property
+    def num_states(self):
+        return self.start.shape[0]
+
+
+def _eps_closure(alpha, table: ArcTable):
+    """Combine epsilon-path extensions of alpha, paths of length <= eps_depth."""
+    if table.eps_depth == 0:
+        return alpha
+    S = table.num_states
+    acc = alpha
+    cur = alpha
+    for _ in range(table.eps_depth):
+        contrib = cur[..., table.eps_src] + table.eps_weight
+        cur = segment_logsumexp(contrib, table.eps_dst, S)
+        acc = logaddexp(acc, cur)
+    return acc
+
+
+def _eps_closure_batched(alpha, table: ArcTable):
+    if table.eps_depth == 0:
+        return alpha
+    return jax.vmap(lambda a: _eps_closure(a, table))(alpha)
+
+
+def forward_score(em, table: ArcTable, input_length=None):
+    """Log-semiring forward score of emissions ``em [T, C]`` through ``table``.
+
+    Each non-epsilon arc consumes one frame and scores
+    ``weight + em[t, label]``.  Equivalent to
+    ``gtn.forward_score(gtn.intersect(linear_graph(em), graph))``.
+    """
+    T = em.shape[0]
+    S = table.num_states
+    if input_length is None:
+        input_length = T
+
+    alpha = _eps_closure(table.start, table)
+
+    def step(alpha, xs):
+        em_t, t = xs
+        contrib = alpha[table.src] + table.weight + em_t[table.label]
+        new = segment_logsumexp(contrib, table.dst, S)
+        new = _eps_closure(new, table)
+        new = jnp.where(t < input_length, new, alpha)
+        return new, None
+
+    alpha, _ = jax.lax.scan(step, alpha, (em, jnp.arange(T)))
+    return logsumexp(alpha + table.accept, axis=0)
+
+
+def forward_score_batch(em, table: ArcTable, input_lengths=None):
+    """vmap of forward_score over the batch axis of ``em [B, T, C]``."""
+    if input_lengths is None:
+        return jax.vmap(lambda e: forward_score(e, table))(em)
+    return jax.vmap(lambda e, l: forward_score(e, table, l))(em, input_lengths)
+
+
+def forward_score_batch_tables(em, tables: ArcTable, input_lengths=None):
+    """Per-sample arc tables (leading batch dim on every table field).
+
+    Used when the lattice depends on the target (transducer alignment
+    graphs, STC label graphs): tables are stacked/padded host-side.
+    """
+    eps_depth = tables.eps_depth
+    fields = tuple(tables[:-1])
+
+    if input_lengths is None:
+        def one(e, *f):
+            return forward_score(e, ArcTable(*f, eps_depth=eps_depth))
+        return jax.vmap(one)(em, *fields)
+
+    def one(e, l, *f):
+        return forward_score(e, ArcTable(*f, eps_depth=eps_depth), l)
+    return jax.vmap(one)(em, input_lengths, *fields)
+
+
+def viterbi(em, table: ArcTable, input_length=None):
+    """Tropical scan with backpointers over an epsilon-free table.
+
+    Returns (labels [T] int32, score).  ``labels[t]`` is the emission label
+    of the best arc taken at frame t; frames at t >= input_length emit -1.
+    Epsilon arcs must have been removed at compile time (see
+    wfst.compile.compile_acceptor(remove_eps=True)); the emitted label
+    sequence is then exactly ``gtn.remove(gtn.viterbi_path(...))``'s labels
+    (reference transducer.py:221).
+    """
+    if table.eps_depth != 0:
+        raise ValueError("viterbi requires an epsilon-free arc table")
+    T = em.shape[0]
+    S = table.num_states
+    A = table.src.shape[0]
+    if input_length is None:
+        input_length = T
+
+    alpha = table.start
+
+    def step(alpha, xs):
+        em_t, t = xs
+        contrib = alpha[table.src] + table.weight + em_t[table.label]
+        best = jax.ops.segment_max(contrib, table.dst, S)
+        best = jnp.maximum(best, NEG)
+        # argmax arc per destination state
+        is_best = (contrib >= best[table.dst] - 1e-6)
+        arc_ids = jnp.arange(A, dtype=jnp.int32)
+        cand = jnp.where(is_best, arc_ids, A)
+        best_arc = jax.ops.segment_min(cand, table.dst, S)
+        live = t < input_length
+        new = jnp.where(live, best, alpha)
+        best_arc = jnp.where(live, best_arc, A)
+        return new, best_arc
+
+    alpha, backarcs = jax.lax.scan(step, alpha, (em, jnp.arange(T)))
+    final = alpha + table.accept
+    state = jnp.argmax(final)
+    score = jnp.max(final)
+
+    pad_src = jnp.concatenate([table.src, jnp.zeros((1,), jnp.int32)])
+    pad_label = jnp.concatenate([table.label, -jnp.ones((1,), jnp.int32)])
+
+    def backstep(state, arcs_t):
+        arc = arcs_t[state]
+        lab = pad_label[arc]
+        prev = jnp.where(arc < A, pad_src[arc], state)
+        return prev, lab
+
+    _, labels_rev = jax.lax.scan(backstep, state, backarcs, reverse=True)
+    return labels_rev, score
+
+
+def viterbi_batch(em, table: ArcTable, input_lengths=None):
+    if input_lengths is None:
+        return jax.vmap(lambda e: viterbi(e, table))(em)
+    return jax.vmap(lambda e, l: viterbi(e, table, l))(em, input_lengths)
