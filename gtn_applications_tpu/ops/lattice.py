@@ -153,16 +153,17 @@ def asg_fcc_score(inputs, transitions, input_lengths=None):
     """Unconstrained ("fully connected") ASG forward score.
 
     ``gtn.forward_score(gtn.intersect(emissions, transitions))`` with the
-    dense (N+1) x N transition graph of asg.py:54-69: row 0 holds start
-    scores p(j | <s>) and row i+1 holds p(j | i); every state accepts.
-    Returns [B].
+    dense (N+1) x N transition graph of asg.py:54-69: entry [0, j] holds the
+    start score of label j and entry [i+1, j] holds p(i | j) — the score of
+    moving from label j to label i (destination-major, matching the arc
+    creation order at asg.py:62-64); every state accepts.  Returns [B].
     """
     B, T, C = inputs.shape
     if input_lengths is None:
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
     alpha0 = transitions[0][None, :] + inputs[:, 0]
 
-    trans = transitions[1:]  # [C, C], trans[i, j] = p(j | i)
+    trans = transitions[1:].T  # [C, C], trans[i, j] = score of j after i
 
     def step(alpha, xs):
         em_t, t = xs
@@ -194,10 +195,11 @@ def asg_fal_score(inputs, transitions, targets, target_lengths, input_lengths=No
         inputs, targets[:, None, :].repeat(T, 1), axis=2
     ).transpose(1, 0, 2)  # [T, B, L]
 
-    # Transition costs per position (positions l = 1..L map to index l-1 here)
+    # Transition costs per position (positions l = 1..L map to index l-1
+    # here).  transitions[i+1, j] = score of label i following label j.
     self_cost = transitions[targets + 1, targets]  # [B, L]
     prev_targets = jnp.concatenate([jnp.zeros((B, 1), targets.dtype), targets[:, :-1]], 1)
-    adv_cost = transitions[prev_targets + 1, targets]  # [B, L], l >= 2 entries
+    adv_cost = transitions[targets + 1, prev_targets]  # [B, L], l >= 2 entries
     start_cost = transitions[0, targets[:, 0]]  # [B]
     adv_cost = adv_cost.at[:, 0].set(start_cost)
 
@@ -254,7 +256,7 @@ def asg_viterbi(outputs, transitions, input_lengths=None):
     if input_lengths is None:
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
     alpha0 = transitions[0][None, :] + outputs[:, 0]
-    trans = transitions[1:]
+    trans = transitions[1:].T  # trans[i, j] = score of j after i
 
     def step(alpha, xs):
         em_t, t = xs
