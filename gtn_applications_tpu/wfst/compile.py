@@ -1,0 +1,193 @@
+"""Compile host Graphs into device-ready fixed-shape arc tables.
+
+The bridge between the host graph compiler (wfst.graph / wfst.ops) and the
+device lattice scans (ops.sparse): an acceptor Graph becomes numpy arrays —
+emitting arcs, epsilon arcs with a static closure depth, start / accept
+potentials — optionally padded and stacked across a batch of per-target
+graphs.  This is the TPU replacement for handing GTN pointer graphs to a
+C++ thread pool (reference criterions/transducer.py:260-296).
+"""
+
+from typing import List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from ..ops.semiring import NEG
+from ..ops.sparse import ArcTable
+from .graph import EPSILON, Graph
+from . import ops as gops
+
+
+class CompiledGraph(NamedTuple):
+    """Numpy arc tables for one acceptor, before padding/stacking."""
+
+    src: np.ndarray
+    dst: np.ndarray
+    label: np.ndarray
+    weight: np.ndarray
+    arc_id: np.ndarray        # original Graph arc index per emitting arc
+    start: np.ndarray
+    accept: np.ndarray
+    eps_src: np.ndarray
+    eps_dst: np.ndarray
+    eps_weight: np.ndarray
+    eps_arc_id: np.ndarray    # original Graph arc index per epsilon arc
+    eps_depth: int
+
+
+def _eps_depth(g: Graph) -> int:
+    """Longest epsilon chain (raises on epsilon cycles)."""
+    eps_out = {}
+    for i in range(g.num_arcs()):
+        if g.arc_ilabel[i] == EPSILON and g.arc_olabel[i] == EPSILON:
+            eps_out.setdefault(g.arc_src[i], []).append(g.arc_dst[i])
+    depth = {}
+
+    def dfs(s, onpath):
+        if s in depth:
+            return depth[s]
+        best = 0
+        for d in eps_out.get(s, ()):
+            if d in onpath:
+                raise ValueError("epsilon cycle")
+            best = max(best, 1 + dfs(d, onpath | {s}))
+        depth[s] = best
+        return best
+
+    return max((dfs(s, frozenset()) for s in range(g.num_nodes())), default=0)
+
+
+def compile_acceptor(
+    g: Graph,
+    semiring: str = "log",
+    remove_eps: bool = False,
+) -> CompiledGraph:
+    """Compile an acceptor Graph to arc tables.
+
+    Args:
+      semiring: 'log' combines parallel final weights with logsumexp,
+        'tropical' with max (used for Viterbi decode tables).
+      remove_eps: fold epsilon arcs away first (required for Viterbi
+        tables; forward tables keep them for bounded-depth closure so
+        learnable backoff weights stay addressable per original arc).
+    """
+    if remove_eps:
+        g = gops.remove(g)
+
+    S = g.num_nodes()
+    src, dst, label, weight, arc_id = [], [], [], [], []
+    esrc, edst, eweight, earc_id = [], [], [], []
+    for i in range(g.num_arcs()):
+        il, ol = g.arc_ilabel[i], g.arc_olabel[i]
+        if il == EPSILON and ol == EPSILON:
+            esrc.append(g.arc_src[i])
+            edst.append(g.arc_dst[i])
+            eweight.append(g.arc_weight[i])
+            earc_id.append(i)
+        else:
+            if il == EPSILON or ol == EPSILON:
+                raise ValueError(
+                    "compile_acceptor requires an acceptor (project first)"
+                )
+            src.append(g.arc_src[i])
+            dst.append(g.arc_dst[i])
+            label.append(il)
+            weight.append(g.arc_weight[i])
+            arc_id.append(i)
+
+    start = np.full((S,), NEG, dtype=np.float32)
+    for s in g.start_nodes():
+        start[s] = 0.0
+    accept = np.full((S,), NEG, dtype=np.float32)
+    for s, ws in g.finals.items():
+        ws = np.asarray(ws, dtype=np.float64)
+        if semiring == "log":
+            m = ws.max()
+            accept[s] = m + np.log(np.exp(ws - m).sum())
+        elif semiring == "tropical":
+            accept[s] = ws.max()
+        else:
+            raise ValueError(f"unknown semiring {semiring}")
+
+    return CompiledGraph(
+        src=np.asarray(src, dtype=np.int32),
+        dst=np.asarray(dst, dtype=np.int32),
+        label=np.asarray(label, dtype=np.int32),
+        weight=np.asarray(weight, dtype=np.float32),
+        arc_id=np.asarray(arc_id, dtype=np.int32),
+        start=start,
+        accept=accept,
+        eps_src=np.asarray(esrc, dtype=np.int32),
+        eps_dst=np.asarray(edst, dtype=np.int32),
+        eps_weight=np.asarray(eweight, dtype=np.float32),
+        eps_arc_id=np.asarray(earc_id, dtype=np.int32),
+        eps_depth=_eps_depth(g),
+    )
+
+
+def _pad_arcs(src, dst, label, weight, arc_id, A, S):
+    n = len(src)
+    if n > A:
+        raise ValueError(f"arc count {n} exceeds pad size {A}")
+    pad = A - n
+    src = np.concatenate([src, np.zeros(pad, np.int32)])
+    # padding arcs target the last state with NEG weight: harmless
+    dst = np.concatenate([dst, np.full(pad, S - 1, np.int32)])
+    label = np.concatenate([label, np.zeros(pad, np.int32)])
+    weight = np.concatenate([weight, np.full(pad, NEG, np.float32)])
+    arc_id = np.concatenate([arc_id, np.full(pad, -1, np.int32)])
+    return src, dst, label, weight, arc_id
+
+
+def to_arc_table(cg: CompiledGraph, pad_arcs=None, pad_states=None, pad_eps=None):
+    """Single CompiledGraph -> ArcTable (numpy fields; jnp conversion is
+    implicit at trace time)."""
+    A = pad_arcs or max(len(cg.src), 1)
+    S = pad_states or max(len(cg.start), 1)
+    E = pad_eps if pad_eps is not None else max(len(cg.eps_src), 0)
+    src, dst, label, weight, _ = _pad_arcs(
+        cg.src, cg.dst, cg.label, cg.weight, cg.arc_id, A, S
+    )
+    start = np.concatenate([cg.start, np.full(S - len(cg.start), NEG, np.float32)])
+    accept = np.concatenate([cg.accept, np.full(S - len(cg.accept), NEG, np.float32)])
+    ne = len(cg.eps_src)
+    if ne > E:
+        raise ValueError("epsilon arc count exceeds pad size")
+    eps_src = np.concatenate([cg.eps_src, np.zeros(E - ne, np.int32)])
+    eps_dst = np.concatenate([cg.eps_dst, np.full(E - ne, S - 1, np.int32)])
+    eps_weight = np.concatenate([cg.eps_weight, np.full(E - ne, NEG, np.float32)])
+    return ArcTable(
+        src=src, dst=dst, label=label, weight=weight,
+        start=start, accept=accept,
+        eps_src=eps_src, eps_dst=eps_dst, eps_weight=eps_weight,
+        eps_depth=cg.eps_depth,
+    )
+
+
+def stack_arc_tables(cgs: Sequence[CompiledGraph], pad_multiple=8):
+    """Pad a batch of CompiledGraphs to shared shapes and stack -> ArcTable
+    with a leading batch dimension on every array field."""
+    def rnd(x):
+        return ((max(x, 1) + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+    A = rnd(max(len(c.src) for c in cgs))
+    S = rnd(max(len(c.start) for c in cgs))
+    E = max(len(c.eps_src) for c in cgs)
+    if E:
+        E = rnd(E)
+    depth = max(c.eps_depth for c in cgs)
+    tables = [
+        to_arc_table(c._replace(eps_depth=depth), A, S, E) for c in cgs
+    ]
+    return ArcTable(
+        src=np.stack([t.src for t in tables]),
+        dst=np.stack([t.dst for t in tables]),
+        label=np.stack([t.label for t in tables]),
+        weight=np.stack([t.weight for t in tables]),
+        start=np.stack([t.start for t in tables]),
+        accept=np.stack([t.accept for t in tables]),
+        eps_src=np.stack([t.eps_src for t in tables]),
+        eps_dst=np.stack([t.eps_dst for t in tables]),
+        eps_weight=np.stack([t.eps_weight for t in tables]),
+        eps_depth=depth,
+    )
