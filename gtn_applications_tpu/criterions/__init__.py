@@ -1,2 +1,3 @@
+from .base import Criterion
 from .ctc import CTC
-from .asg import ASG, pack_replabels, unpack_replabels, asg_viterbi_decode
+from .asg import ASG, pack_replabels, unpack_replabels

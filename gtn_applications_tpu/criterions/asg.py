@@ -1,24 +1,24 @@
 """Auto-Segmentation (ASG) criterion (TPU-native).
 
 Capability parity with /root/reference/criterions/asg.py: a learned dense
-``(N+1) x N`` transition matrix (row 0 = start scores), loss = logadd over
-all paths through ``intersect(emissions, transitions)`` minus the
-force-aligned score through the target chain (asg.py:111-115), replabel
-packing (asg.py:13-49) and optional garbage-token interleaving
-(asg.py:203-208).  The two per-sample GTN graph intersections collapse into
-two batched lattice scans (ops.lattice.asg_fcc_score / asg_fal_score); the
-transition-matrix gradient — which GTN extracts from the transition graph's
-arc gradients (asg.py:164-168) — falls out of JAX AD.
+``(N+1) x N`` transition matrix (entry [0, j] = start score of j, entry
+[i+1, j] = score of label i following label j, matching GTN's arc creation
+order at asg.py:54-69), loss = logadd over all paths through
+``intersect(emissions, transitions)`` minus the force-aligned score through
+the target chain (asg.py:111-115), replabel packing (asg.py:13-49) and
+optional garbage-token interleaving (asg.py:203-208).  The two per-sample
+GTN graph intersections collapse into two batched lattice scans
+(ops.lattice.asg_fcc_score / asg_fal_score); the transition-matrix gradient
+— which GTN extracts from transition-graph arc gradients (asg.py:164-168) —
+falls out of JAX AD.
 """
 
-from typing import List, Sequence
-
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import lattice
+from .base import Criterion
 from .common import pad_targets
 
 
@@ -27,7 +27,7 @@ def pack_replabels(tokens, num_replabels):
 
     Repeat label k-1 (k in 1..num_replabels) encodes "repeat previous token k
     times"; real tokens are shifted up by num_replabels.  Mirrors
-    asg.py:13-32 exactly (including multi-level list handling).
+    asg.py:13-32 (including nested-list handling).
     """
     if all(isinstance(t, (list, tuple)) for t in tokens) and len(tokens) > 0:
         return [pack_replabels(list(t), num_replabels) for t in tokens]
@@ -67,40 +67,48 @@ def unpack_replabels(tokens, num_replabels):
     return new_tokens
 
 
-class ASG(nn.Module):
-    """ASG loss with learned transitions.
+def create_transitions_graph(transitions, calc_grad=False):
+    """Dense ASG transition matrix -> WFST (asg.py:54-69): node 0 is the
+    start, node i+1 accepts label i; arc order (start arcs, then the (i, j)
+    double loop) matches the row-major weight layout so set_weights /
+    transition params index identically to the reference."""
+    from ..wfst.graph import Graph
 
-    Attributes mirror asg.py:191-199: output width N = num_classes +
-    num_replabels + use_garbage; the garbage token (last index) is
-    interleaved between target labels when enabled.
-    """
+    transitions = np.asarray(transitions)
+    num_classes = transitions.shape[1]
+    assert transitions.shape == (num_classes + 1, num_classes)
+    g = Graph(calc_grad)
+    g.add_node(True)
+    for i in range(1, num_classes + 1):
+        g.add_node(False, True)
+        g.add_arc(0, i, i - 1, i - 1, float(transitions[0, i - 1]))
+    for i in range(num_classes):
+        for j in range(num_classes):
+            g.add_arc(j + 1, i + 1, i, i, float(transitions[i + 1, j]))
+    return g
 
-    num_classes: int
-    num_replabels: int = 1
-    use_garbage: bool = True
 
-    @property
-    def N(self):
-        return self.num_classes + self.num_replabels + int(self.use_garbage)
+class ASG(Criterion):
+    """ASG loss with learned transitions (asg.py:191-209)."""
 
-    @property
-    def garbage_idx(self):
-        return (
-            self.num_classes + self.num_replabels if self.use_garbage else None
+    def __init__(self, num_classes, num_replabels=1, use_garbage=True):
+        assert num_replabels > 0
+        self.num_classes = num_classes
+        self.num_replabels = num_replabels
+        self.use_garbage = use_garbage
+        self.garbage_idx = (
+            num_classes + num_replabels if use_garbage else None
         )
+        self.N = num_classes + num_replabels + int(use_garbage)
 
-    def setup(self):
-        assert self.num_replabels > 0
-        self.transitions = self.param(
-            "transitions", nn.initializers.zeros, (self.N + 1, self.N)
-        )
+    def init_params(self):
+        return {"transitions": jnp.zeros((self.N + 1, self.N))}
 
-    def prepare_targets(self, targets):
-        """Host-side target transform: replabel packing + garbage interleave.
-
-        Returns (padded [B, L], lengths [B]).
-        """
-        packed = [pack_replabels(list(np.asarray(t)), self.num_replabels) for t in targets]
+    def prepare(self, targets):
+        """Host transform: replabel packing + garbage interleave + padding."""
+        packed = [
+            pack_replabels(list(np.asarray(t)), self.num_replabels) for t in targets
+        ]
         if self.garbage_idx is not None:
             out = []
             for tgt in packed:
@@ -110,33 +118,28 @@ class ASG(nn.Module):
             packed = out
         return pad_targets(packed)
 
-    def __call__(self, inputs, targets, target_lengths=None, input_lengths=None):
-        """Mean ASG loss.  ``targets`` may be ragged (host transform applied)
-        or already prepared padded arrays (with target_lengths given)."""
-        if target_lengths is None:
-            targets, target_lengths = self.prepare_targets(targets)
+    def loss(self, params, inputs, prepared, input_lengths=None):
+        targets, target_lengths = prepared
         return lattice.asg_loss(
-            inputs,
-            self.transitions,
-            targets,
-            target_lengths,
-            "mean",
+            inputs, params["transitions"], targets, target_lengths, "mean",
             input_lengths,
         )
 
-    def viterbi_device(self, outputs, input_lengths=None):
-        """Jittable part of decoding: best path through the transition graph."""
-        return lattice.asg_viterbi(outputs, self.transitions, input_lengths)
+    def viterbi_device(self, outputs, transitions, input_lengths=None):
+        return lattice.asg_viterbi(outputs, transitions, input_lengths)
 
-    def decode_paths(self, paths, input_lengths=None):
-        """Host-side cleanup of device Viterbi paths (asg.py:228-234):
-        collapse repeats, strip garbage, unpack replabels."""
+    def viterbi(self, outputs, params=None, input_lengths=None):
+        """Device tropical scan + host cleanup (asg.py:211-237)."""
+        params = params if params is not None else self.params
+        paths, _ = self.viterbi_device(outputs, params["transitions"], input_lengths)
         paths = np.asarray(paths)
         out = []
         for b, path in enumerate(paths):
             if input_lengths is not None:
                 path = path[: int(input_lengths[b])]
-            collapsed = [int(p) for i, p in enumerate(path) if i == 0 or p != path[i - 1]]
+            collapsed = [
+                int(p) for i, p in enumerate(path) if i == 0 or p != path[i - 1]
+            ]
             if self.garbage_idx is not None:
                 collapsed = [p for p in collapsed if p != self.garbage_idx]
             out.append(
@@ -145,11 +148,3 @@ class ASG(nn.Module):
                 )
             )
         return out
-
-
-def asg_viterbi_decode(module: ASG, variables, outputs, input_lengths=None):
-    """Full decode: device tropical scan + host cleanup."""
-    paths, _ = module.apply(
-        variables, outputs, input_lengths, method=ASG.viterbi_device
-    )
-    return module.decode_paths(paths, input_lengths)

@@ -10,51 +10,41 @@ compute the same value here, so the flag is accepted for config
 compatibility and ignored.
 """
 
-from typing import Optional, Sequence
-
-import flax.linen as nn
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops import lattice
+from .base import Criterion
 from .common import pad_targets
 
 
-class CTC(nn.Module):
-    """CTC loss module.
+class CTC(Criterion):
+    """CTC loss.
 
-    Attributes:
+    Args:
       blank: index of the blank label (reference appends blank last:
         utils.py:256 output_size = num_tokens + 1).
       use_pt: accepted for config compatibility (reference ctc.py:101-104);
         the TPU path is used regardless.
     """
 
-    blank: int
-    use_pt: bool = True
+    def __init__(self, blank, use_pt=True):
+        self.blank = blank
+        self.use_pt = use_pt
 
-    @nn.compact
-    def __call__(self, inputs, targets, target_lengths=None, input_lengths=None):
-        """Mean CTC loss.
+    def prepare(self, targets):
+        return pad_targets(targets)
 
-        Args:
-          inputs: [B, T, C] unnormalized logits.
-          targets: [B, L] padded int array, or a ragged list of sequences.
-          target_lengths: [B] lengths (required when targets is padded).
-        """
-        if target_lengths is None:
-            targets, target_lengths = pad_targets(targets)
+    def loss(self, params, inputs, prepared, input_lengths=None):
+        targets, target_lengths = prepared
         log_probs = jax.nn.log_softmax(inputs, axis=2)
         return lattice.ctc_loss(
             log_probs, targets, target_lengths, self.blank, "mean", input_lengths
         )
 
-    def viterbi(self, outputs, input_lengths=None):
-        """Greedy best-path decode with repeat/blank collapse.
-
-        Mirrors ctc.py:126-135.  Returns a list of 1-D int numpy arrays.
-        """
+    def viterbi(self, outputs, params=None, input_lengths=None):
+        """Greedy best-path decode with repeat/blank collapse
+        (ctc.py:126-135).  Returns a list of 1-D int32 numpy arrays."""
         preds = np.asarray(lattice.ctc_greedy_decode(outputs))
         if input_lengths is not None:
             input_lengths = np.asarray(input_lengths)

@@ -64,7 +64,10 @@ def segment_logsumexp(values, segment_ids, num_segments, indices_are_sorted=Fals
     sums = jax.ops.segment_sum(
         shifted, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
     )
-    return seg_max + jnp.log(jnp.maximum(sums, 1e-38))
+    # Floor must stay a NORMAL fp32 number: subnormals (e.g. 1e-38) are
+    # flushed to zero by XLA, turning the log into -inf and its gradient
+    # into NaN for empty segments.
+    return seg_max + jnp.log(jnp.maximum(sums, 1e-30))
 
 
 def segment_max(values, segment_ids, num_segments, indices_are_sorted=False):

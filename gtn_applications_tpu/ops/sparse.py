@@ -22,7 +22,8 @@ Arc table convention (all int32 / float32, padded to fixed length):
   eps_src[E], eps_dst[E], eps_weight[E], eps_depth : epsilon closure tables
 """
 
-from typing import NamedTuple, Optional
+import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +31,14 @@ import jax.numpy as jnp
 from .semiring import NEG, logaddexp, logsumexp, segment_logsumexp
 
 
-class ArcTable(NamedTuple):
-    """Device-ready compiled acceptor."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ArcTable:
+    """Device-ready compiled acceptor.
+
+    ``eps_depth`` is static metadata (the unroll bound of the epsilon
+    closure), so tables can cross jit boundaries as pytrees.
+    """
 
     src: jnp.ndarray       # [A] int32
     dst: jnp.ndarray       # [A] int32
@@ -42,11 +49,24 @@ class ArcTable(NamedTuple):
     eps_src: jnp.ndarray   # [E] int32
     eps_dst: jnp.ndarray   # [E] int32
     eps_weight: jnp.ndarray  # [E] float32 (NEG on padding)
-    eps_depth: int         # static python int
+    eps_depth: int = dataclasses.field(metadata={"static": True}, default=0)
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
     @property
     def num_states(self):
         return self.start.shape[0]
+
+    def array_fields(self):
+        return (
+            self.src, self.dst, self.label, self.weight, self.start,
+            self.accept, self.eps_src, self.eps_dst, self.eps_weight,
+        )
+
+    @staticmethod
+    def from_arrays(fields, eps_depth):
+        return ArcTable(*fields, eps_depth=eps_depth)
 
 
 def _eps_closure(alpha, table: ArcTable):
@@ -109,16 +129,16 @@ def forward_score_batch_tables(em, tables: ArcTable, input_lengths=None):
     graphs, STC label graphs): tables are stacked/padded host-side.
     """
     eps_depth = tables.eps_depth
-    fields = tuple(tables[:-1])
+    fields = tables.array_fields()
 
     if input_lengths is None:
-        def one(e, *f):
-            return forward_score(e, ArcTable(*f, eps_depth=eps_depth))
+        def one(*f):
+            return forward_score(f[0], ArcTable(*f[1:], eps_depth=eps_depth))
         return jax.vmap(one)(em, *fields)
 
-    def one(e, l, *f):
-        return forward_score(e, ArcTable(*f, eps_depth=eps_depth), l)
-    return jax.vmap(one)(em, input_lengths, *fields)
+    def one_len(*f):
+        return forward_score(f[0], ArcTable(*f[2:], eps_depth=eps_depth), f[1])
+    return jax.vmap(one_len)(em, input_lengths, *fields)
 
 
 def viterbi(em, table: ArcTable, input_length=None):

@@ -22,7 +22,7 @@ from .graph import EPSILON, Graph
 # ---------------------------------------------------------------------------
 
 
-def compose(g1: Graph, g2: Graph) -> Graph:
+def compose(g1: Graph, g2: Graph, return_arc_map: bool = False):
     """Transducer composition matching g1 output labels to g2 input labels.
 
     Epsilon handling uses the standard three-state sequencing filter
@@ -30,6 +30,12 @@ def compose(g1: Graph, g2: Graph) -> Graph:
     one composite path: both-advance on matched labels (any filter state ->
     0), g1-only epsilon-output move (from 0/1 -> 1), g2-only epsilon-input
     move (from 0/2 -> 2), both-advance on paired epsilons (from 0 -> 0).
+
+    With ``return_arc_map`` the provenance of every output arc is returned
+    as a list of (g1_arc_or_-1, g2_arc_or_-1): this keeps learnable arc
+    weights (e.g. transition params intersected into alignment graphs,
+    reference transducer.py:279-281) addressable after host composition so
+    gradients flow through the device scan instead of being baked in.
     """
     # index g2 arcs by (src, ilabel) and epsilon arcs by src
     g2_by_label: Dict[Tuple[int, int], List[int]] = {}
@@ -66,6 +72,8 @@ def compose(g1: Graph, g2: Graph) -> Graph:
             node = get_state(s1, s2, 0)
             out.start[node] = True
 
+    prov: List[Tuple[int, int]] = []
+
     while queue:
         s1, s2, f = key = queue.popleft()
         src = state_map[key]
@@ -79,6 +87,7 @@ def compose(g1: Graph, g2: Graph) -> Graph:
                 if f != 2:
                     dst = get_state(d1, s2, 1)
                     out.add_arc(src, dst, il1, EPSILON, w1)
+                    prov.append((a1, -1))
                 # paired epsilon move (only from the neutral filter state)
                 if f == 0:
                     for a2 in g2_eps.get(s2, ()):
@@ -87,6 +96,7 @@ def compose(g1: Graph, g2: Graph) -> Graph:
                             src, dst, il1, g2.arc_olabel[a2],
                             w1 + g2.arc_weight[a2],
                         )
+                        prov.append((a1, a2))
             else:
                 for a2 in g2_by_label.get((s2, ol1), ()):
                     dst = get_state(d1, g2.arc_dst[a2], 0)
@@ -94,13 +104,18 @@ def compose(g1: Graph, g2: Graph) -> Graph:
                         src, dst, il1, g2.arc_olabel[a2],
                         w1 + g2.arc_weight[a2],
                     )
+                    prov.append((a1, a2))
         if f != 1:
             # g2-only epsilon move
             for a2 in g2_eps.get(s2, ()):
                 dst = get_state(s1, g2.arc_dst[a2], 2)
                 out.add_arc(src, dst, EPSILON, g2.arc_olabel[a2], g2.arc_weight[a2])
+                prov.append((-1, a2))
 
-    return trim(out)
+    trimmed, kept = _trim_with_arc_map(out)
+    if return_arc_map:
+        return trimmed, [prov[a] for a in kept]
+    return trimmed
 
 
 def intersect(g1: Graph, g2: Graph) -> Graph:
@@ -127,6 +142,11 @@ def project_output(g: Graph) -> Graph:
 
 def trim(g: Graph) -> Graph:
     """Drop states not on any start -> accept path (connect/trim)."""
+    return _trim_with_arc_map(g)[0]
+
+
+def _trim_with_arc_map(g: Graph):
+    """trim plus the list of kept original arc indices (in output order)."""
     n = g.num_nodes()
     fwd = [False] * n
     stack = list(g.start_nodes())
@@ -161,6 +181,7 @@ def trim(g: Graph) -> Graph:
         if old in g.finals:
             for w in g.finals[old]:
                 out.add_final(remap[old], w)
+    kept = []
     for i in range(g.num_arcs()):
         s, d = g.arc_src[i], g.arc_dst[i]
         if s in remap and d in remap:
@@ -168,7 +189,8 @@ def trim(g: Graph) -> Graph:
                 remap[s], remap[d], g.arc_ilabel[i], g.arc_olabel[i],
                 g.arc_weight[i],
             )
-    return out
+            kept.append(i)
+    return out, kept
 
 
 def _eps_paths_from(g: Graph, s: int, eps_adj, max_paths=100000):
@@ -213,15 +235,25 @@ def remove(g: Graph) -> Graph:
         out.add_node(g.start[i], False)
 
     for s in range(g.num_nodes()):
+        best_final = None
         for u, wp in _eps_paths_from(g, s, eps_adj):
             if u in g.finals:
                 for fw in g.finals[u]:
-                    out.add_final(s, wp + fw)
+                    cand = wp + fw
+                    if best_final is None or cand > best_final:
+                        best_final = cand
             for a in nonteps.get(u, ()):
                 out.add_arc(
                     s, g.arc_dst[a], g.arc_ilabel[a], g.arc_olabel[a],
                     wp + g.arc_weight[a],
                 )
+        # GTN parity: acceptance via epsilon paths collapses to a single
+        # final (gtn marks accept as a boolean). We keep the best (max)
+        # weight so tropical decode tables built from weighted backoff
+        # graphs stay exact; for the zero-weight epsilon arcs of the
+        # reference's loss pipelines this is identical to GTN.
+        if best_final is not None:
+            out.add_final(s, best_final)
     return trim(out)
 
 

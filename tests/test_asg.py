@@ -109,11 +109,9 @@ def test_replabel_pack_unpack():
 
 
 def test_asg_module_loss_runs():
-    N = 6
     crit = asg_mod.ASG(num_classes=4, num_replabels=1, use_garbage=True)
     emissions = jnp.asarray(EMISSIONS)
-    variables = crit.init(jax.random.PRNGKey(0), emissions, LABELS)
-    loss = crit.apply(variables, emissions, [[2, 1, 3], [0, 0, 1], [3]])
+    loss = crit(emissions, [[2, 1, 3], [0, 0, 1], [3]])
     assert np.isfinite(float(loss))
 
 
@@ -131,8 +129,7 @@ def test_asg_viterbi_golden():
         [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0, 0, 2, 0, 2, 0, 0],
         dtype=np.float32,
     ).reshape(N + num_replabels + 1, N + num_replabels)
-    variables = {"params": {"transitions": jnp.asarray(trans)}}
-    preds = asg_mod.asg_viterbi_decode(crit, variables, inputs)
+    preds = crit.viterbi(inputs, {"transitions": jnp.asarray(trans)})
     assert preds[0].tolist() == [2, 1, 0]
 
 

@@ -72,18 +72,30 @@ def test_compose_transducer_eps():
 
 
 def test_remove_multiplicity():
-    # two parallel eps paths into an accept state must stay two paths
+    # interior parallel eps paths stay distinct paths; eps suffixes into an
+    # accept state collapse to a single final (GTN boolean-accept parity)
     g = Graph()
     g.add_node(True)
+    g.add_node()
     g.add_node()
     g.add_node(False, True)
     g.add_arc(0, 1, 5, 5, 0.0)
     g.add_arc(1, 2, EPSILON, EPSILON, 0.0)
     g.add_arc(1, 2, EPSILON, EPSILON, 0.0)
+    g.add_arc(2, 3, 7, 7, 0.0)
     r = wfst.remove(g)
-    # forward score = log(2) (two paths of weight 0)
+    # two eps routes into the 7-arc -> two parallel arcs -> log 2
     assert abs(wfst.forward_score(r) - math.log(2.0)) < 1e-6
-    assert abs(wfst.forward_score(g) - math.log(2.0)) < 1e-6
+    # suffix collapse: eps into accept counts once
+    g2 = Graph()
+    g2.add_node(True)
+    g2.add_node()
+    g2.add_node(False, True)
+    g2.add_arc(0, 1, 5, 5, 0.0)
+    g2.add_arc(1, 2, EPSILON, EPSILON, 0.0)
+    g2.add_arc(1, 2, EPSILON, EPSILON, 0.0)
+    r2 = wfst.remove(g2)
+    assert abs(wfst.forward_score(r2) - 0.0) < 1e-6
 
 
 def test_remove_weighted_eps():
