@@ -1,0 +1,179 @@
+"""Star Temporal Classification criterion (TPU-native).
+
+Capability parity with /root/reference/criterions/stc.py: training from
+partially labeled sequences by appending a ``<star>`` channel (logsumexp of
+all non-blank channels) and per-token ``<star>\\token`` channels
+(log(exp(star) - exp(token))), then scoring a self-less-CTC-plus-star label
+WFST with an annealed token insertion penalty
+``p = plast + (p0 - plast) * 2^(-nstep / thalf)`` (stc.py:190-195).
+
+The star channels are pure tensor code (stc.py:200-221) and run on device;
+the per-sample label graph (stc.py:22-64) is built once per distinct target
+on the host, compiled to arc tables, and scored with the batched sparse
+lattice scan.  The insertion penalty enters as a traced scalar added to the
+star arcs, so the annealing schedule never triggers recompilation.
+
+Blank index is REQUIRED to be 0 (stc.py:13).
+"""
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sparse
+from ..ops.semiring import NEG
+from ..wfst import compile as wcompile
+from ..wfst.graph import Graph
+from .base import Criterion
+
+STC_BLANK_IDX = 0
+
+# Sentinel weight marking star arcs during host graph construction; replaced
+# by the traced log-penalty on device.
+_STAR_SENTINEL = 1.0
+
+
+def logsubexp(a, b):
+    """log(exp(a) - exp(b)) with the reference's 1e-7 guard (stc.py:157-172).
+
+    a: [B, T, 1], b: [B, T, K] -> [B, T, K].
+    """
+    return a + jnp.log1p(1e-7 - jnp.exp(b - a))
+
+
+def make_stc_graph(target, star_idx):
+    """STC label graph (stc.py:22-64): self-less CTC over the target plus a
+    star state per gap; star arcs carry the sentinel weight."""
+    g = Graph()
+    L = len(target)
+    S = 2 * L + 1
+    for l in range(S):
+        idx = (l - 1) // 2
+        g.add_node(l == 0, l == S - 1 or l == S - 2)
+        label = target[idx] if l % 2 else STC_BLANK_IDX
+        if label == STC_BLANK_IDX:
+            g.add_arc(l, l, label)
+        if l > 0:
+            g.add_arc(l - 1, l, label)
+        if l % 2 and l > 1:
+            g.add_arc(l - 2, l, label)
+    for l in range(L + 1):
+        p1 = 2 * l - 1
+        p2 = 2 * l
+        c1 = g.add_node(False, l == L)
+        idx = star_idx if l == L else (star_idx + target[l])
+        if p1 >= 0:
+            g.add_arc(p1, c1, idx, idx, _STAR_SENTINEL)
+        g.add_arc(p2, c1, idx, idx, _STAR_SENTINEL)
+        g.add_arc(c1, c1, idx, idx, _STAR_SENTINEL)
+        if l < L:
+            g.add_arc(c1, 2 * l + 1, target[l])
+        g.add_arc(c1, p2, STC_BLANK_IDX)
+    return g
+
+
+class STC(Criterion):
+    """STC loss (stc.py:135-221).
+
+    Args:
+      blank_idx: must be 0.
+      p0 / plast / thalf: insertion penalty annealing schedule.
+      reduction: 'none' or 'mean' (divide per-sample loss by T).
+    """
+
+    def __init__(self, blank_idx=0, p0=1.0, plast=1.0, thalf=1.0, reduction="none"):
+        assert blank_idx == STC_BLANK_IDX
+        self.p0 = p0
+        self.plast = plast
+        self.thalf = thalf
+        self.nstep = 0
+        self.reduction = reduction
+        self.training = True
+        self._graph_cache: Dict[tuple, tuple] = {}
+
+    def train(self):
+        self.training = True
+        return self
+
+    def eval(self):
+        self.training = False
+        return self
+
+    def _compiled(self, target, star_idx):
+        key = (target, star_idx)
+        hit = self._graph_cache.get(key)
+        if hit is None:
+            g = make_stc_graph(list(target), star_idx)
+            cg = wcompile.compile_acceptor(g)
+            star_mask = (cg.weight == _STAR_SENTINEL).astype(np.float32)
+            hit = (cg._replace(weight=cg.weight * (1.0 - star_mask)), star_mask)
+            self._graph_cache[key] = hit
+        return hit
+
+    def prepare(self, targets, select_multiple=8):
+        """Host: per-batch token subsetting (stc.py:204-214), target
+        remapping, STC graph compilation, and the annealed penalty."""
+        if self.training:
+            self.nstep += 1
+        prob = self.plast + (self.p0 - self.plast) * math.exp(
+            -self.nstep * math.log(2) / self.thalf
+        )
+
+        targets = [list(np.asarray(t).reshape(-1)) for t in targets]
+        select = [STC_BLANK_IDX] + sorted(set(t for tgt in targets for t in tgt))
+        target_map = {t: i for i, t in enumerate(select)}
+        # pad the selection to a bucketed size with blank (harmless: the
+        # graphs never reference padded channels)
+        Csel = ((len(select) + select_multiple - 1) // select_multiple) * select_multiple
+        select_padded = select + [STC_BLANK_IDX] * (Csel - len(select))
+        star_idx = Csel
+
+        remapped = [tuple(target_map[t] for t in tgt) for tgt in targets]
+        compiled = [self._compiled(tgt, star_idx) for tgt in remapped]
+        cgs = [c[0] for c in compiled]
+        table = wcompile.stack_arc_tables(cgs)
+        A = table.src.shape[1]
+        star_mask = np.stack(
+            [
+                np.concatenate([c[1], np.zeros(A - len(c[1]), np.float32)])
+                for c in compiled
+            ]
+        )
+        return {
+            "table": table,
+            "star_mask": jnp.asarray(star_mask),
+            "select": jnp.asarray(select_padded, dtype=jnp.int32),
+            "log_penalty": jnp.asarray(math.log(prob), dtype=jnp.float32),
+        }
+
+    def star_channels(self, log_probs, select):
+        """Append <star> and <star>\\token channels (stc.py:200-221)."""
+        lse = jax.nn.logsumexp(log_probs[:, :, 1:], axis=2, keepdims=True)
+        sel = jnp.take(log_probs, select, axis=2)
+        neglse = logsubexp(lse, sel[:, :, 1:])
+        return jnp.concatenate([sel, lse, neglse], axis=2)
+
+    def loss(self, params, inputs, prepared, input_lengths=None):
+        """inputs: [B, T, C] log probabilities (blank at channel 0)."""
+        B, T, C = inputs.shape
+        em = self.star_channels(inputs, prepared["select"])
+        table = prepared["table"]
+        weight = table.weight + prepared["star_mask"] * prepared["log_penalty"]
+        table = table._replace(weight=weight)
+        scores = sparse.forward_score_batch_tables(em, table, input_lengths)
+        losses = -scores
+        if self.reduction == "mean":
+            losses = losses / T
+        elif self.reduction != "none":
+            raise ValueError(f"invalid value for reduction '{self.reduction}'")
+        return jnp.mean(losses)
+
+    def viterbi(self, outputs, params=None, input_lengths=None):
+        """Greedy decode with repeat/blank collapse (STC trains a standard
+        emission model; decoding matches CTC greedy)."""
+        from .ctc import CTC
+
+        return CTC(blank=STC_BLANK_IDX).viterbi(outputs, None, input_lengths)
