@@ -315,3 +315,110 @@ class Transducer(Criterion):
         best = wops.viterbi_path(composed)
         out = wops.remove(wops.project_output(best))
         return out.labels_to_list()
+
+
+# ---------------------------------------------------------------------------
+# WFST convolution layer
+# ---------------------------------------------------------------------------
+
+
+def make_kernel_graph(x, blank_idx, blank_optional, spike=False, calc_grad=False):
+    """Host Graph form of a conv-transducer kernel (transducer.py:351-367);
+    used for tests/debugging — the layer itself runs on compiled banded
+    tables (ops.convkernel.compile_kernels)."""
+    g = Graph(calc_grad)
+    g.add_node(True, len(x) == 0)
+    g.add_arc(0, 0, blank_idx)
+    for i, c in enumerate(x):
+        g.add_node(False, blank_optional and (i + 1) == len(x))
+        g.add_node(False, (i + 1) == len(x))
+        g.add_arc(2 * i, 2 * i + 1, c)
+        if not spike:
+            g.add_arc(2 * i + 1, 2 * i + 1, c)
+        g.add_arc(2 * i + 1, 2 * i + 2, blank_idx)
+        g.add_arc(2 * i + 2, 2 * i + 2, blank_idx)
+        if i > 0 and blank_optional and x[i - 1] != c:
+            g.add_arc(2 * i - 1, 2 * i + 1, c)
+    return g
+
+
+class ConvTransduce1D:
+    """1-D convolutional transducer layer (transducer.py:370-455): each
+    output channel is the forward (or Viterbi) score of a small kernel WFST
+    intersected with a sliding kernel_size window of the input.
+
+    All |lexicon| kernel lattices for all windows are scored in one batched
+    banded recursion on device (ops.convkernel) instead of the reference's
+    per-window per-kernel GTN calls (transducer.py:486-499).
+
+    This is a callable layer: ``layer(inputs, params)`` with inputs
+    [B, T, C]; ``params`` is None unless learn_params, in which case
+    ``init_params()`` supplies the zero-initialized kernel arc weights.
+    """
+
+    def __init__(
+        self,
+        lexicon,
+        kernel_size,
+        stride,
+        blank_idx,
+        blank_optional=True,
+        learn_params=False,
+        scale="none",
+        normalize="none",
+        viterbi=False,
+        spike=False,
+    ):
+        import math as _math
+
+        from ..ops import convkernel
+
+        self.normalize = normalize
+        self.viterbi = viterbi
+        if scale == "none":
+            self.scale = 1.0
+        elif scale == "sqrt":
+            self.scale = _math.sqrt(kernel_size)
+        elif scale == "linear":
+            self.scale = float(kernel_size)
+        else:
+            raise ValueError(f"Unknown scale {scale}")
+        if normalize not in ["none", "pre", "post"]:
+            raise ValueError(f"Unknown normalization {normalize}")
+        if kernel_size % 2 == 0:
+            raise ValueError("Use an odd kernel size for easy padding.")
+
+        def size_with_rep(token):
+            reps = sum(t1 == t2 for t1, t2 in zip(token[:-1], token[1:]))
+            return len(token) + reps
+
+        min_kernel_size = max(size_with_rep(l) for l in lexicon)
+        if kernel_size < min_kernel_size:
+            raise ValueError(f"Kernel size needed of at least {min_kernel_size}.")
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.learn_params = learn_params
+        self.tables = convkernel.compile_kernels(
+            lexicon, blank_idx, blank_optional, spike
+        )
+
+    def init_params(self):
+        if not self.learn_params:
+            return None
+        return jnp.zeros((self.tables.num_params,))
+
+    def __call__(self, inputs, params=None):
+        from ..ops import convkernel
+
+        if self.normalize == "pre":
+            inputs = jax.nn.log_softmax(inputs, axis=2)
+        windows = convkernel.make_windows(inputs, self.kernel_size, self.stride)
+        outputs = convkernel.conv_transduce_scores(
+            windows, self.tables, params, self.viterbi
+        )
+        outputs = outputs / self.scale
+        if self.normalize == "post":
+            outputs = jax.nn.softmax(outputs, axis=2)
+        if self.normalize == "pre":
+            outputs = jnp.exp(outputs)
+        return outputs

@@ -1,0 +1,104 @@
+"""Time-depth-separable 1-D convolution encoder (TPU-native Flax).
+
+Capability parity with /root/reference/models/tds.py: grouped-in-spirit
+conv blocks (a 2-D conv over a [B, C, H, W] view with kernel (1, k)) plus a
+two-layer FC with residuals and instance norms, and strided Conv1d
+downsample layers between groups.  Layout here is feature-last ([B, W, CH])
+— the natural layout for XLA:TPU convolutions and matmuls — instead of
+torch's channel-first.
+"""
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm1d/2d with affine params (torch semantics: normalize per
+    sample per channel over the spatial axes, no running stats)."""
+
+    features: int
+    axes: Sequence[int]  # spatial axes to reduce over
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [..., features] with spatial axes self.axes
+        mean = jnp.mean(x, axis=self.axes, keepdims=True)
+        var = jnp.var(x, axis=self.axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return y * scale + bias
+
+
+class TDSBlock(nn.Module):
+    """TDS block (tds.py:16-57) in [B, W, C*H] layout."""
+
+    in_channels: int
+    num_features: int
+    kernel_size: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        B, W, CH = x.shape
+        C, H = self.in_channels, self.num_features
+        # conv over time, separately per channel-plane: view [B, W, H, C]
+        # and convolve along W with a (k, 1) kernel mapping C -> C.
+        y = x.reshape(B, W, C, H).transpose(0, 1, 3, 2)  # [B, W, H, C]
+        y = nn.Conv(
+            features=C,
+            kernel_size=(self.kernel_size, 1),
+            padding=((self.kernel_size // 2, self.kernel_size // 2), (0, 0)),
+        )(y)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = y.transpose(0, 1, 3, 2).reshape(B, W, CH)
+        x = y + x
+        x = InstanceNorm(features=CH, axes=(1,))(x)
+
+        y = nn.Dense(CH)(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(CH)(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        x = y + x
+        x = InstanceNorm(features=CH, axes=(1,))(x)
+        return x
+
+
+class TDS(nn.Module):
+    """TDS encoder (tds.py:60-94): [B, H, W] -> [B, W, output_size]."""
+
+    input_size: int
+    output_size: int
+    tds_groups: Sequence[dict]
+    kernel_size: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, inputs, train=False):
+        # inputs: [B, H, W] -> time-major [B, W, H]
+        x = inputs.transpose(0, 2, 1)
+        for tds_group in self.tds_groups:
+            out_channels = self.input_size * tds_group["channels"]
+            stride = tds_group.get("stride", 2)
+            x = nn.Conv(
+                features=out_channels,
+                kernel_size=(self.kernel_size,),
+                strides=(stride,),
+                padding=((self.kernel_size // 2, self.kernel_size // 2),),
+            )(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = InstanceNorm(features=out_channels, axes=(1,))(x)
+            for _ in range(tds_group["num_blocks"]):
+                x = TDSBlock(
+                    tds_group["channels"],
+                    self.input_size,
+                    self.kernel_size,
+                    self.dropout,
+                )(x, train=train)
+        return nn.Dense(self.output_size)(x)

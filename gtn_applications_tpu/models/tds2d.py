@@ -1,0 +1,178 @@
+"""2-D time-depth-separable encoder and the WFST-conv transducer model
+(TPU-native Flax).
+
+Capability parity with /root/reference/models/tds2d.py.  All tensors are
+feature-last (the XLA:TPU-native conv layout); the reference's Conv3d with
+kernel (1, kh, kw) over [B, C, D, H, W] becomes a 3-D Conv with kernel
+(kh, kw, 1) over [B, H, W, D, C] — identical math, MXU-friendly layout.
+"""
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tds import InstanceNorm
+
+
+class TDSBlock2d(nn.Module):
+    """2-D TDS block (tds2d.py:17-58) in [B, H, W, C*D] layout."""
+
+    in_channels: int
+    img_depth: int
+    kernel_size: Sequence[int]
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        B, H, W, CD = x.shape
+        C, D = self.in_channels, self.img_depth
+        kh, kw = self.kernel_size
+        # torch views [B, CD, H, W] as [B, C, D, H, W] (C major); here:
+        y = x.reshape(B, H, W, C, D).transpose(0, 1, 2, 4, 3)  # [B,H,W,D,C]
+        y = nn.Conv(
+            features=C,
+            kernel_size=(kh, kw, 1),
+            padding=((kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+        )(y)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = y.transpose(0, 1, 2, 4, 3).reshape(B, H, W, CD)
+        x = y + x
+        x = InstanceNorm(features=CD, axes=(1, 2))(x)
+
+        y = nn.Dense(CD)(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.Dense(CD)(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        x = y + x
+        x = InstanceNorm(features=CD, axes=(1, 2))(x)
+        return x
+
+
+class TDS2d(nn.Module):
+    """TDS2d encoder (tds2d.py:61-116): [B, H, W] -> [B, W, output_size]."""
+
+    input_size: int
+    output_size: int
+    depth: int
+    tds_groups: Sequence[Dict[str, Any]]
+    kernel_size: Sequence[int]
+    dropout: float
+    in_channels: int = 1
+
+    @nn.compact
+    def __call__(self, inputs, train=False):
+        B, H, W = inputs.shape
+        stride_h = int(np.prod([grp["stride"][0] for grp in self.tds_groups]))
+        if self.input_size % stride_h != 0:
+            raise ValueError(
+                f"Image height not divisible by total stride {stride_h}."
+            )
+        kh, kw = self.kernel_size
+        # torch reshape [B, C_in, H//C_in, W] (C_in major) -> feature-last
+        c_in = self.in_channels
+        x = inputs.reshape(B, c_in, H // c_in, W).transpose(0, 2, 3, 1)
+        for tds_group in self.tds_groups:
+            out_channels = self.depth * tds_group["channels"]
+            x = nn.Conv(
+                features=out_channels,
+                kernel_size=(kh, kw),
+                strides=tuple(tds_group["stride"]),
+                padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+            )(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = InstanceNorm(features=out_channels, axes=(1, 2))(x)
+            for _ in range(tds_group["num_blocks"]):
+                x = TDSBlock2d(
+                    tds_group["channels"], self.depth, self.kernel_size,
+                    self.dropout,
+                )(x, train=train)
+        # [B, H', W', C] -> [B, W', C*H'] (C major, matching torch
+        # reshape(B, C*H, W)) -> Dense
+        B2, H2, W2, C2 = x.shape
+        x = x.transpose(0, 2, 3, 1).reshape(B2, W2, C2 * H2)
+        return nn.Dense(self.output_size)(x)
+
+
+class TDS2dTransducer(nn.Module):
+    """TDS2d -> ConvTransduce1D (or plain Conv1d control) -> Linear -> TDS2d
+    (tds2d.py:119-181).
+
+    ``tokens`` is the path to the wordpiece token list; the inner lexicon
+    maps each output token to its grapheme index tuple.  Extra kwargs for
+    the WFST conv layer arrive via ``conv_kwargs``.
+    """
+
+    input_size: int
+    output_size: int
+    tokens: str
+    kernel_size: int
+    stride: int
+    tds1: Dict[str, Any]
+    tds2: Dict[str, Any]
+    wfst: bool = True
+    conv_kwargs: Dict[str, Any] = None
+
+    def setup(self):
+        with open(self.tokens, "r") as fid:
+            output_tokens = [l.strip() for l in fid]
+        input_tokens = sorted(set(t for token in output_tokens for t in token))
+        input_tokens = {t: e for e, t in enumerate(input_tokens)}
+        lexicon = [
+            tuple(input_tokens[t] for t in token) for token in output_tokens
+        ]
+        in_token_size = len(input_tokens) + 1
+        blank_idx = len(input_tokens)
+        self._lexicon_size = len(lexicon)
+
+        self.tds1_mod = TDS2d(
+            input_size=self.input_size, output_size=in_token_size, **self.tds1
+        )
+        stride_h = int(np.prod([g["stride"][0] for g in self.tds1["tds_groups"]]))
+        inner_size = self.input_size // stride_h
+
+        if self.wfst:
+            from ..criterions.transducer import ConvTransduce1D
+
+            kwargs = dict(self.conv_kwargs or {})
+            self._conv = ConvTransduce1D(
+                lexicon, self.kernel_size, self.stride, blank_idx, **kwargs
+            )
+            if self._conv.learn_params:
+                self.kernel_params = self.param(
+                    "kernel_params",
+                    nn.initializers.zeros,
+                    (self._conv.tables.num_params,),
+                )
+            else:
+                self.kernel_params = None
+        else:
+            self.conv1d = nn.Conv(
+                features=len(lexicon),
+                kernel_size=(self.kernel_size,),
+                strides=(self.stride,),
+                padding=((self.kernel_size // 2, self.kernel_size // 2),),
+            )
+
+        in_channels = self.tds1["tds_groups"][-1]["channels"] * self.tds1["depth"]
+        tds2 = dict(self.tds2)
+        tds2["in_channels"] = in_channels
+        self.linear = nn.Dense(in_channels * inner_size)
+        self.tds2_mod = TDS2d(
+            input_size=inner_size, output_size=self.output_size, **tds2
+        )
+
+    def __call__(self, inputs, train=False):
+        x = self.tds1_mod(inputs, train=train)  # [B, W, C]
+        if self.wfst:
+            x = self._conv(x, self.kernel_params)
+        else:
+            x = self.conv1d(x)
+        x = self.linear(x)  # [B, W', in_channels * inner_size]
+        # feed tds2 as an image: [B, H=in_ch*inner, W']
+        return self.tds2_mod(x.transpose(0, 2, 1), train=train)

@@ -27,23 +27,33 @@ def _stable_shift(m):
     return jax.lax.stop_gradient(jnp.maximum(m, NEG))
 
 
+# Sum floor: keeps log() away from 0 when every input underflows (values far
+# below the clamped max).  Must be a NORMAL fp32 number — subnormals are
+# flushed to zero by XLA — and the resulting log-of-floor only shifts scores
+# already at the NEG sentinel.  Without it the log's gradient at 0 is inf
+# and inf * 0 contributions turn into NaN in the backward scan.
+_FLOOR = 1e-30
+
+
 def logaddexp(a, b):
     """Numerically stable log(exp(a) + exp(b)) safe at NEG."""
     m = _stable_shift(jnp.maximum(a, b))
-    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+    return m + jnp.log(jnp.maximum(jnp.exp(a - m) + jnp.exp(b - m), _FLOOR))
 
 
 def logsumexp_stack(xs):
     """Stable logsumexp over a list of same-shaped arrays (stacked axis 0)."""
     x = jnp.stack(xs, axis=0)
     m = _stable_shift(jnp.max(x, axis=0))
-    return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0))
+    return m + jnp.log(jnp.maximum(jnp.sum(jnp.exp(x - m), axis=0), _FLOOR))
 
 
 def logsumexp(x, axis=-1, keepdims=False):
     """Stable logsumexp along ``axis`` safe when all entries are NEG."""
     m = _stable_shift(jnp.max(x, axis=axis, keepdims=True))
-    out = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
+    out = m + jnp.log(
+        jnp.maximum(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True), _FLOOR)
+    )
     if not keepdims:
         out = jnp.squeeze(out, axis=axis)
     return out
