@@ -1,0 +1,2 @@
+from . import audio, audioset, iamdb, librispeech, synthetic, text, wsj
+from .text import TextPreprocessor, WORDSEP

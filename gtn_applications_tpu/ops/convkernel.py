@@ -139,8 +139,13 @@ def conv_transduce_scores(
     label = jnp.asarray(tables.label)
     accept = jnp.asarray(tables.accept)
 
-    # state emissions: [B, W, K, V, S]
-    em = windows[..., label]
+    # state emissions via one-hot contraction (TPU gathers are serial):
+    # [B, W, K, C] x [V, S, C] -> [B, W, K, V, S]
+    onehot = jax.nn.one_hot(label, C, dtype=windows.dtype)
+    em = jnp.einsum(
+        "bwkc,vsc->bwkvs", windows, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     alpha = jnp.full((B, W, V, S), NEG).at[..., 0].set(0.0)
 

@@ -17,7 +17,7 @@ ragged Python lists die at this boundary.
 import jax
 import jax.numpy as jnp
 
-from .semiring import NEG, logaddexp, logsumexp, logsumexp_stack
+from .semiring import NEG, gather_channels, logaddexp, logsumexp, logsumexp_stack
 
 
 # ---------------------------------------------------------------------------
@@ -74,9 +74,7 @@ def ctc_forward_score(log_probs, targets, target_lengths, blank, input_lengths=N
 
     labels, skip_ok = ctc_state_tables(targets, blank)
     # Emissions gathered into lattice states: [T, B, S]
-    em = jnp.take_along_axis(
-        log_probs, labels[:, None, :].repeat(T, 1), axis=2
-    ).transpose(1, 0, 2)
+    em = gather_channels(log_probs, labels).transpose(1, 0, 2)
 
     alpha0 = jnp.full((B, S), NEG)
     alpha0 = alpha0.at[:, 0].set(em[0, :, 0])
@@ -191,9 +189,7 @@ def asg_fal_score(inputs, transitions, targets, target_lengths, input_lengths=No
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
 
     # Per-position emission streams: em_tgt[b, t, l] = inputs[b, t, targets[l]]
-    em_tgt = jnp.take_along_axis(
-        inputs, targets[:, None, :].repeat(T, 1), axis=2
-    ).transpose(1, 0, 2)  # [T, B, L]
+    em_tgt = gather_channels(inputs, targets).transpose(1, 0, 2)  # [T, B, L]
 
     # Transition costs per position (positions l = 1..L map to index l-1
     # here).  transitions[i+1, j] = score of label i following label j.

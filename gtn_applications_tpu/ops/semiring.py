@@ -80,6 +80,33 @@ def segment_logsumexp(values, segment_ids, num_segments, indices_are_sorted=Fals
     return seg_max + jnp.log(jnp.maximum(sums, 1e-30))
 
 
+def gather_channels(x, idx, batched=True):
+    """MXU-friendly channel gather: x[..., idx] via one-hot contraction.
+
+    XLA lowers general gathers to a serial scalar loop on TPU (measured
+    ~50 ms for a [32, 250, 89] gather vs 0.08 ms as a dot_general), so
+    every emission-channel gather in the lattice scans goes through a
+    one-hot matmul at HIGHEST precision (exact for 0/1 one-hot operands,
+    ~1e-6 on the gathered values).
+
+    Args:
+      x: [B, T, C] (batched=True) or [T, C].
+      idx: [B, S] (batched) or [S] int labels into C.
+    Returns: [B, T, S] or [T, S].
+    """
+    C = x.shape[-1]
+    onehot = jax.nn.one_hot(idx, C, dtype=x.dtype)
+    if batched:
+        return jax.lax.dot_general(
+            x, onehot, (((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return jax.lax.dot_general(
+        x, onehot, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def segment_max(values, segment_ids, num_segments, indices_are_sorted=False):
     out = jax.ops.segment_max(
         values, segment_ids, num_segments, indices_are_sorted=indices_are_sorted

@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .semiring import NEG, logaddexp, logsumexp, segment_logsumexp
+from .semiring import NEG, gather_channels, logaddexp, logsumexp, segment_logsumexp
 
 
 @jax.tree_util.register_dataclass
@@ -102,16 +102,18 @@ def forward_score(em, table: ArcTable, input_length=None):
         input_length = T
 
     alpha = _eps_closure(table.start, table)
+    # Pre-gather emissions along arcs with a one-hot contraction: [T, A]
+    em_arc = gather_channels(em, table.label, batched=False)
 
     def step(alpha, xs):
         em_t, t = xs
-        contrib = alpha[table.src] + table.weight + em_t[table.label]
+        contrib = alpha[table.src] + table.weight + em_t
         new = segment_logsumexp(contrib, table.dst, S)
         new = _eps_closure(new, table)
         new = jnp.where(t < input_length, new, alpha)
         return new, None
 
-    alpha, _ = jax.lax.scan(step, alpha, (em, jnp.arange(T)))
+    alpha, _ = jax.lax.scan(step, alpha, (em_arc, jnp.arange(T)))
     return logsumexp(alpha + table.accept, axis=0)
 
 
@@ -160,10 +162,11 @@ def viterbi(em, table: ArcTable, input_length=None):
         input_length = T
 
     alpha = table.start
+    em_arc = gather_channels(em, table.label, batched=False)
 
     def step(alpha, xs):
         em_t, t = xs
-        contrib = alpha[table.src] + table.weight + em_t[table.label]
+        contrib = alpha[table.src] + table.weight + em_t
         best = jax.ops.segment_max(contrib, table.dst, S)
         best = jnp.maximum(best, NEG)
         # argmax arc per destination state
@@ -176,7 +179,7 @@ def viterbi(em, table: ArcTable, input_length=None):
         best_arc = jnp.where(live, best_arc, A)
         return new, best_arc
 
-    alpha, backarcs = jax.lax.scan(step, alpha, (em, jnp.arange(T)))
+    alpha, backarcs = jax.lax.scan(step, alpha, (em_arc, jnp.arange(T)))
     final = alpha + table.accept
     state = jnp.argmax(final)
     score = jnp.max(final)

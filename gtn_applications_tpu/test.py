@@ -1,0 +1,86 @@
+"""Evaluation driver (parity with /root/reference/test.py): load a config +
+checkpoint, run a split, print per-utterance HYP/REF and aggregate
+loss/CER/WER."""
+
+import argparse
+import json
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import utils
+from .train import load_experiment, make_eval_step, make_mesh, shard_batch
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate a model.")
+    parser.add_argument("--config", type=str, help="JSON configuration file.")
+    parser.add_argument("--checkpoint_path", default="/tmp/", type=str)
+    parser.add_argument(
+        "--load_last", action="store_true",
+        help="Load the last saved model instead of the best",
+    )
+    parser.add_argument(
+        "--split",
+        default="test",
+        choices=["train", "validation", "test"],
+    )
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    return args
+
+
+def run_test(args):
+    with open(args.config, "r") as fid:
+        config = json.load(fid)
+
+    dataset, preprocessor, criterion, model, input_size = load_experiment(config)
+    data_path = config["data"]["data_path"]
+    ds = dataset.Dataset(data_path, preprocessor, split=args.split)
+    loader = utils.data_loader(ds, config)
+
+    state = utils.load_checkpoint(args.checkpoint_path, load_last=args.load_last)
+    params = state["params"]
+    if hasattr(criterion, "eval"):
+        criterion.eval()
+
+    mesh = make_mesh()
+    eval_step = make_eval_step(model, criterion)
+    meters = utils.Meters()
+    for inputs, widths, targets in loader:
+        inputs = shard_batch(inputs, mesh)
+        prepared = criterion.prepare(targets)
+        loss, outputs = eval_step(params, inputs, prepared)
+        meters.loss += float(loss) * len(targets)
+        meters.num_samples += len(targets)
+        predictions = criterion.viterbi(outputs, params["criterion"])
+        for p, t in zip(predictions, targets):
+            p_text = preprocessor.tokens_to_text(p)
+            t_text = preprocessor.to_text(t)
+            print(f"HYP: {p_text}")
+            print(f"REF: {t_text}")
+            print("=" * 80)
+        td, wd, nt, nw = utils.compute_edit_distance(
+            predictions, targets, preprocessor
+        )
+        meters.edit_distance_tokens += td
+        meters.num_tokens += nt
+        meters.edit_distance_words += wd
+        meters.num_words += nw
+    print(
+        "Loss {:.3f}, CER {:.3f}, WER {:.3f}".format(
+            meters.avg_loss, meters.cer, meters.wer
+        )
+    )
+    return meters
+
+
+def main():
+    args = parse_args()
+    run_test(args)
+
+
+if __name__ == "__main__":
+    main()

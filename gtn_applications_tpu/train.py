@@ -1,0 +1,333 @@
+"""Training driver (TPU-native).
+
+Capability parity with /root/reference/train.py: JSON experiment configs,
+epoch loop with SGD + halving LR schedule, gradient clipping, per-epoch
+train/validation CER/WER, best-checkpoint tracking, restore, phase timers.
+
+TPU-native execution model (replaces torch DDP / NCCL / mp.spawn,
+train.py:135-208,344-347): one process per host, a single
+``Mesh(devices, ('data',))`` across all chips, parameters replicated and
+the batch sharded over the mesh inside one jitted SPMD train step — XLA
+inserts the gradient all-reduce over ICI where DDP used NCCL buckets.
+Metric sync is a host allgather (utils.Meters.sync).
+"""
+
+import argparse
+import functools
+import json
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import utils
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train a handwriting / speech recognition model."
+    )
+    parser.add_argument("--config", type=str, help="JSON configuration file.")
+    parser.add_argument(
+        "--disable_tpu", action="store_true",
+        help="Force CPU execution (parity with --disable_cuda)",
+    )
+    parser.add_argument("--restore", action="store_true")
+    parser.add_argument("--last_epoch", type=int, default=0)
+    parser.add_argument("--checkpoint_path", default="/tmp/", type=str)
+    parser.add_argument(
+        "--world_size", default=0, type=int,
+        help="Expected number of processes (0 = whatever jax reports); "
+        "multi-host rendezvous is via jax.distributed, not TCP urls",
+    )
+    parser.add_argument("--coordinator_address", default=None, type=str)
+    parser.add_argument("--process_id", default=None, type=int)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    return args
+
+
+def make_mesh():
+    devices = np.asarray(jax.devices())
+    return Mesh(devices, ("data",))
+
+
+def shard_batch(batch, mesh):
+    """Shard the leading batch axis across the data mesh (replicated
+    fallback when not divisible)."""
+    ndev = mesh.devices.size
+    if batch.shape[0] % ndev == 0 and ndev > 1:
+        spec = P("data", *([None] * (batch.ndim - 1)))
+        return jax.device_put(batch, NamedSharding(mesh, spec))
+    return jnp.asarray(batch)
+
+
+def clip_global_norm(grads, max_norm):
+    gnorm = jnp.sqrt(
+        sum(jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads))
+    )
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+
+def make_train_step(model, criterion, lr_model, lr_crit, max_grad_norm):
+    """Build the jitted SPMD train step: forward, loss, grads, clip, SGD."""
+
+    def step(params, inputs, prepared, dropout_rng, lr_scale):
+        def loss_fn(p):
+            outputs = model.apply(
+                p["model"], inputs, train=True, rngs={"dropout": dropout_rng}
+            )
+            loss = criterion.loss(p["criterion"], outputs, prepared)
+            return loss, outputs
+
+        (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if max_grad_norm is not None:
+            grads = clip_global_norm(grads, max_grad_norm)
+        new_model = jax.tree_util.tree_map(
+            lambda p, g: p - lr_model * lr_scale * g,
+            params["model"], grads["model"],
+        )
+        new_crit = jax.tree_util.tree_map(
+            lambda p, g: p - lr_crit * lr_scale * g,
+            params["criterion"], grads["criterion"],
+        )
+        return {"model": new_model, "criterion": new_crit}, loss, outputs
+
+    return jax.jit(step)
+
+
+def make_eval_step(model, criterion):
+    def step(params, inputs, prepared):
+        outputs = model.apply(params["model"], inputs)
+        loss = criterion.loss(params["criterion"], outputs, prepared)
+        return loss, outputs
+
+    return jax.jit(step)
+
+
+def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step):
+    meters = utils.Meters()
+    for inputs, widths, targets in data_loader:
+        inputs = shard_batch(inputs, mesh)
+        prepared = criterion.prepare(targets)
+        loss, outputs = eval_step(params, inputs, prepared)
+        meters.loss += float(loss) * len(targets)
+        meters.num_samples += len(targets)
+        predictions = criterion.viterbi(outputs, params["criterion"])
+        td, wd, nt, nw = utils.compute_edit_distance(
+            predictions, targets, preprocessor
+        )
+        meters.edit_distance_tokens += td
+        meters.num_tokens += nt
+        meters.edit_distance_words += wd
+        meters.num_words += nw
+    if jax.process_count() > 1:
+        meters.sync()
+    return meters.avg_loss, meters.cer, meters.wer
+
+
+def load_experiment(config, checkpoint_path=None, world_rank=0, world_size=1, seed_override=None):
+    """Shared setup for train.py / test.py: dataset module, preprocessor,
+    criterion + model construction."""
+    dataset_name = config["data"]["dataset"]
+    from . import datasets as ds_pkg
+
+    if not hasattr(ds_pkg, dataset_name):
+        raise ValueError(f"Unknown dataset {dataset_name}")
+    dataset = getattr(ds_pkg, dataset_name)
+
+    input_size = config["data"]["num_features"]
+    data_path = config["data"]["data_path"]
+    preprocessor = dataset.Preprocessor(
+        data_path,
+        num_features=input_size,
+        tokens_path=config["data"].get("tokens", None),
+        lexicon_path=config["data"].get("lexicon", None),
+        use_words=config["data"].get("use_words", False),
+        prepend_wordsep=config["data"].get("prepend_wordsep", False),
+    ) if dataset_name == "iamdb" else dataset.Preprocessor(
+        data_path,
+        num_features=input_size,
+        tokens_path=config["data"].get("tokens", None),
+        lexicon_path=config["data"].get("lexicon", None),
+        prepend_wordsep=config["data"].get("prepend_wordsep", False),
+    )
+    criterion, output_size = utils.load_criterion(
+        config.get("criterion_type", "ctc"),
+        preprocessor,
+        config.get("criterion", {}),
+    )
+    model = utils.load_model(
+        config["model_type"], input_size, output_size, config["model"]
+    )
+    return dataset, preprocessor, criterion, model, input_size
+
+
+def train(args):
+    world_rank = jax.process_index()
+    level = logging.INFO if world_rank == 0 else logging.CRITICAL
+    logging.getLogger().setLevel(level)
+
+    with open(args.config, "r") as fid:
+        config = json.load(fid)
+        logging.info("Using the config \n{}".format(json.dumps(config)))
+
+    world_size = jax.process_count()
+    seed = config.get("seed", 0)
+    rng = jax.random.PRNGKey(seed)
+
+    logging.info("Loading dataset ...")
+    dataset, preprocessor, criterion, model, input_size = load_experiment(config)
+    data_path = config["data"]["data_path"]
+    trainset = dataset.Dataset(data_path, preprocessor, split="train", augment=True)
+    valset = dataset.Dataset(data_path, preprocessor, split="validation")
+    train_loader = utils.data_loader(trainset, config, world_rank, world_size, seed)
+    val_loader = utils.data_loader(valset, config, world_rank, world_size, seed)
+
+    logging.info("Loading model ...")
+    mesh = make_mesh()
+
+    # init params with a sample batch shape
+    sample_inputs, _, sample_targets = next(iter(train_loader))
+    rng, init_rng = jax.random.split(rng)
+    model_params = model.init(init_rng, jnp.asarray(sample_inputs))
+    params = {"model": model_params, "criterion": criterion.init_params()}
+
+    if args.restore:
+        state = utils.load_checkpoint(args.checkpoint_path, load_last=True)
+        params = state["params"]
+        logging.info(f"Restored model from epoch {args.last_epoch}")
+
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params["model"])
+    )
+    logging.info(
+        "Training {} model with {:,} parameters.".format(
+            config["model_type"], n_params
+        )
+    )
+
+    epochs = config["optim"]["epochs"]
+    lr = config["optim"]["learning_rate"]
+    crit_lr = config["optim"].get("crit_learning_rate", lr)
+    step_size = config["optim"]["step_size"]
+    max_grad_norm = config["optim"].get("max_grad_norm", None)
+
+    train_step = make_train_step(model, criterion, lr, crit_lr, max_grad_norm)
+    eval_step = make_eval_step(model, criterion)
+
+    timers = utils.Timer(
+        [
+            "ds_fetch", "model_fwd", "crit_fwd", "bwd", "optim", "metrics",
+            "train_total", "test_total",
+        ]
+    )
+    min_val_loss = float("inf")
+    min_val_cer = float("inf")
+    min_val_wer = float("inf")
+
+    num_updates = 0
+    for epoch in range(args.last_epoch, epochs):
+        logging.info("Epoch {} started. ".format(epoch + 1))
+        lr_scale = 0.5 ** (epoch // step_size)
+        if hasattr(criterion, "train"):
+            criterion.train()
+        start_time = time.time()
+        meters = utils.Meters()
+        timers.reset()
+        timers.start("train_total").start("ds_fetch")
+        for inputs, widths, targets in train_loader:
+            inputs = shard_batch(inputs, mesh)
+            prepared = criterion.prepare(targets)
+            timers.stop("ds_fetch").start("model_fwd")
+            rng, dropout_rng = jax.random.split(rng)
+            params, loss, outputs = train_step(
+                params, inputs, prepared, dropout_rng, lr_scale
+            )
+            timers.stop("model_fwd", sync=loss).start("metrics")
+            num_updates += 1
+            meters.loss += float(loss) * len(targets)
+            meters.num_samples += len(targets)
+            td, wd, nt, nw = utils.compute_edit_distance(
+                criterion.viterbi(outputs, params["criterion"]),
+                targets,
+                preprocessor,
+            )
+            meters.edit_distance_tokens += td
+            meters.num_tokens += nt
+            meters.edit_distance_words += wd
+            meters.num_words += nw
+            timers.stop("metrics").start("ds_fetch")
+        timers.stop("ds_fetch").stop("train_total")
+        epoch_time = time.time() - start_time
+        if world_size > 1:
+            meters.sync()
+        logging.info(
+            "Epoch {} complete. "
+            "nUpdates {}, Loss {:.3f}, CER {:.3f}, WER {:.3f},"
+            " Time {:.3f} (s), LR {:.3f}".format(
+                epoch + 1, num_updates, meters.avg_loss, meters.cer,
+                meters.wer, epoch_time, lr * lr_scale,
+            ),
+        )
+        logging.info("Evaluating validation set..")
+        timers.start("test_total")
+        if hasattr(criterion, "eval"):
+            criterion.eval()
+        val_loss, val_cer, val_wer = test(
+            model, criterion, params, val_loader, preprocessor, mesh, eval_step
+        )
+        timers.stop("test_total")
+        if world_rank == 0:
+            utils.save_checkpoint(
+                args.checkpoint_path,
+                {"params": params, "epoch": epoch},
+                save_best=(val_cer < min_val_cer),
+            )
+            min_val_loss = min(val_loss, min_val_loss)
+            min_val_cer = min(val_cer, min_val_cer)
+            min_val_wer = min(val_wer, min_val_wer)
+        logging.info(
+            "Validation Set: Loss {:.3f}, CER {:.3f}, WER {:.3f}, "
+            "Best Loss {:.3f}, Best CER {:.3f}, Best WER {:.3f}".format(
+                val_loss, val_cer, val_wer, min_val_loss, min_val_cer,
+                min_val_wer,
+            ),
+        )
+        try:
+            logging.info(
+                "Timing Info: "
+                + ", ".join(
+                    "{} : {:.2f}ms".format(k, v * 1000.0)
+                    for k, v in timers.value().items()
+                )
+            )
+        except ValueError:
+            pass
+    return params
+
+
+def main():
+    args = parse_args()
+    if args.coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.world_size or None,
+            process_id=args.process_id,
+        )
+    if args.world_size and jax.process_count() != args.world_size:
+        logging.warning(
+            "world_size=%d requested but jax reports %d processes",
+            args.world_size, jax.process_count(),
+        )
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,378 @@
+"""Experiment runtime: factories, batching, metrics, timers.
+
+Capability parity with /root/reference/utils.py, redesigned for the TPU
+execution model: the batch sampler emits width-sorted *bucketed* static
+shapes (so jit compiles a handful of step variants instead of one per
+width), metrics sync with a single device reduction instead of NCCL
+all_reduce, and timers bracket device work with ``block_until_ready``.
+"""
+
+import importlib.util
+import json
+import logging
+import os
+import pickle
+import sys
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Edit distance (replaces the `editdistance` pip dependency)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance(a, b) -> int:
+    """Levenshtein distance over any two sequences."""
+    a, b = list(a), list(b)
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def compute_edit_distance(predictions, targets, preprocessor):
+    """Token and word edit distances (reference train.py:74-87)."""
+    tokens_dist = words_dist = n_tokens = n_words = 0
+    for p, t in zip(predictions, targets):
+        p = preprocessor.tokens_to_text(p)
+        t = preprocessor.to_text(t)
+        pw = list(filter(None, p.split(preprocessor.wordsep)))
+        tw = list(filter(None, t.split(preprocessor.wordsep)))
+        tokens_dist += edit_distance(p, t)
+        words_dist += edit_distance(pw, tw)
+        n_tokens += len(t)
+        n_words += len(tw)
+    return tokens_dist, words_dist, n_tokens, n_words
+
+
+# ---------------------------------------------------------------------------
+# Data loading
+# ---------------------------------------------------------------------------
+
+
+def module_from_file(module_name, file_path):
+    spec = importlib.util.spec_from_file_location(module_name, file_path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    sys.modules[module_name] = module
+    return module
+
+
+class Subset:
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def sample_sizes(self):
+        sizes = list(self.dataset.sample_sizes())
+        for idx in self.indices:
+            yield sizes[idx]
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+    def __len__(self):
+        return len(self.indices)
+
+
+class BatchSortedSampler:
+    """Width-sorted batching with rank dealing (reference utils.py:60-79).
+
+    Samples are sorted by input width, grouped into local batches of
+    ``batch_size // world_size``, and batch ``rank + i * world_size`` is
+    dealt to each rank.  Shuffling permutes batch order only, preserving
+    the width homogeneity that keeps padding (and distinct jit shapes) low.
+    """
+
+    def __init__(self, dataset, batch_size, world_rank=0, world_size=1, shuffle=True, seed=0):
+        local_batchsize = batch_size // world_size
+        widths = (in_size[0] for in_size, _ in dataset.sample_sizes())
+        sorted_indices = [
+            i for i, _ in sorted(enumerate(widths), key=lambda x: x[1])
+        ]
+        global_batches = [
+            sorted_indices[idx : idx + local_batchsize]
+            for idx in range(0, len(sorted_indices), local_batchsize)
+        ]
+        self.length = len(global_batches) // world_size
+        self.batches = [
+            global_batches[world_rank + i * world_size] for i in range(self.length)
+        ]
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+
+    def __iter__(self):
+        order = (
+            self._rng.permutation(self.length) if self.shuffle else range(self.length)
+        )
+        return (self.batches[i] for i in order)
+
+    def __len__(self):
+        return self.length
+
+
+def round_up(x, multiple):
+    return ((max(int(x), 1) + multiple - 1) // multiple) * multiple
+
+
+def padding_collate(samples, width_multiple=16):
+    """Zero-pad inputs to a bucketed max width and stack.
+
+    Returns (inputs [B, H, W], input_widths [B], targets list).  Bucketing
+    the width (SURVEY hard part #3) bounds the number of distinct compiled
+    step shapes.
+    """
+    inputs, targets = zip(*samples)
+    h = inputs[0].shape[0]
+    max_w = round_up(max(ip.shape[1] for ip in inputs), width_multiple)
+    batch = np.zeros((len(inputs), h, max_w), dtype=np.float32)
+    widths = np.zeros((len(inputs),), dtype=np.int32)
+    for e, ip in enumerate(inputs):
+        batch[e, :, : ip.shape[1]] = ip
+        widths[e] = ip.shape[1]
+    return batch, widths, list(targets)
+
+
+class DataLoader:
+    """Minimal synchronous loader: sampler -> collated numpy batches."""
+
+    def __init__(self, dataset, sampler, collate_fn=padding_collate):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.collate_fn = collate_fn
+
+    def __iter__(self):
+        for batch_indices in self.sampler:
+            yield self.collate_fn([self.dataset[i] for i in batch_indices])
+
+    def __len__(self):
+        return len(self.sampler)
+
+
+def data_loader(dataset, config, world_rank=0, world_size=1, seed=0):
+    num_samples = config["data"].get("num_samples", None)
+    if num_samples is not None:
+        logging.info(f"Using {num_samples} of {len(dataset)}.")
+        rng = np.random.RandomState(seed)
+        dataset = Subset(dataset, rng.permutation(len(dataset))[:num_samples])
+    return DataLoader(
+        dataset,
+        BatchSortedSampler(
+            dataset, config["optim"]["batch_size"], world_rank, world_size,
+            seed=seed,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Meters:
+    loss: float = 0.0
+    num_samples: int = 0
+    num_tokens: int = 0
+    edit_distance_tokens: int = 0
+    num_words: int = 0
+    edit_distance_words: int = 0
+
+    def sync(self):
+        """Cross-process reduction (replaces reference utils.py:107-126
+        CUDA all_reduce): a psum over all devices via a one-shot pmap-free
+        collective using jax.process_count-aware allreduce."""
+        vals = jnp.asarray(
+            [
+                self.loss,
+                self.num_samples,
+                self.num_tokens,
+                self.edit_distance_tokens,
+                self.num_words,
+                self.edit_distance_words,
+            ],
+            dtype=jnp.float32,
+        )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            vals = multihost_utils.process_allgather(vals).sum(axis=0)
+        (
+            self.loss,
+            self.num_samples,
+            self.num_tokens,
+            self.edit_distance_tokens,
+            self.num_words,
+            self.edit_distance_words,
+        ) = np.asarray(vals).tolist()
+
+    @property
+    def avg_loss(self):
+        return self.loss / self.num_samples if self.num_samples > 0 else 0
+
+    @property
+    def cer(self):
+        return (
+            self.edit_distance_tokens * 100.0 / self.num_tokens
+            if self.num_tokens > 0
+            else 0
+        )
+
+    @property
+    def wer(self):
+        return (
+            self.edit_distance_words * 100.0 / self.num_words
+            if self.num_words > 0
+            else 0
+        )
+
+
+# ---------------------------------------------------------------------------
+# Timers (reference utils.py:150-229; device timing brackets with
+# block_until_ready instead of CUDA events)
+# ---------------------------------------------------------------------------
+
+
+class Timer:
+    def __init__(self, keys):
+        self.keys = keys
+        self.reset()
+
+    def start(self, key):
+        self.running_time[key] = time.perf_counter()
+        return self
+
+    def stop(self, key, sync=None):
+        if sync is not None:
+            jax.block_until_ready(sync)
+        self.total_time[key] += time.perf_counter() - self.running_time[key]
+        self.n[key] += 1
+        self.running_time[key] = None
+        return self
+
+    def reset(self):
+        self.total_time = {k: 0.0 for k in self.keys}
+        self.running_time = {k: None for k in self.keys}
+        self.n = {k: 0 for k in self.keys}
+        return self
+
+    def value(self):
+        vals = {}
+        for k in self.keys:
+            if self.n[k] == 0:
+                raise ValueError("Trying to divide by zero in TimeMeter")
+            vals[k] = self.total_time[k] / self.n[k]
+        return vals
+
+
+CudaTimer = Timer  # API-compat alias; device sync is explicit via stop(sync=)
+
+
+# ---------------------------------------------------------------------------
+# Factories
+# ---------------------------------------------------------------------------
+
+
+def load_model(model_type, input_size, output_size, config):
+    from .models import RNN, TDS, TDS2d, TDS2dTransducer
+
+    if model_type == "rnn":
+        return RNN(input_size=input_size, output_size=output_size, **config)
+    elif model_type == "tds":
+        return TDS(input_size=input_size, output_size=output_size, **config)
+    elif model_type == "tds2d":
+        return TDS2d(input_size=input_size, output_size=output_size, **config)
+    elif model_type == "tds2d_transducer":
+        return TDS2dTransducer(
+            input_size=input_size, output_size=output_size, **config
+        )
+    else:
+        raise ValueError(f"Unknown model type {model_type}")
+
+
+def load_criterion(criterion_type, preprocessor, config):
+    """Criterion factory (reference utils.py:245-273, plus STC which the
+    reference ships but never wires in)."""
+    from . import wfst
+    from .criterions import ASG, CTC, STC, Transducer
+
+    num_tokens = preprocessor.num_tokens
+    if criterion_type == "asg":
+        num_replabels = config.get("num_replabels", 0)
+        use_garbage = config.get("use_garbage", True)
+        return (
+            ASG(num_tokens, num_replabels, use_garbage),
+            num_tokens + num_replabels + int(use_garbage),
+        )
+    elif criterion_type == "ctc":
+        use_pt = config.get("use_pt", True)
+        return CTC(num_tokens, use_pt), num_tokens + 1
+    elif criterion_type == "stc":
+        return (
+            STC(
+                blank_idx=0,
+                p0=config.get("p0", 1.0),
+                plast=config.get("plast", 1.0),
+                thalf=config.get("thalf", 1.0),
+                reduction=config.get("reduction", "mean"),
+            ),
+            2 * num_tokens + 2,  # tokens+blank plus star channels
+        )
+    elif criterion_type == "transducer":
+        blank = config.get("blank", "none")
+        transitions = config.get("transitions", None)
+        if transitions is not None:
+            transitions = wfst.load(transitions)
+        criterion = Transducer(
+            preprocessor.tokens,
+            preprocessor.graphemes_to_index,
+            ngram=config.get("ngram", 0),
+            transitions=transitions,
+            blank=blank,
+            allow_repeats=config.get("allow_repeats", True),
+            reduction="mean",
+        )
+        return criterion, num_tokens + int(blank != "none")
+    else:
+        raise ValueError(f"Unknown criterion type {criterion_type}")
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (replaces torch.save state_dicts, train.py:111-120)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(checkpoint_path, state, save_best=False):
+    os.makedirs(checkpoint_path, exist_ok=True)
+    payload = jax.device_get(state)
+    path = os.path.join(checkpoint_path, "model.checkpoint")
+    with open(path, "wb") as fid:
+        pickle.dump(payload, fid)
+    if save_best:
+        with open(path + ".best", "wb") as fid:
+            pickle.dump(payload, fid)
+
+
+def load_checkpoint(checkpoint_path, load_last=False):
+    path = os.path.join(checkpoint_path, "model.checkpoint")
+    if not load_last:
+        path += ".best"
+    with open(path, "rb") as fid:
+        return pickle.load(fid)
+
+
+def load_from_checkpoint(model_params, criterion_params, checkpoint_path, load_last=False):
+    state = load_checkpoint(checkpoint_path, load_last)
+    return state["model_params"], state["criterion_params"]
