@@ -39,9 +39,13 @@ _STAR_SENTINEL = 1.0
 def logsubexp(a, b):
     """log(exp(a) - exp(b)) with the reference's 1e-7 guard (stc.py:157-172).
 
-    a: [B, T, 1], b: [B, T, K] -> [B, T, K].
+    a: [B, T, 1], b: [B, T, K] -> [B, T, K].  The difference is clamped at
+    zero: semantically b <= a always (a token's mass is part of the star
+    sum); the clamp only guards padded channels, where an unclamped exp
+    overflows to inf and the NaN would poison the one-hot emission matmul
+    (0 * NaN = NaN) even for unused channels.
     """
-    return a + jnp.log1p(1e-7 - jnp.exp(b - a))
+    return a + jnp.log1p(1e-7 - jnp.exp(jnp.minimum(b - a, 0.0)))
 
 
 def make_stc_graph(target, star_idx):
