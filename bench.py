@@ -37,8 +37,10 @@ def bench_tpu():
     targets = [rng.randint(0, N - 1, size=L).tolist() for _ in range(B)]
     tg, ln = pad_targets(targets)
 
+    # NOTE: every device array is a jit ARGUMENT — closed-over constants
+    # are re-uploaded per call on this TPU stack (~29 ms penalty).
     @jax.jit
-    def fwd_bwd(x):
+    def fwd_bwd(x, tg, ln):
         def f(x):
             lp = jax.nn.log_softmax(x, 2)
             return lattice.ctc_loss(lp, tg, ln, N - 1, "mean")
@@ -46,11 +48,11 @@ def bench_tpu():
         return loss, grad
 
     for _ in range(WARMUP):
-        loss, grad = fwd_bwd(inputs)
+        loss, grad = fwd_bwd(inputs, tg, ln)
         jax.block_until_ready(grad)
     start = time.perf_counter()
     for _ in range(ITERS):
-        loss, grad = fwd_bwd(inputs)
+        loss, grad = fwd_bwd(inputs, tg, ln)
         jax.block_until_ready(grad)
     ms = (time.perf_counter() - start) / ITERS * 1000
     log(f"tpu ctc fwd+bwd: {ms:.3f} ms/iter (loss={float(loss):.4f})")

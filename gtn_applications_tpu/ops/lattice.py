@@ -53,7 +53,9 @@ def ctc_state_tables(targets, blank):
     return labels, skip_ok
 
 
-def ctc_forward_score(log_probs, targets, target_lengths, blank, input_lengths=None):
+def ctc_forward_score(
+    log_probs, targets, target_lengths, blank, input_lengths=None, impl="auto"
+):
     """Log-semiring forward score of the CTC lattice.
 
     Args:
@@ -62,6 +64,7 @@ def ctc_forward_score(log_probs, targets, target_lengths, blank, input_lengths=N
       target_lengths: ``[B]`` true target lengths.
       blank: blank index.
       input_lengths: optional ``[B]`` true input lengths (default: T).
+      impl: 'auto' (Pallas kernel on TPU, scan elsewhere), 'pallas', 'scan'.
 
     Returns:
       ``[B]`` forward scores (log total path probability).
@@ -73,6 +76,33 @@ def ctc_forward_score(log_probs, targets, target_lengths, blank, input_lengths=N
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
 
     labels, skip_ok = ctc_state_tables(targets, blank)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas":
+        from . import lattice_pallas
+
+        em_bts = gather_channels(log_probs, labels)  # [B, T, S]
+        s_idx = jnp.arange(S)[None, :]
+        start = jnp.where(
+            (s_idx == 0)
+            | ((s_idx == 1) & (target_lengths[:, None] > 0)),
+            0.0,
+            NEG,
+        )
+        accept = jnp.where(
+            (s_idx == 2 * target_lengths[:, None])
+            | (
+                (s_idx == 2 * target_lengths[:, None] - 1)
+                & (target_lengths[:, None] > 0)
+            ),
+            0.0,
+            NEG,
+        )
+        return lattice_pallas.ctc_score_pallas(
+            em_bts, start, accept, skip_ok, input_lengths
+        )
+
     # Emissions gathered into lattice states: [T, B, S]
     em = gather_channels(log_probs, labels).transpose(1, 0, 2)
 

@@ -1,0 +1,207 @@
+"""Pallas TPU kernels for the CTC lattice scan (forward + custom VJP).
+
+The lax.scan CTC recursion pays per-step XLA loop overhead (measured
+~0.1 ms/step for [32, 96] state updates = ~28 ms per fwd+bwd at the
+reference protocol T=250).  These kernels instead run the alpha/beta
+recursions with the time axis as the *grid dimension*: TPU grid steps
+execute sequentially, so the state vector lives in a VMEM scratch buffer
+that persists across steps while per-step emission blocks stream in via
+double-buffered DMA.  (A single in-kernel fori_loop over T compiles
+pathologically slowly in Mosaic for dynamic time-indexed stores — T=250
+exceeded 10 minutes — whereas the grid form compiles in seconds.)
+
+The backward kernel runs the beta recursion on a time-reversed grid and
+emits the posterior arc marginals — exactly the gradients ``gtn.backward``
+computes (reference criterions/ctc.py:71-94).
+
+Layout inside the kernels is time-major ``[T, B, S]``: blocks are
+``(1, B, S_pad)`` so the (sublane, lane) tile is (B, 128·k), satisfying the
+Mosaic block divisibility rules.  Emissions are pre-gathered per state by a
+one-hot MXU contraction (ops.semiring.gather_channels).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .semiring import NEG
+
+_FLOOR = 1e-30
+
+
+def _lane_index(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+
+
+def _shift_states(x, k):
+    """out[:, s] = x[:, s-k], NEG filled."""
+    rolled = pltpu.roll(x, shift=k, axis=1)
+    return jnp.where(_lane_index(x.shape) >= k, rolled, NEG)
+
+
+def _shift_states_rev(x, k):
+    """out[:, s] = x[:, s+k], NEG filled."""
+    S = x.shape[1]
+    rolled = pltpu.roll(x, shift=S - k, axis=1)
+    return jnp.where(_lane_index(x.shape) < S - k, rolled, NEG)
+
+
+def _lse3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m = jnp.maximum(m, NEG)
+    r = jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m)
+    return m + jnp.log(jnp.maximum(r, _FLOOR))
+
+
+def _ctc_fwd_kernel(em_ref, start_ref, skip_ref, len_ref, alpha_out_ref, alpha_ref):
+    """One time step per grid iteration; alpha_ref is persistent scratch."""
+    t = pl.program_id(0)
+    em_t = em_ref[0]
+
+    @pl.when(t == 0)
+    def _():
+        alpha_ref[:] = start_ref[:] + em_t
+
+    @pl.when(t > 0)
+    def _():
+        alpha = alpha_ref[:]
+        stay = alpha
+        prev = _shift_states(alpha, 1)
+        skp = jnp.where(skip_ref[:] > 0.5, _shift_states(alpha, 2), NEG)
+        new = em_t + _lse3(stay, prev, skp)
+        live = (t * jnp.ones_like(len_ref[:])) < len_ref[:]
+        alpha_ref[:] = jnp.where(live, new, alpha)
+
+    alpha_out_ref[0] = alpha_ref[:]
+
+
+def _ctc_bwd_kernel(
+    em_ref, alpha_ref, accept_ref, skip_ref, len_ref, score_ref, g_ref,
+    grad_ref, beta_ref,
+):
+    """Time-reversed grid: i-th iteration handles t = T - 1 - i (the index
+    maps deliver the right em/alpha/grad blocks)."""
+    T = pl.num_programs(0)
+    i = pl.program_id(0)
+    t = T - 1 - i
+
+    @pl.when(i == 0)
+    def _():
+        beta_ref[:] = accept_ref[:]
+
+    beta = beta_ref[:]
+    lens = len_ref[:]
+    live = (t * jnp.ones_like(lens)) < lens
+    post = jnp.exp(jnp.minimum(alpha_ref[0] + beta - score_ref[:], 0.0))
+    grad_ref[0] = jnp.where(live, post * g_ref[:], 0.0)
+
+    # beta[t-1, s] = lse over s' in {s, s+1, s+2 (skip_ok[s+2])} of
+    # em[t, s'] + beta[t, s']
+    eb = em_ref[0] + beta
+    stay = eb
+    nxt = _shift_states_rev(eb, 1)
+    skp = _shift_states_rev(jnp.where(skip_ref[:] > 0.5, eb, NEG), 2)
+    new = _lse3(stay, nxt, skp)
+    beta_ref[:] = jnp.where(live, new, beta)
+
+
+def _pad_states(x, S_pad, fill):
+    pad = S_pad - x.shape[-1]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _run_fwd(em_tbs, start, skip_ok, lens):
+    """em_tbs: [T, B, S_pad] -> alpha trajectory [T, B, S_pad]."""
+    T, B, S_pad = em_tbs.shape
+    state_spec = pl.BlockSpec((B, S_pad), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ctc_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B, S_pad), jnp.float32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, S_pad), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B, S_pad), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((B, S_pad), jnp.float32)],
+        interpret=_interpret(),
+    )(em_tbs, start, skip_ok, lens)
+
+
+def _final_score(alpha_last, accept, S_pad):
+    final = alpha_last + _pad_states(accept, S_pad, NEG)
+    m = jax.lax.stop_gradient(jnp.maximum(jnp.max(final, axis=-1), NEG))
+    return m + jnp.log(
+        jnp.maximum(jnp.sum(jnp.exp(final - m[:, None]), axis=-1), _FLOOR)
+    )
+
+
+@jax.custom_vjp
+def ctc_score_pallas(em, start, accept, skip_ok, input_lengths):
+    """Forward score [B] of the banded CTC lattice (Pallas kernels).
+
+    Args:
+      em: [B, T, S] per-state emissions.
+      start / accept: [B, S] 0-or-NEG potentials.
+      skip_ok: [B, S] {0, 1} mask.
+      input_lengths: [B] int.
+    """
+    score, _ = _ctc_fwd(em, start, accept, skip_ok, input_lengths)
+    return score
+
+
+def _ctc_fwd(em, start, accept, skip_ok, input_lengths):
+    B, T, S = em.shape
+    S_pad = ((S + 127) // 128) * 128
+    em_tbs = _pad_states(em, S_pad, NEG).transpose(1, 0, 2)
+    start_p = _pad_states(start, S_pad, NEG)
+    skip_p = _pad_states(skip_ok.astype(jnp.float32), S_pad, 0.0)
+    lens = input_lengths.astype(jnp.float32)[:, None]
+    alpha_all = _run_fwd(em_tbs, start_p, skip_p, lens)
+    score = _final_score(alpha_all[-1], accept, S_pad)
+    res = (em_tbs, alpha_all, accept, skip_p, lens, score)
+    return score, res
+
+
+def _ctc_bwd(res, g):
+    em_tbs, alpha_all, accept, skip_p, lens, score = res
+    T, B, S_pad = em_tbs.shape
+    accept_p = _pad_states(accept, S_pad, NEG)
+    S = accept.shape[-1]
+
+    state_spec = pl.BlockSpec((B, S_pad), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    rev_spec = pl.BlockSpec(
+        (1, B, S_pad), lambda t: (T - 1 - t, 0, 0), memory_space=pltpu.VMEM
+    )
+    grad = pl.pallas_call(
+        _ctc_bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B, S_pad), jnp.float32),
+        grid=(T,),
+        in_specs=[
+            rev_spec, rev_spec, state_spec, state_spec, col_spec, col_spec,
+            col_spec,
+        ],
+        out_specs=rev_spec,
+        scratch_shapes=[pltpu.VMEM((B, S_pad), jnp.float32)],
+        interpret=_interpret(),
+    )(em_tbs, alpha_all, accept_p, skip_p, lens, score[:, None], g[:, None])
+    return (grad.transpose(1, 0, 2)[:, :, :S], None, None, None, None)
+
+
+ctc_score_pallas.defvjp(_ctc_fwd, _ctc_bwd)

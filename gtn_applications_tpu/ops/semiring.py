@@ -84,16 +84,23 @@ def gather_channels(x, idx, batched=True):
     """MXU-friendly channel gather: x[..., idx] via one-hot contraction.
 
     XLA lowers general gathers to a serial scalar loop on TPU (measured
-    ~50 ms for a [32, 250, 89] gather vs 0.08 ms as a dot_general), so
-    every emission-channel gather in the lattice scans goes through a
-    one-hot matmul at HIGHEST precision (exact for 0/1 one-hot operands,
-    ~1e-6 on the gathered values).
+    ~50 ms for a [32, 250, 89] gather), and it also pattern-matches a jnp
+    ``dot(x, one_hot(idx))`` back into that gather — so on TPU this routes
+    through an explicit Pallas matmul kernel (ops.gathers, ~0.1 ms);
+    elsewhere it uses a plain dot_general.
 
     Args:
       x: [B, T, C] (batched=True) or [T, C].
       idx: [B, S] (batched) or [S] int labels into C.
     Returns: [B, T, S] or [T, S].
     """
+    if jax.default_backend() == "tpu":
+        from .gathers import gather_channels_mxu
+
+        if batched:
+            return gather_channels_mxu(x, idx)
+        return gather_channels_mxu(x[None], idx[None])[0]
+
     C = x.shape[-1]
     onehot = jax.nn.one_hot(idx, C, dtype=x.dtype)
     if batched:

@@ -1,0 +1,1 @@
+from . import build_transitions, load_arpa, make_wordpieces, wordpiece
