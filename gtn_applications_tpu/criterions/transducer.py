@@ -184,10 +184,44 @@ class Transducer(Criterion):
         return {"transitions": jnp.zeros((self.num_transition_arcs,))}
 
     # -- host compilation ----------------------------------------------
+    def _native_handles(self):
+        """Lazy persistent native handles for the static graphs (so the
+        whole per-target pipeline runs in one C++ call)."""
+        from ..wfst import native
+
+        if not native.available():
+            return None
+        if not hasattr(self, "_nh"):
+            self._nh = (
+                native.to_native(self.lexicon),
+                native.to_native(self.tokens),
+                native.to_native(self.transitions)
+                if self.transitions is not None
+                else None,
+            )
+        return self._nh
+
     def _compile_target(self, target: tuple):
         cached = self._align_cache.get(target)
         if cached is not None:
             return cached
+        handles = self._native_handles()
+        if handles is not None:
+            from ..wfst import native
+
+            t = native.compile_alignment(handles[0], handles[1], handles[2], target)
+            cg = wcompile.CompiledGraph(
+                src=t["src"], dst=t["dst"], label=t["label"], weight=t["weight"],
+                arc_id=np.arange(len(t["src"]), dtype=np.int32),
+                start=t["start"], accept=t["accept"],
+                eps_src=t["eps_src"], eps_dst=t["eps_dst"],
+                eps_weight=t["eps_weight"],
+                eps_arc_id=np.arange(len(t["eps_src"]), dtype=np.int32),
+                eps_depth=t["eps_depth"],
+            )
+            result = (cg, t["widx"], t["eps_widx"])
+            self._align_cache[target] = result
+            return result
         target_chain = make_chain_graph(target)
         # All wordpiece decompositions of the target (marginalization):
         tokens_target = wops.remove(

@@ -1,0 +1,276 @@
+"""ctypes bindings for the native (C++) graph compiler.
+
+Loads ``native/libtwgraph.so`` when present (build with ``make -C native``)
+and exposes compose / remove / trim / project / scoring with the same
+semantics as the pure-Python implementations in wfst.ops — which remain the
+fallback and the differential-test oracle.  Disable with TW_NATIVE=0.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+from .graph import Graph
+
+_LIB = None
+
+
+def _find_lib():
+    here = os.path.dirname(os.path.abspath(__file__))
+    native_dir = os.path.join(here, "..", "..", "native")
+    candidates = [
+        os.path.join(native_dir, "libtwgraph.so"),
+        os.path.join(here, "libtwgraph.so"),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    # lazy one-shot build from source (g++ is in the image)
+    src = os.path.join(native_dir, "graph_compiler.cc")
+    if os.path.exists(src):
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", native_dir],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+        if os.path.exists(candidates[0]):
+            return candidates[0]
+    return None
+
+
+def load_library():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if os.environ.get("TW_NATIVE", "1") == "0":
+        return None
+    path = _find_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.tw_graph_new.restype = ctypes.c_void_p
+    lib.tw_graph_new.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.tw_graph_free.argtypes = [ctypes.c_void_p]
+    for fn in ("tw_num_nodes", "tw_num_arcs", "tw_num_finals", "tw_has_prov"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.tw_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
+    lib.tw_export_prov.argtypes = [ctypes.c_void_p] * 3
+    lib.tw_compose.restype = ctypes.c_void_p
+    lib.tw_compose.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    for fn in ("tw_remove", "tw_trim"):
+        getattr(lib, fn).restype = ctypes.c_void_p
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.tw_project.restype = ctypes.c_void_p
+    lib.tw_project.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    for fn in ("tw_forward_score", "tw_viterbi_score"):
+        getattr(lib, fn).restype = ctypes.c_double
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available():
+    return load_library() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class _Handle:
+    """Owns a native graph handle."""
+
+    def __init__(self, lib, h):
+        self.lib = lib
+        self.h = h
+
+    def __del__(self):
+        if self.h:
+            self.lib.tw_graph_free(self.h)
+            self.h = None
+
+
+def to_native(g: Graph):
+    lib = load_library()
+    start = np.asarray(g.start, dtype=np.uint8)
+    finals = [(n, w) for n, ws in sorted(g.finals.items()) for w in ws]
+    fnode = np.asarray([f[0] for f in finals], dtype=np.int64)
+    fw = np.asarray([f[1] for f in finals], dtype=np.float32)
+    src = np.asarray(g.arc_src, dtype=np.int32)
+    dst = np.asarray(g.arc_dst, dtype=np.int32)
+    il = np.asarray(g.arc_ilabel, dtype=np.int32)
+    ol = np.asarray(g.arc_olabel, dtype=np.int32)
+    w = np.asarray(g.arc_weight, dtype=np.float32)
+    h = lib.tw_graph_new(
+        len(start), _ptr(start, ctypes.c_uint8),
+        _ptr(fnode, ctypes.c_int64), _ptr(fw, ctypes.c_float), len(fnode),
+        len(src), _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+        _ptr(il, ctypes.c_int32), _ptr(ol, ctypes.c_int32),
+        _ptr(w, ctypes.c_float),
+    )
+    return _Handle(lib, h)
+
+
+def from_native(handle: _Handle):
+    lib = handle.lib
+    n = lib.tw_num_nodes(handle.h)
+    a = lib.tw_num_arcs(handle.h)
+    nf = lib.tw_num_finals(handle.h)
+    start = np.zeros(n, dtype=np.uint8)
+    fnode = np.zeros(nf, dtype=np.int64)
+    fw = np.zeros(nf, dtype=np.float32)
+    src = np.zeros(a, dtype=np.int32)
+    dst = np.zeros(a, dtype=np.int32)
+    il = np.zeros(a, dtype=np.int32)
+    ol = np.zeros(a, dtype=np.int32)
+    w = np.zeros(a, dtype=np.float32)
+    lib.tw_export(
+        handle.h, start.ctypes.data, fnode.ctypes.data, fw.ctypes.data,
+        src.ctypes.data, dst.ctypes.data, il.ctypes.data, ol.ctypes.data,
+        w.ctypes.data,
+    )
+    g = Graph()
+    for i in range(n):
+        g.add_node(bool(start[i]), False)
+    for node, weight in zip(fnode, fw):
+        g.add_final(int(node), float(weight))
+    g.arc_src = src.astype(int).tolist()
+    g.arc_dst = dst.astype(int).tolist()
+    g.arc_ilabel = il.astype(int).tolist()
+    g.arc_olabel = ol.astype(int).tolist()
+    g.arc_weight = w.astype(float).tolist()
+    return g
+
+
+def compose(g1: Graph, g2: Graph, return_arc_map=False):
+    lib = load_library()
+    h1, h2 = to_native(g1), to_native(g2)
+    hr = _Handle(lib, lib.tw_compose(h1.h, h2.h, 1 if return_arc_map else 0))
+    out = from_native(hr)
+    if not return_arc_map:
+        return out
+    a = lib.tw_num_arcs(hr.h)
+    p1 = np.zeros(a, dtype=np.int64)
+    p2 = np.zeros(a, dtype=np.int64)
+    if a:
+        lib.tw_export_prov(hr.h, p1.ctypes.data, p2.ctypes.data)
+    prov = list(zip(p1.astype(int).tolist(), p2.astype(int).tolist()))
+    return out, prov
+
+
+def remove(g: Graph):
+    lib = load_library()
+    h = to_native(g)
+    hr = lib.tw_remove(h.h)
+    if not hr:
+        raise ValueError("epsilon cycle or explosion in native remove()")
+    return from_native(_Handle(lib, hr))
+
+
+def trim(g: Graph):
+    lib = load_library()
+    h = to_native(g)
+    return from_native(_Handle(lib, lib.tw_trim(h.h)))
+
+
+def forward_score(g: Graph) -> float:
+    lib = load_library()
+    h = to_native(g)
+    s = lib.tw_forward_score(h.h)
+    if np.isnan(s):
+        raise ValueError("graph has cycles; forward_score requires a DAG")
+    return float(s)
+
+
+def viterbi_score(g: Graph) -> float:
+    lib = load_library()
+    h = to_native(g)
+    s = lib.tw_viterbi_score(h.h)
+    if np.isnan(s):
+        raise ValueError("graph has cycles; viterbi_score requires a DAG")
+    return float(s)
+
+
+def _bind_pipeline(lib):
+    if getattr(lib, "_pipeline_bound", False):
+        return
+    lib.tw_compile_alignment.restype = ctypes.c_void_p
+    lib.tw_compile_alignment.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.tw_tables_free.argtypes = [ctypes.c_void_p]
+    lib.tw_tables_sizes.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.tw_tables_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 11
+    lib._pipeline_bound = True
+
+
+def compile_alignment(lexicon_handle, tokens_handle, transitions_handle, target):
+    """Full per-target transducer pipeline in one native call.
+
+    Returns the same field layout as wfst.compile.CompiledGraph plus the
+    transitions-arc widx arrays (emit and eps).
+    """
+    lib = load_library()
+    _bind_pipeline(lib)
+    tgt = np.asarray(target, dtype=np.int32)
+    th = transitions_handle.h if transitions_handle is not None else None
+    h = lib.tw_compile_alignment(
+        lexicon_handle.h, tokens_handle.h, th,
+        _ptr(tgt, ctypes.c_int32), len(tgt),
+    )
+    if not h:
+        raise ValueError("native alignment pipeline failed (epsilon cycle?)")
+    handle = _Handle(lib, None)  # manual free below (different dtor)
+    try:
+        sizes = np.zeros(4, dtype=np.int64)
+        lib.tw_tables_sizes(h, sizes.ctypes.data)
+        A, E, S, depth = (int(x) for x in sizes)
+        src = np.zeros(A, np.int32)
+        dst = np.zeros(A, np.int32)
+        label = np.zeros(A, np.int32)
+        weight = np.zeros(A, np.float32)
+        widx = np.zeros(A, np.int64)
+        start = np.zeros(S, np.float32)
+        accept = np.zeros(S, np.float32)
+        eps_src = np.zeros(E, np.int32)
+        eps_dst = np.zeros(E, np.int32)
+        eps_weight = np.zeros(E, np.float32)
+        eps_widx = np.zeros(E, np.int64)
+        lib.tw_tables_export(
+            h, src.ctypes.data, dst.ctypes.data, label.ctypes.data,
+            weight.ctypes.data, widx.ctypes.data, start.ctypes.data,
+            accept.ctypes.data, eps_src.ctypes.data, eps_dst.ctypes.data,
+            eps_weight.ctypes.data, eps_widx.ctypes.data,
+        )
+    finally:
+        lib.tw_tables_free(h)
+        handle.h = None
+    return {
+        "src": src, "dst": dst, "label": label, "weight": weight,
+        "widx": widx.astype(np.int32),
+        "start": start, "accept": accept,
+        "eps_src": eps_src, "eps_dst": eps_dst, "eps_weight": eps_weight,
+        "eps_widx": eps_widx.astype(np.int32),
+        "eps_depth": depth,
+    }

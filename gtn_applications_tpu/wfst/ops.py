@@ -22,7 +22,7 @@ from .graph import EPSILON, Graph
 # ---------------------------------------------------------------------------
 
 
-def compose(g1: Graph, g2: Graph, return_arc_map: bool = False):
+def compose_py(g1: Graph, g2: Graph, return_arc_map: bool = False):
     """Transducer composition matching g1 output labels to g2 input labels.
 
     Epsilon handling uses the standard three-state sequencing filter
@@ -211,7 +211,7 @@ def _eps_paths_from(g: Graph, s: int, eps_adj, max_paths=100000):
     return results
 
 
-def remove(g: Graph) -> Graph:
+def remove_py(g: Graph) -> Graph:
     """Epsilon removal preserving path weights *and* path multiplicity.
 
     Every original accepting path  eps* a1 eps* a2 ... an eps*  maps to
@@ -286,7 +286,7 @@ def _topo_order(g: Graph):
 NEG = -1e30
 
 
-def forward_score(g: Graph) -> float:
+def forward_score_py(g: Graph) -> float:
     """Log-semiring shortest distance start -> accept (gtn.forward_score)."""
     order = _topo_order(g)
     alpha = [NEG] * g.num_nodes()
@@ -307,7 +307,7 @@ def forward_score(g: Graph) -> float:
     return score
 
 
-def viterbi_score(g: Graph) -> float:
+def viterbi_score_py(g: Graph) -> float:
     order = _topo_order(g)
     alpha = [NEG] * g.num_nodes()
     for s in g.start_nodes():
@@ -501,3 +501,59 @@ def isomorphic(g1: Graph, g2: Graph) -> bool:
         return False
 
     return match_starts(starts1)
+
+# ---------------------------------------------------------------------------
+# Native dispatch: the C++ graph compiler (wfst.native / native/libtwgraph)
+# implements the hot host ops with identical semantics; the Python versions
+# above are the fallback and the differential-test oracle.
+# ---------------------------------------------------------------------------
+
+
+def _use_native():
+    from . import native as _native
+
+    return _native.available()
+
+
+def compose(g1: Graph, g2: Graph, return_arc_map: bool = False):
+    if _use_native():
+        from . import native as _native
+
+        return _native.compose(g1, g2, return_arc_map)
+    return compose_py(g1, g2, return_arc_map)
+
+
+compose.__doc__ = compose_py.__doc__
+
+
+def remove(g: Graph) -> Graph:
+    if _use_native():
+        from . import native as _native
+
+        return _native.remove(g)
+    return remove_py(g)
+
+
+remove.__doc__ = remove_py.__doc__
+
+
+def forward_score(g: Graph) -> float:
+    if _use_native():
+        from . import native as _native
+
+        return _native.forward_score(g)
+    return forward_score_py(g)
+
+
+forward_score.__doc__ = forward_score_py.__doc__
+
+
+def viterbi_score(g: Graph) -> float:
+    if _use_native():
+        from . import native as _native
+
+        return _native.viterbi_score(g)
+    return viterbi_score_py(g)
+
+
+viterbi_score.__doc__ = viterbi_score_py.__doc__

@@ -1,0 +1,654 @@
+// Native host-side WFST graph compiler for gtn_applications_tpu.
+//
+// This is the C++ tier of the framework's graph layer — the counterpart of
+// the external GTN C++ library the reference delegates to (SURVEY.md §2.13).
+// The device-side numeric core runs as Pallas TPU kernels; this library
+// accelerates the *host* graph work that happens per vocabulary / target:
+// epsilon-filter composition, path-preserving epsilon removal, trimming,
+// projection, and host scoring.  Semantics mirror
+// gtn_applications_tpu/wfst/ops.py exactly (differential-tested).
+//
+// C API (ctypes-friendly): graphs are opaque handles; arrays are exported
+// via count + fill calls.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <tuple>
+#include <unordered_map>
+#include <vector>
+#include <functional>
+
+namespace {
+
+constexpr int32_t kEps = -1;
+constexpr double kNeg = -1e30;
+
+struct Graph {
+  std::vector<uint8_t> start;
+  // finals as multiset: parallel arrays (node, weight)
+  std::vector<int64_t> final_node;
+  std::vector<float> final_weight;
+  std::vector<int32_t> src, dst, ilabel, olabel;
+  std::vector<float> weight;
+  // provenance (filled by tracked compose): per-arc source arc ids
+  std::vector<int64_t> prov1, prov2;
+
+  int64_t num_nodes() const { return (int64_t)start.size(); }
+  int64_t num_arcs() const { return (int64_t)src.size(); }
+
+  int add_node(bool is_start) {
+    start.push_back(is_start ? 1 : 0);
+    return (int)start.size() - 1;
+  }
+  void add_final(int64_t node, float w) {
+    final_node.push_back(node);
+    final_weight.push_back(w);
+  }
+  void add_arc(int32_t s, int32_t d, int32_t il, int32_t ol, float w) {
+    src.push_back(s);
+    dst.push_back(d);
+    ilabel.push_back(il);
+    olabel.push_back(ol);
+    weight.push_back(w);
+  }
+  bool is_accept(int64_t node) const {
+    for (auto n : final_node)
+      if (n == node) return true;
+    return false;
+  }
+  std::vector<std::vector<int64_t>> out_arcs() const {
+    std::vector<std::vector<int64_t>> adj(num_nodes());
+    for (int64_t i = 0; i < num_arcs(); ++i) adj[src[i]].push_back(i);
+    return adj;
+  }
+  std::vector<std::vector<int64_t>> in_arcs() const {
+    std::vector<std::vector<int64_t>> adj(num_nodes());
+    for (int64_t i = 0; i < num_arcs(); ++i) adj[dst[i]].push_back(i);
+    return adj;
+  }
+  std::unordered_map<int64_t, std::vector<float>> finals_map() const {
+    std::unordered_map<int64_t, std::vector<float>> m;
+    for (size_t i = 0; i < final_node.size(); ++i)
+      m[final_node[i]].push_back(final_weight[i]);
+    return m;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// trim (keep states on a start->accept path), with arc keep-map
+// ---------------------------------------------------------------------------
+
+Graph* trim_with_map(const Graph& g, std::vector<int64_t>* kept_arcs) {
+  int64_t n = g.num_nodes();
+  std::vector<uint8_t> fwd(n, 0), bwd(n, 0);
+  {
+    std::vector<int64_t> stack;
+    auto adj = g.out_arcs();
+    for (int64_t i = 0; i < n; ++i)
+      if (g.start[i]) {
+        fwd[i] = 1;
+        stack.push_back(i);
+      }
+    while (!stack.empty()) {
+      int64_t s = stack.back();
+      stack.pop_back();
+      for (auto a : adj[s]) {
+        int64_t d = g.dst[a];
+        if (!fwd[d]) {
+          fwd[d] = 1;
+          stack.push_back(d);
+        }
+      }
+    }
+  }
+  {
+    std::vector<int64_t> stack;
+    auto adj = g.in_arcs();
+    for (auto node : g.final_node)
+      if (fwd[node] && !bwd[node]) {
+        bwd[node] = 1;
+        stack.push_back(node);
+      }
+    while (!stack.empty()) {
+      int64_t s = stack.back();
+      stack.pop_back();
+      for (auto a : adj[s]) {
+        int64_t d = g.src[a];
+        if (!bwd[d]) {
+          bwd[d] = 1;
+          stack.push_back(d);
+        }
+      }
+    }
+  }
+  std::vector<int64_t> remap(n, -1);
+  Graph* out = new Graph();
+  for (int64_t i = 0; i < n; ++i) {
+    if (fwd[i] && bwd[i]) remap[i] = out->add_node(g.start[i]);
+  }
+  for (size_t i = 0; i < g.final_node.size(); ++i) {
+    int64_t node = g.final_node[i];
+    if (remap[node] >= 0) out->add_final(remap[node], g.final_weight[i]);
+  }
+  for (int64_t i = 0; i < g.num_arcs(); ++i) {
+    int64_t s = remap[g.src[i]], d = remap[g.dst[i]];
+    if (s >= 0 && d >= 0) {
+      out->add_arc((int32_t)s, (int32_t)d, g.ilabel[i], g.olabel[i],
+                   g.weight[i]);
+      if (kept_arcs) kept_arcs->push_back(i);
+    }
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// compose with the 3-state epsilon-sequencing filter (mirrors ops.py)
+// ---------------------------------------------------------------------------
+
+struct KeyHash {
+  size_t operator()(const std::tuple<int64_t, int64_t, int>& k) const {
+    return std::hash<int64_t>()(std::get<0>(k) * 1315423911 ^
+                                std::get<1>(k) * 2654435761 ^
+                                std::get<2>(k));
+  }
+};
+
+Graph* compose(const Graph& g1, const Graph& g2, bool track) {
+  std::unordered_map<int64_t, std::vector<int64_t>> g2_by_label;  // key: s*K+lbl
+  std::unordered_map<int64_t, std::vector<int64_t>> g2_eps;
+  // label key packing: s * 2^32 + (label+1)
+  auto pack = [](int64_t s, int32_t lbl) {
+    return (s << 32) | (uint32_t)(lbl + 1);
+  };
+  for (int64_t i = 0; i < g2.num_arcs(); ++i) {
+    if (g2.ilabel[i] == kEps)
+      g2_eps[g2.src[i]].push_back(i);
+    else
+      g2_by_label[pack(g2.src[i], g2.ilabel[i])].push_back(i);
+  }
+  auto g1_out = g1.out_arcs();
+  auto f1 = g1.finals_map();
+  auto f2 = g2.finals_map();
+
+  Graph* out = new Graph();
+  std::unordered_map<std::tuple<int64_t, int64_t, int>, int64_t, KeyHash>
+      state_map;
+  std::deque<std::tuple<int64_t, int64_t, int>> queue;
+
+  auto get_state = [&](int64_t s1, int64_t s2, int f) -> int64_t {
+    auto key = std::make_tuple(s1, s2, f);
+    auto it = state_map.find(key);
+    if (it != state_map.end()) return it->second;
+    int64_t node = out->add_node(false);
+    state_map[key] = node;
+    queue.push_back(key);
+    auto i1 = f1.find(s1);
+    auto i2 = f2.find(s2);
+    if (i1 != f1.end() && i2 != f2.end()) {
+      for (float w1 : i1->second)
+        for (float w2 : i2->second) out->add_final(node, w1 + w2);
+    }
+    return node;
+  };
+
+  for (int64_t s1 = 0; s1 < g1.num_nodes(); ++s1) {
+    if (!g1.start[s1]) continue;
+    for (int64_t s2 = 0; s2 < g2.num_nodes(); ++s2) {
+      if (!g2.start[s2]) continue;
+      int64_t node = get_state(s1, s2, 0);
+      out->start[node] = 1;
+    }
+  }
+
+  std::vector<int64_t> prov1, prov2;
+  while (!queue.empty()) {
+    auto key = queue.front();
+    queue.pop_front();
+    int64_t s1 = std::get<0>(key), s2 = std::get<1>(key);
+    int f = std::get<2>(key);
+    int64_t src_node = state_map[key];
+    for (auto a1 : g1_out[s1]) {
+      int32_t ol1 = g1.olabel[a1];
+      int64_t d1 = g1.dst[a1];
+      int32_t il1 = g1.ilabel[a1];
+      float w1 = g1.weight[a1];
+      if (ol1 == kEps) {
+        if (f != 2) {
+          int64_t d = get_state(d1, s2, 1);
+          out->add_arc((int32_t)src_node, (int32_t)d, il1, kEps, w1);
+          if (track) {
+            prov1.push_back(a1);
+            prov2.push_back(-1);
+          }
+        }
+        if (f == 0) {
+          auto it = g2_eps.find(s2);
+          if (it != g2_eps.end()) {
+            for (auto a2 : it->second) {
+              int64_t d = get_state(d1, g2.dst[a2], 0);
+              out->add_arc((int32_t)src_node, (int32_t)d, il1, g2.olabel[a2],
+                           w1 + g2.weight[a2]);
+              if (track) {
+                prov1.push_back(a1);
+                prov2.push_back(a2);
+              }
+            }
+          }
+        }
+      } else {
+        auto it = g2_by_label.find(pack(s2, ol1));
+        if (it != g2_by_label.end()) {
+          for (auto a2 : it->second) {
+            int64_t d = get_state(d1, g2.dst[a2], 0);
+            out->add_arc((int32_t)src_node, (int32_t)d, il1, g2.olabel[a2],
+                         w1 + g2.weight[a2]);
+            if (track) {
+              prov1.push_back(a1);
+              prov2.push_back(a2);
+            }
+          }
+        }
+      }
+    }
+    if (f != 1) {
+      auto it = g2_eps.find(s2);
+      if (it != g2_eps.end()) {
+        for (auto a2 : it->second) {
+          int64_t d = get_state(s1, g2.dst[a2], 2);
+          out->add_arc((int32_t)src_node, (int32_t)d, kEps, g2.olabel[a2],
+                       g2.weight[a2]);
+          if (track) {
+            prov1.push_back(-1);
+            prov2.push_back(a2);
+          }
+        }
+      }
+    }
+  }
+
+  std::vector<int64_t> kept;
+  Graph* trimmed = trim_with_map(*out, &kept);
+  delete out;
+  if (track) {
+    trimmed->prov1.reserve(kept.size());
+    trimmed->prov2.reserve(kept.size());
+    for (auto a : kept) {
+      trimmed->prov1.push_back(prov1[a]);
+      trimmed->prov2.push_back(prov2[a]);
+    }
+  }
+  return trimmed;
+}
+
+// ---------------------------------------------------------------------------
+// epsilon removal (path-multiplicity preserving; GTN boolean-accept parity)
+// ---------------------------------------------------------------------------
+
+Graph* remove_eps(const Graph& g) {
+  int64_t n = g.num_nodes();
+  std::unordered_map<int64_t, std::vector<int64_t>> eps_adj, nonteps;
+  for (int64_t i = 0; i < g.num_arcs(); ++i) {
+    if (g.ilabel[i] == kEps && g.olabel[i] == kEps)
+      eps_adj[g.src[i]].push_back(i);
+    else
+      nonteps[g.src[i]].push_back(i);
+  }
+  auto finals = g.finals_map();
+
+  Graph* out = new Graph();
+  for (int64_t i = 0; i < n; ++i) out->add_node(g.start[i]);
+
+  // DFS enumerating all eps paths from s (including the empty one)
+  std::vector<std::pair<int64_t, float>> results;
+  for (int64_t s = 0; s < n; ++s) {
+    results.clear();
+    std::vector<std::tuple<int64_t, float>> stack = {{s, 0.0f}};
+    // cycle guard via on-path set per branch: track depth-limited by arcs
+    // (epsilon graphs here are DAGs; guard with a generous expansion cap)
+    std::vector<std::pair<int64_t, float>> work = {{s, 0.0f}};
+    // iterative DFS carrying the path set is costly; assume acyclic (the
+    // Python reference raises on cycles; builders never create them) and
+    // cap expansions.
+    size_t cap = 1000000;
+    std::deque<std::pair<int64_t, float>> dq = {{s, 0.0f}};
+    while (!dq.empty()) {
+      auto [u, w] = dq.front();
+      dq.pop_front();
+      results.push_back({u, w});
+      if (results.size() > cap) {
+        delete out;
+        return nullptr;  // epsilon explosion / cycle
+      }
+      auto it = eps_adj.find(u);
+      if (it != eps_adj.end()) {
+        for (auto a : it->second) dq.push_back({g.dst[a], w + g.weight[a]});
+      }
+    }
+    bool has_final = false;
+    float best_final = 0.0f;
+    for (auto& [u, wp] : results) {
+      auto fit = finals.find(u);
+      if (fit != finals.end()) {
+        for (float fw : fit->second) {
+          float cand = wp + fw;
+          if (!has_final || cand > best_final) {
+            has_final = true;
+            best_final = cand;
+          }
+        }
+      }
+      auto nit = nonteps.find(u);
+      if (nit != nonteps.end()) {
+        for (auto a : nit->second) {
+          out->add_arc((int32_t)s, g.dst[a], g.ilabel[a], g.olabel[a],
+                       wp + g.weight[a]);
+        }
+      }
+    }
+    if (has_final) out->add_final(s, best_final);
+  }
+  Graph* trimmed = trim_with_map(*out, nullptr);
+  delete out;
+  return trimmed;
+}
+
+// ---------------------------------------------------------------------------
+// host scoring (DAG log / tropical)
+// ---------------------------------------------------------------------------
+
+bool topo_order(const Graph& g, std::vector<int64_t>* order) {
+  int64_t n = g.num_nodes();
+  std::vector<int64_t> indeg(n, 0);
+  for (auto d : g.dst) indeg[d]++;
+  order->clear();
+  for (int64_t i = 0; i < n; ++i)
+    if (indeg[i] == 0) order->push_back(i);
+  auto adj = g.out_arcs();
+  for (size_t h = 0; h < order->size(); ++h) {
+    int64_t s = (*order)[h];
+    for (auto a : adj[s]) {
+      if (--indeg[g.dst[a]] == 0) order->push_back(g.dst[a]);
+    }
+  }
+  return (int64_t)order->size() == n;
+}
+
+double logadd(double a, double b) {
+  if (a <= kNeg / 2) return b;
+  if (b <= kNeg / 2) return a;
+  double m = std::max(a, b);
+  return m + std::log(std::exp(a - m) + std::exp(b - m));
+}
+
+double score(const Graph& g, bool tropical) {
+  std::vector<int64_t> order;
+  if (!topo_order(g, &order)) return std::nan("");
+  std::vector<double> alpha(g.num_nodes(), kNeg);
+  for (int64_t i = 0; i < g.num_nodes(); ++i)
+    if (g.start[i]) alpha[i] = 0.0;
+  auto adj = g.out_arcs();
+  for (auto s : order) {
+    if (alpha[s] <= kNeg / 2) continue;
+    for (auto a : adj[s]) {
+      double v = alpha[s] + g.weight[a];
+      if (tropical)
+        alpha[g.dst[a]] = std::max(alpha[g.dst[a]], v);
+      else
+        alpha[g.dst[a]] = logadd(alpha[g.dst[a]], v);
+    }
+  }
+  double total = kNeg;
+  for (size_t i = 0; i < g.final_node.size(); ++i) {
+    double v = alpha[g.final_node[i]];
+    if (v <= kNeg / 2) continue;
+    v += g.final_weight[i];
+    total = tropical ? std::max(total, v) : logadd(total, v);
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Transducer alignment pipeline + arc-table compilation (single native call
+// per target: avoids per-op Python<->C++ graph marshaling)
+// ---------------------------------------------------------------------------
+
+Graph* project(const Graph& g, bool input_side) {
+  Graph* out = new Graph(g);
+  if (input_side)
+    out->olabel = out->ilabel;
+  else
+    out->ilabel = out->olabel;
+  return out;
+}
+
+Graph* chain_graph(const int32_t* seq, int64_t len) {
+  Graph* g = new Graph();
+  g->add_node(true);
+  if (len == 0) {
+    g->add_final(0, 0.0f);
+    return g;
+  }
+  for (int64_t i = 0; i < len; ++i) {
+    g->add_node(false);
+    g->add_arc((int32_t)i, (int32_t)(i + 1), seq[i], seq[i], 0.0f);
+  }
+  g->add_final(len, 0.0f);
+  return g;
+}
+
+struct CompiledTables {
+  std::vector<int32_t> src, dst, label;
+  std::vector<float> weight;
+  std::vector<int64_t> widx;  // transitions-arc index per emitting arc (-1)
+  std::vector<float> start, accept;
+  std::vector<int32_t> eps_src, eps_dst;
+  std::vector<float> eps_weight;
+  std::vector<int64_t> eps_widx;
+  int64_t num_states = 0;
+  int64_t eps_depth = 0;
+};
+
+int64_t eps_depth_of(const Graph& g) {
+  std::unordered_map<int64_t, std::vector<int64_t>> eps_out;
+  for (int64_t i = 0; i < g.num_arcs(); ++i)
+    if (g.ilabel[i] == kEps && g.olabel[i] == kEps)
+      eps_out[g.src[i]].push_back(g.dst[i]);
+  std::unordered_map<int64_t, int64_t> depth;
+  std::vector<int64_t> order;
+  // simple memoized DFS (acyclic assumption, guarded by visit count)
+  std::function<int64_t(int64_t, int64_t)> dfs = [&](int64_t s,
+                                                     int64_t guard) -> int64_t {
+    auto it = depth.find(s);
+    if (it != depth.end()) return it->second;
+    if (guard > (int64_t)g.num_nodes()) return 0;
+    int64_t best = 0;
+    auto eit = eps_out.find(s);
+    if (eit != eps_out.end())
+      for (auto d : eit->second) best = std::max(best, 1 + dfs(d, guard + 1));
+    depth[s] = best;
+    return best;
+  };
+  int64_t best = 0;
+  for (int64_t s = 0; s < g.num_nodes(); ++s) best = std::max(best, dfs(s, 0));
+  return best;
+}
+
+CompiledTables* compile_tables(const Graph& g, const std::vector<int64_t>& prov) {
+  CompiledTables* t = new CompiledTables();
+  int64_t S = g.num_nodes();
+  t->num_states = S;
+  t->start.assign(S, (float)kNeg);
+  t->accept.assign(S, (float)kNeg);
+  for (int64_t i = 0; i < S; ++i)
+    if (g.start[i]) t->start[i] = 0.0f;
+  auto finals = g.finals_map();
+  for (auto& [node, ws] : finals) {
+    double acc = kNeg;
+    for (float w : ws) acc = logadd(acc, w);
+    t->accept[node] = (float)acc;
+  }
+  for (int64_t i = 0; i < g.num_arcs(); ++i) {
+    int64_t p = prov.empty() ? -1 : prov[i];
+    if (g.ilabel[i] == kEps && g.olabel[i] == kEps) {
+      t->eps_src.push_back(g.src[i]);
+      t->eps_dst.push_back(g.dst[i]);
+      t->eps_weight.push_back(g.weight[i]);
+      t->eps_widx.push_back(p);
+    } else {
+      t->src.push_back(g.src[i]);
+      t->dst.push_back(g.dst[i]);
+      t->label.push_back(g.ilabel[i]);
+      t->weight.push_back(g.weight[i]);
+      t->widx.push_back(p);
+    }
+  }
+  t->eps_depth = eps_depth_of(g);
+  return t;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* tw_graph_new(int64_t n_nodes, const uint8_t* start,
+                   const int64_t* final_node, const float* final_weight,
+                   int64_t n_finals, int64_t n_arcs, const int32_t* src,
+                   const int32_t* dst, const int32_t* ilabel,
+                   const int32_t* olabel, const float* weight) {
+  Graph* g = new Graph();
+  g->start.assign(start, start + n_nodes);
+  g->final_node.assign(final_node, final_node + n_finals);
+  g->final_weight.assign(final_weight, final_weight + n_finals);
+  g->src.assign(src, src + n_arcs);
+  g->dst.assign(dst, dst + n_arcs);
+  g->ilabel.assign(ilabel, ilabel + n_arcs);
+  g->olabel.assign(olabel, olabel + n_arcs);
+  g->weight.assign(weight, weight + n_arcs);
+  return g;
+}
+
+void tw_graph_free(void* h) { delete (Graph*)h; }
+
+int64_t tw_num_nodes(void* h) { return ((Graph*)h)->num_nodes(); }
+int64_t tw_num_arcs(void* h) { return ((Graph*)h)->num_arcs(); }
+int64_t tw_num_finals(void* h) { return ((Graph*)h)->final_node.size(); }
+int64_t tw_has_prov(void* h) { return ((Graph*)h)->prov1.size() > 0; }
+
+void tw_export(void* h, uint8_t* start, int64_t* final_node,
+               float* final_weight, int32_t* src, int32_t* dst,
+               int32_t* ilabel, int32_t* olabel, float* weight) {
+  Graph* g = (Graph*)h;
+  std::memcpy(start, g->start.data(), g->start.size());
+  std::memcpy(final_node, g->final_node.data(),
+              g->final_node.size() * sizeof(int64_t));
+  std::memcpy(final_weight, g->final_weight.data(),
+              g->final_weight.size() * sizeof(float));
+  std::memcpy(src, g->src.data(), g->src.size() * sizeof(int32_t));
+  std::memcpy(dst, g->dst.data(), g->dst.size() * sizeof(int32_t));
+  std::memcpy(ilabel, g->ilabel.data(), g->ilabel.size() * sizeof(int32_t));
+  std::memcpy(olabel, g->olabel.data(), g->olabel.size() * sizeof(int32_t));
+  std::memcpy(weight, g->weight.data(), g->weight.size() * sizeof(float));
+}
+
+void tw_export_prov(void* h, int64_t* prov1, int64_t* prov2) {
+  Graph* g = (Graph*)h;
+  std::memcpy(prov1, g->prov1.data(), g->prov1.size() * sizeof(int64_t));
+  std::memcpy(prov2, g->prov2.data(), g->prov2.size() * sizeof(int64_t));
+}
+
+void* tw_compose(void* h1, void* h2, int track) {
+  return compose(*(Graph*)h1, *(Graph*)h2, track != 0);
+}
+
+void* tw_remove(void* h) { return remove_eps(*(Graph*)h); }
+
+void* tw_trim(void* h) { return trim_with_map(*(Graph*)h, nullptr); }
+
+void* tw_project(void* h, int input_side) {
+  Graph* g = new Graph(*(Graph*)h);
+  if (input_side)
+    g->olabel = g->ilabel;
+  else
+    g->ilabel = g->olabel;
+  return g;
+}
+
+double tw_forward_score(void* h) { return score(*(Graph*)h, false); }
+double tw_viterbi_score(void* h) { return score(*(Graph*)h, true); }
+
+// -- transducer alignment pipeline ------------------------------------------
+
+// target chain ∘ lexicon -> project_output -> remove;
+// tokens ∘ that -> remove -> project_input; optionally transitions ∘ that
+// (tracked); then compile to arc tables.  Returns a CompiledTables handle.
+void* tw_compile_alignment(void* lexicon_h, void* tokens_h,
+                           void* transitions_h, const int32_t* target,
+                           int64_t target_len) {
+  Graph* chain = chain_graph(target, target_len);
+  Graph* c1 = compose(*chain, *(Graph*)lexicon_h, false);
+  delete chain;
+  Graph* p1 = project(*c1, false);
+  delete c1;
+  Graph* r1 = remove_eps(*p1);
+  delete p1;
+  if (!r1) return nullptr;
+  Graph* c2 = compose(*(Graph*)tokens_h, *r1, false);
+  delete r1;
+  Graph* r2 = remove_eps(*c2);
+  delete c2;
+  if (!r2) return nullptr;
+  Graph* align = project(*r2, true);
+  delete r2;
+  CompiledTables* out;
+  if (transitions_h) {
+    Graph* final_g = compose(*(Graph*)transitions_h, *align, true);
+    delete align;
+    out = compile_tables(*final_g, final_g->prov1);
+    delete final_g;
+  } else {
+    out = compile_tables(*align, {});
+    delete align;
+  }
+  return out;
+}
+
+void tw_tables_free(void* h) { delete (CompiledTables*)h; }
+
+void tw_tables_sizes(void* h, int64_t* sizes) {
+  CompiledTables* t = (CompiledTables*)h;
+  sizes[0] = (int64_t)t->src.size();
+  sizes[1] = (int64_t)t->eps_src.size();
+  sizes[2] = t->num_states;
+  sizes[3] = t->eps_depth;
+}
+
+void tw_tables_export(void* h, int32_t* src, int32_t* dst, int32_t* label,
+                      float* weight, int64_t* widx, float* start,
+                      float* accept, int32_t* eps_src, int32_t* eps_dst,
+                      float* eps_weight, int64_t* eps_widx) {
+  CompiledTables* t = (CompiledTables*)h;
+  auto cp = [](auto* dst_p, const auto& v) {
+    std::memcpy(dst_p, v.data(), v.size() * sizeof(v[0]));
+  };
+  cp(src, t->src);
+  cp(dst, t->dst);
+  cp(label, t->label);
+  cp(weight, t->weight);
+  cp(widx, t->widx);
+  cp(start, t->start);
+  cp(accept, t->accept);
+  cp(eps_src, t->eps_src);
+  cp(eps_dst, t->eps_dst);
+  cp(eps_weight, t->eps_weight);
+  cp(eps_widx, t->eps_widx);
+}
+
+}  // extern "C"
