@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Transducer microbenchmarks (protocols: reference
+benchmarks/transducer_benchmark.py).
+
+  * word decompositions: T=100, L=15 wordpieces, N=1000+1 over a 1k
+    wordpiece vocabulary, fwd+bwd and viterbi, 20 iterations.  The
+    reference ships the vocabulary as a data file; here it is induced
+    on the fly from /root/reference when present, else synthesized.
+  * n-gram CTC/ASG-style: T=250, L=44, N=81, ngram in {0, 1, 2}.
+"""
+
+import os
+import random
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtn_applications_tpu.criterions.transducer import Transducer
+from time_utils import time_func
+
+REF_TOKENS = "/root/reference/benchmarks/word_pieces_tokens_1000.txt"
+
+
+def load_tokens():
+    if os.path.exists(REF_TOKENS):
+        with open(REF_TOKENS) as fid:
+            return sorted(l.strip() for l in fid)
+    # synthesize a 1k vocabulary with similar shape statistics
+    rng = random.Random(0)
+    alphabet = "abcdefghijklmnopqrstuvwxyz▁'"
+    toks = {c for c in alphabet}
+    while len(toks) < 1000:
+        toks.add("".join(rng.choice(alphabet) for _ in range(rng.randint(2, 8))))
+    return sorted(toks)
+
+
+def word_decompositions(B):
+    tokens = load_tokens()
+    graphemes = sorted(set(c for t in tokens for c in t))
+    graphemes_to_index = {t: i for i, t in enumerate(graphemes)}
+
+    T, L = 100, 15
+    rng = random.Random(0)
+    nprng = np.random.RandomState(0)
+    N = len(tokens) + 1
+    inputs = jnp.asarray(nprng.randn(B, T, N).astype(np.float32))
+    targets = []
+    for _ in range(B):
+        pieces = (rng.choice(tokens) for _ in range(L))
+        targets.append([graphemes_to_index[l] for wp in pieces for l in wp])
+
+    crit = Transducer(
+        tokens, graphemes_to_index, blank="optional", allow_repeats=False,
+        reduction="mean",
+    )
+    prepared = crit.prepare(targets)
+
+    @jax.jit
+    def fwd_bwd(x, prep):
+        return jax.value_and_grad(lambda x: crit.loss({}, x, prep))(x)
+
+    time_func(lambda: fwd_bwd(inputs, prepared)[1], 20, "word decomps fwd + bwd")
+    time_func(lambda: jnp.zeros(()) if crit.viterbi(inputs) else None, 20,
+              "word decomps viterbi")
+
+
+def ngram_variant(B, style):
+    N, T, L = 81, 250, 44
+    tokens = [(i,) for i in range(N)]
+    graphemes_to_index = {i: i for i in range(N)}
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(B, T, N).astype(np.float32))
+    targets = [rng.randint(0, N, size=L).tolist() for _ in range(B)]
+
+    for ngram in [0, 1, 2]:
+        if style == "ctc":
+            crit = Transducer(
+                tokens, graphemes_to_index, ngram=ngram, blank="optional",
+                allow_repeats=False, reduction="mean",
+            )
+        else:
+            crit = Transducer(
+                tokens, graphemes_to_index, ngram=ngram, reduction="mean"
+            )
+        prepared = crit.prepare(targets)
+        params = crit.init_params()
+
+        @jax.jit
+        def fwd_bwd(p, x, prep):
+            return jax.value_and_grad(lambda x: crit.loss(p, x, prep))(x)
+
+        time_func(
+            lambda: fwd_bwd(params, inputs, prepared)[1], 20,
+            f"{style} fwd + bwd, ngram={ngram}",
+        )
+        time_func(
+            lambda: jnp.zeros(()) if crit.viterbi(inputs, params) else None,
+            5, f"{style} viterbi, ngram={ngram}",
+        )
+
+
+if __name__ == "__main__":
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    word_decompositions(B)
+    ngram_variant(B, "ctc")
+    ngram_variant(B, "asg")

@@ -92,7 +92,10 @@ class ASG(Criterion):
     """ASG loss with learned transitions (asg.py:191-209)."""
 
     def __init__(self, num_classes, num_replabels=1, use_garbage=True):
-        assert num_replabels > 0
+        # the reference asserts num_replabels > 0 (asg.py:196) although its
+        # factory defaults to 0 (utils.py:248) — 0 is handled here as
+        # "no replabel packing"
+        assert num_replabels >= 0
         self.num_classes = num_classes
         self.num_replabels = num_replabels
         self.use_garbage = use_garbage
@@ -126,7 +129,7 @@ class ASG(Criterion):
         )
 
     def viterbi_device(self, outputs, transitions, input_lengths=None):
-        return lattice.asg_viterbi(outputs, transitions, input_lengths)
+        return _asg_viterbi_jit(outputs, transitions, input_lengths)
 
     def viterbi(self, outputs, params=None, input_lengths=None):
         """Device tropical scan + host cleanup (asg.py:211-237)."""
@@ -148,3 +151,6 @@ class ASG(Criterion):
                 )
             )
         return out
+
+
+_asg_viterbi_jit = jax.jit(lattice.asg_viterbi)

@@ -88,7 +88,15 @@ class STC(Criterion):
       reduction: 'none' or 'mean' (divide per-sample loss by T).
     """
 
-    def __init__(self, blank_idx=0, p0=1.0, plast=1.0, thalf=1.0, reduction="none"):
+    def __init__(
+        self,
+        blank_idx=0,
+        p0=1.0,
+        plast=1.0,
+        thalf=1.0,
+        reduction="none",
+        shift_targets=0,
+    ):
         assert blank_idx == STC_BLANK_IDX
         self.p0 = p0
         self.plast = plast
@@ -96,6 +104,10 @@ class STC(Criterion):
         self.nstep = 0
         self.reduction = reduction
         self.training = True
+        # STC reserves channel 0 for blank, so token ids must be >= 1.
+        # Dataset preprocessors emit 0-based ids; the factory sets
+        # shift_targets=1 so targets move into the 1-based channel space.
+        self.shift_targets = shift_targets
         self._graph_cache: Dict[tuple, tuple] = {}
 
     def train(self):
@@ -126,7 +138,10 @@ class STC(Criterion):
             -self.nstep * math.log(2) / self.thalf
         )
 
-        targets = [list(np.asarray(t).reshape(-1)) for t in targets]
+        targets = [
+            [int(t) + self.shift_targets for t in np.asarray(tgt).reshape(-1)]
+            for tgt in targets
+        ]
         select = [STC_BLANK_IDX] + sorted(set(t for tgt in targets for t in tgt))
         target_map = {t: i for i, t in enumerate(select)}
         # pad the selection to a bucketed size with blank (harmless: the
@@ -161,8 +176,11 @@ class STC(Criterion):
         return jnp.concatenate([sel, lse, neglse], axis=2)
 
     def loss(self, params, inputs, prepared, input_lengths=None):
-        """inputs: [B, T, C] log probabilities (blank at channel 0)."""
+        """inputs: [B, T, C] logits or log probabilities, blank at channel 0
+        (log_softmax is idempotent, so already-normalized inputs pass
+        through unchanged)."""
         B, T, C = inputs.shape
+        inputs = jax.nn.log_softmax(inputs, axis=2)
         em = self.star_channels(inputs, prepared["select"])
         table = prepared["table"]
         weight = table.weight + prepared["star_mask"] * prepared["log_penalty"]
@@ -177,7 +195,11 @@ class STC(Criterion):
 
     def viterbi(self, outputs, params=None, input_lengths=None):
         """Greedy decode with repeat/blank collapse (STC trains a standard
-        emission model; decoding matches CTC greedy)."""
+        emission model; decoding matches CTC greedy).  Predictions are
+        shifted back into the dataset's 0-based id space."""
         from .ctc import CTC
 
-        return CTC(blank=STC_BLANK_IDX).viterbi(outputs, None, input_lengths)
+        preds = CTC(blank=STC_BLANK_IDX).viterbi(outputs, None, input_lengths)
+        if self.shift_targets:
+            preds = [p - self.shift_targets for p in preds]
+        return preds

@@ -153,6 +153,7 @@ class Transducer(Criterion):
         self.lexicon = make_lexicon_graph(tokens, graphemes_to_idx)
         self.blank = blank
         self.reduction = reduction
+        self._num_tokens = len(tokens)
         if ngram > 0:
             transitions = make_transitions_graph(
                 ngram, len(tokens) + int(blank != "none"), True
@@ -321,7 +322,7 @@ class Transducer(Criterion):
             g.set_weights(np.asarray(params["transitions"]).tolist())
             cg = wcompile.compile_acceptor(g, semiring="tropical", remove_eps=True)
             table = wcompile.to_arc_table(cg)
-            labels, _ = sparse.viterbi_batch(outputs, table, input_lengths)
+            labels, _ = _viterbi_batch_jit(outputs, table, input_lengths)
             labels = np.asarray(labels)
         else:
             labels = np.asarray(jnp.argmax(outputs, axis=2))
@@ -337,9 +338,27 @@ class Transducer(Criterion):
         return predictions
 
     def _alignment_to_tokens(self, seq):
-        """compose(path, tokens) → viterbi → project_output → remove, with a
-        tiny per-output-arc penalty to select the shortest ambiguous
-        transduction (reference comment at transducer.py:226-228)."""
+        """Transduce an alignment label sequence to tokens, taking the
+        shortest ambiguous output (reference transducer.py:224-229
+        compose(path, tokens) → viterbi → project_output → remove).
+
+        For blank in {none, optional} the token graph's shortest
+        transduction is exactly run-collapse-then-drop-blank (each maximal
+        run of one alignment label folds into a single token via the
+        epsilon-output self-loop; the blank state transduces to nothing),
+        so the graph composition reduces to a linear pass.  blank='forced'
+        keeps the general graph path since infeasible alignments must
+        produce an empty decode."""
+        if self.blank in ("none", "optional"):
+            ntoks = self._num_tokens
+            out = []
+            prev = None
+            for l in seq:
+                if l != prev:
+                    if l < ntoks:
+                        out.append(l)
+                    prev = l
+            return out
         path = make_chain_graph(seq)
         composed = wops.compose(path, self.tokens)
         # Penalize non-epsilon outputs so ties break toward fewer tokens.
@@ -349,6 +368,11 @@ class Transducer(Criterion):
         best = wops.viterbi_path(composed)
         out = wops.remove(wops.project_output(best))
         return out.labels_to_list()
+
+
+_viterbi_batch_jit = jax.jit(
+    sparse.viterbi_batch, static_argnames=()
+)
 
 
 # ---------------------------------------------------------------------------

@@ -242,6 +242,14 @@ def train(args):
         meters = utils.Meters()
         timers.reset()
         timers.start("train_total").start("ds_fetch")
+        # Device->host readbacks cost ~30 ms each on remote TPU stacks and
+        # the first one degrades per-call sync latency permanently, so the
+        # loop stays async: losses accumulate as device scalars and train
+        # CER/WER (which requires decoding on host) is sampled every
+        # ``metrics_interval`` steps (1 = reference parity).
+        metrics_interval = config["optim"].get("metrics_interval", 1)
+        step_idx = 0
+        pending_losses = []
         for inputs, widths, targets in train_loader:
             inputs = shard_batch(inputs, mesh)
             prepared = criterion.prepare(targets)
@@ -250,20 +258,24 @@ def train(args):
             params, loss, outputs = train_step(
                 params, inputs, prepared, dropout_rng, lr_scale
             )
-            timers.stop("model_fwd", sync=loss).start("metrics")
+            timers.stop("model_fwd").start("metrics")
             num_updates += 1
-            meters.loss += float(loss) * len(targets)
+            pending_losses.append((loss, len(targets)))
             meters.num_samples += len(targets)
-            td, wd, nt, nw = utils.compute_edit_distance(
-                criterion.viterbi(outputs, params["criterion"]),
-                targets,
-                preprocessor,
-            )
-            meters.edit_distance_tokens += td
-            meters.num_tokens += nt
-            meters.edit_distance_words += wd
-            meters.num_words += nw
+            if step_idx % metrics_interval == 0:
+                td, wd, nt, nw = utils.compute_edit_distance(
+                    criterion.viterbi(outputs, params["criterion"]),
+                    targets,
+                    preprocessor,
+                )
+                meters.edit_distance_tokens += td
+                meters.num_tokens += nt
+                meters.edit_distance_words += wd
+                meters.num_words += nw
+            step_idx += 1
             timers.stop("metrics").start("ds_fetch")
+        for loss, n in pending_losses:
+            meters.loss += float(loss) * n
         timers.stop("ds_fetch").stop("train_total")
         epoch_time = time.time() - start_time
         if world_size > 1:

@@ -320,6 +320,7 @@ def load_criterion(criterion_type, preprocessor, config):
         use_pt = config.get("use_pt", True)
         return CTC(num_tokens, use_pt), num_tokens + 1
     elif criterion_type == "stc":
+        # model emits [blank, tokens...]; star channels are internal
         return (
             STC(
                 blank_idx=0,
@@ -327,8 +328,9 @@ def load_criterion(criterion_type, preprocessor, config):
                 plast=config.get("plast", 1.0),
                 thalf=config.get("thalf", 1.0),
                 reduction=config.get("reduction", "mean"),
+                shift_targets=1,
             ),
-            2 * num_tokens + 2,  # tokens+blank plus star channels
+            num_tokens + 1,
         )
     elif criterion_type == "transducer":
         blank = config.get("blank", "none")

@@ -59,6 +59,23 @@ def test_train_and_eval_ctc():
     assert np.isfinite(meters.avg_loss)
 
 
+@pytest.mark.parametrize("criterion", ["asg", "stc", "transducer"])
+def test_train_other_criteria(criterion):
+    from gtn_applications_tpu import train as train_mod
+
+    tmpdir = tempfile.mkdtemp()
+    cfg = _write_config(tmpdir, epochs=1, criterion=criterion)
+    if criterion == "transducer":
+        with open(cfg) as fid:
+            config = json.load(fid)
+        config["criterion"] = {"blank": "optional", "allow_repeats": False}
+        with open(cfg, "w") as fid:
+            json.dump(config, fid)
+    args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
+    train_mod.train(args)
+    assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
+
+
 def test_train_loss_decreases():
     from gtn_applications_tpu import train as train_mod
 
