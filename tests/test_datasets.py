@@ -1,0 +1,130 @@
+"""Dataset pipeline tests: IAM metadata parsing / preprocessing on a
+synthetic fixture tree, audio manifests, mel spectrogram sanity, text
+preprocessor lexicon fallback (reference behavior iamdb.py:191-204)."""
+
+import json
+import os
+import tempfile
+import wave
+
+import numpy as np
+import pytest
+
+from gtn_applications_tpu.datasets import audio, audioset, iamdb
+from gtn_applications_tpu.datasets.text import TextPreprocessor, WORDSEP
+
+
+def _make_iam_fixture(root):
+    """Tiny IAM-like tree: two forms, two lines each."""
+    lines = [
+        "# comment line",
+        "a01-000u-00 ok 154 19 408 746 1663 89 A|MOVE to stop",
+        "a01-000u-01 ok 156 19 395 932 1850 105 the train",
+        "a02-000-00 ok 150 20 300 500 1200 80 hello|world",
+        "a02-000-01 ok 151 21 310 510 1100 75 again",
+    ]
+    with open(os.path.join(root, "lines.txt"), "w") as fid:
+        fid.write("\n".join(lines) + "\n")
+    for split, keys in [
+        ("trainset", ["a01-000u-00", "a01-000u-01"]),
+        ("validationset1", ["a02-000-00"]),
+        ("validationset2", []),
+        ("testset", ["a02-000-01"]),
+    ]:
+        with open(os.path.join(root, f"{split}.txt"), "w") as fid:
+            fid.write("\n".join(keys) + ("\n" if keys else ""))
+    try:
+        import PIL.Image
+
+        for form in ["a01-000u", "a02-000"]:
+            img = PIL.Image.fromarray(
+                (np.random.RandomState(0).rand(1100, 2100) * 255).astype(np.uint8)
+            )
+            img.save(os.path.join(root, f"{form}.png"))
+        return True
+    except ImportError:
+        return False
+
+
+def test_iam_metadata_and_preprocessor():
+    with tempfile.TemporaryDirectory() as root:
+        has_pil = _make_iam_fixture(root)
+        forms = iamdb.load_metadata(root, WORDSEP)
+        assert set(forms.keys()) == {"a01-000u", "a02-000"}
+        texts = [l["text"] for l in forms["a01-000u"]]
+        assert texts[0] == "A▁MOVE▁to▁stop"  # | and spaces -> wordsep
+        pre = iamdb.Preprocessor(root, num_features=32)
+        idx = pre.to_index("the")
+        assert pre.to_text(idx) == "the"
+        assert pre.num_tokens == len(pre.graphemes)
+
+        if has_pil:
+            ds = iamdb.Dataset(root, pre, split="train")
+            assert len(ds) == 2
+            img, tgt = ds[0]
+            assert img.shape[0] == 32  # resized to num_features height
+            sizes = ds.sample_sizes()
+            assert len(sizes) == 2
+
+
+def test_text_preprocessor_lexicon_fallback():
+    with tempfile.TemporaryDirectory() as root:
+        lex_path = os.path.join(root, "lex.txt")
+        with open(lex_path, "w") as fid:
+            fid.write("hello he llo\n")
+        tokens_path = os.path.join(root, "tokens.txt")
+        with open(tokens_path, "w") as fid:
+            fid.write("\n".join(["he", "llo", "▁", "w", "o", "r", "l", "d"]))
+        pre = TextPreprocessor(
+            ["hello▁world"], tokens_path=tokens_path, lexicon_path=lex_path
+        )
+        # "hello" is in the lexicon; "world" falls back to ▁ + letters
+        idx = pre.to_index("hello▁world")
+        toks = [pre.tokens[i] for i in idx]
+        assert toks[:2] == ["he", "llo"]
+        assert "".join(toks[2:]) == "▁world"
+
+
+def test_audio_manifest_and_mel():
+    with tempfile.TemporaryDirectory() as root:
+        sr = 16000
+        wav_path = os.path.join(root, "a.wav")
+        with wave.open(wav_path, "w") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            samples = (np.sin(np.arange(sr) * 0.05) * 20000).astype(np.int16)
+            w.writeframes(samples.tobytes())
+        with open(os.path.join(root, "train.json"), "w") as fid:
+            fid.write(json.dumps({"text": "ab ba", "duration": 1.0, "audio": wav_path}) + "\n")
+        splits = {"train": ["train"]}
+        pre = audioset.Preprocessor(root, num_features=40, splits=splits)
+        assert pre.to_text(pre.to_index("ab▁ba")) == "ab▁ba"
+        ds = audioset.Dataset(root, pre, "train", splits)
+        feats, tgt = ds[0]
+        assert feats.shape[0] == 40
+        assert abs(feats.mean()) < 1e-3  # log-normalized
+        assert len(tgt) == 5
+
+
+def test_mel_spectrogram_peak():
+    # pure tone should peak at the right mel bin region
+    sr, freq = 16000, 1000.0
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * freq * t).astype(np.float32)
+    mel = audio.MelSpectrogram(sample_rate=sr, n_fft=400, n_mels=80, hop_length=160)
+    m = mel(x)
+    peak_bin = int(m.mean(axis=1).argmax())
+    # 1 kHz -> HTK mel 1000 ~= bin 80 * mel(1000)/mel(8000)
+    expected = 80 * audio.hz_to_mel(freq) / audio.hz_to_mel(sr / 2)
+    assert abs(peak_bin - expected) < 6
+
+
+def test_specaugment_masks():
+    rng = np.random.RandomState(0)
+    x = np.ones((40, 100), np.float32)
+    fm = audio.FrequencyMasking(10)
+    tm = audio.TimeMasking(20)
+    y = tm(fm(x, rng), rng)
+    assert (y == 0).any()
+    assert y.shape == x.shape
