@@ -47,6 +47,12 @@ def parse_args(argv=None):
     )
     parser.add_argument("--coordinator_address", default=None, type=str)
     parser.add_argument("--process_id", default=None, type=int)
+    parser.add_argument(
+        "--profile_dir", default=None, type=str,
+        help="Capture a jax.profiler trace of the first training epoch "
+        "into this directory (replaces the reference's CudaTimer-only "
+        "instrumentation with full XLA/TPU traces)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     return args
@@ -234,6 +240,8 @@ def train(args):
 
     num_updates = 0
     for epoch in range(args.last_epoch, epochs):
+        if args.profile_dir and epoch == args.last_epoch:
+            jax.profiler.start_trace(args.profile_dir)
         logging.info("Epoch {} started. ".format(epoch + 1))
         lr_scale = 0.5 ** (epoch // step_size)
         if hasattr(criterion, "train"):
@@ -277,6 +285,9 @@ def train(args):
         for loss, n in pending_losses:
             meters.loss += float(loss) * n
         timers.stop("ds_fetch").stop("train_total")
+        if args.profile_dir and epoch == args.last_epoch:
+            jax.profiler.stop_trace()
+            logging.info(f"Profiler trace written to {args.profile_dir}")
         epoch_time = time.time() - start_time
         if world_size > 1:
             meters.sync()
