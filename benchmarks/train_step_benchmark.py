@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Full training-step benchmark: flagship TDS2d + CTC at IAM scale
+(configs/iamdb/tds2d.json shapes). Reports ms/step and images/s — the
+end-to-end number that dominates real training (model fwd+bwd on the MXU
+plus the lattice loss)."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtn_applications_tpu import utils
+from gtn_applications_tpu.criterions import CTC
+from gtn_applications_tpu.models import TDS2d
+from gtn_applications_tpu.train import make_train_step
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    H, W = 64, 512  # ~mean IAM line width after resize
+    model = TDS2d(
+        input_size=H, output_size=80, depth=4,
+        tds_groups=[
+            {"channels": 4, "num_blocks": 3, "stride": [2, 2]},
+            {"channels": 16, "num_blocks": 3, "stride": [2, 2]},
+            {"channels": 32, "num_blocks": 3, "stride": [2, 1]},
+            {"channels": 64, "num_blocks": 3, "stride": [2, 1]},
+        ],
+        kernel_size=[5, 7], dropout=0.1,
+    )
+    criterion = CTC(blank=79)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, W).astype(np.float32))
+    targets = [rng.randint(0, 79, size=rng.randint(20, 60)).tolist() for _ in range(B)]
+    prepared = criterion.prepare(targets)
+
+    params = {
+        "model": model.init(jax.random.PRNGKey(0), x[:1]),
+        "criterion": criterion.init_params(),
+    }
+    step = make_train_step(model, criterion, 0.1, 0.1, 5.0)
+    key = jax.random.PRNGKey(1)
+
+    p, loss, _ = step(params, x, prepared, key, 1.0)
+    jax.block_until_ready(loss)
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        p, loss, _ = step(p, x, prepared, key, 1.0)
+    jax.block_until_ready(loss)
+    ms = (time.perf_counter() - start) / iters * 1000
+    print(f"train step B={B} H={H} W={W}: {ms:.2f} ms/step, "
+          f"{B / ms * 1000:.1f} images/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -205,9 +205,13 @@ def train(args):
     model_params = model.init(init_rng, jnp.asarray(sample_inputs))
     params = {"model": model_params, "criterion": criterion.init_params()}
 
+    num_updates = 0
     if args.restore:
         state = utils.load_checkpoint(args.checkpoint_path, load_last=True)
         params = state["params"]
+        num_updates = state.get("num_updates", 0)
+        if "rng" in state:
+            rng = state["rng"]
         logging.info(f"Restored model from epoch {args.last_epoch}")
 
     n_params = sum(
@@ -238,7 +242,6 @@ def train(args):
     min_val_cer = float("inf")
     min_val_wer = float("inf")
 
-    num_updates = 0
     for epoch in range(args.last_epoch, epochs):
         if args.profile_dir and epoch == args.last_epoch:
             jax.profiler.start_trace(args.profile_dir)
@@ -310,7 +313,12 @@ def train(args):
         if world_rank == 0:
             utils.save_checkpoint(
                 args.checkpoint_path,
-                {"params": params, "epoch": epoch},
+                {
+                    "params": params,
+                    "epoch": epoch,
+                    "num_updates": num_updates,
+                    "rng": rng,
+                },
                 save_best=(val_cer < min_val_cer),
             )
             min_val_loss = min(val_loss, min_val_loss)
