@@ -1,2 +1,4 @@
-from . import audio, audioset, iamdb, librispeech, synthetic, text, wsj
+from . import (
+    audio, audioset, iamdb, librispeech, synthetic, synthetic_audio, text, wsj,
+)
 from .text import TextPreprocessor, WORDSEP

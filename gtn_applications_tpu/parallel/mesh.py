@@ -50,3 +50,25 @@ def replicate(tree, mesh):
     return jax.device_put(
         tree, NamedSharding(mesh, P())
     )
+
+
+def global_batch_from_local(local_batch, mesh, axis_name="data"):
+    """Assemble a globally-sharded array from per-process local batches.
+
+    Multi-host replacement for BatchSortedSampler's rank dealing
+    (reference utils.py:70-74): each host loads its own shard of the batch
+    and this stitches them into one global jax.Array laid out along the
+    'data' mesh axis (so the global batch dimension is
+    local_batch * process_count).  On a single process this is equivalent
+    to shard_batch.
+    """
+    local_batch = np.asarray(local_batch)
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh, axis_name)
+    global_shape = (
+        local_batch.shape[0] * jax.process_count(),
+    ) + local_batch.shape[1:]
+    sharding = NamedSharding(mesh, batch_spec(local_batch.ndim, axis_name))
+    return jax.make_array_from_process_local_data(
+        sharding, local_batch, global_shape
+    )

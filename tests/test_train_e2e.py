@@ -105,3 +105,38 @@ def test_train_loss_decreases():
             losses.append(float(part.split(",")[0]))
     assert len(losses) == 5
     assert losses[-1] < losses[0], losses
+
+
+def test_train_audio_pipeline():
+    """Speech path end-to-end: synthetic tones -> mel -> TDS -> CTC."""
+    from gtn_applications_tpu import train as train_mod
+
+    tmpdir = tempfile.mkdtemp()
+    config = {
+        "seed": 0,
+        "data": {
+            "dataset": "synthetic_audio",
+            "data_path": tmpdir,
+            "num_features": 40,
+        },
+        "model_type": "tds",
+        "model": {
+            "tds_groups": [{"channels": 2, "num_blocks": 1, "stride": 2}],
+            "kernel_size": 5,
+            "dropout": 0.0,
+        },
+        "criterion_type": "ctc",
+        "optim": {
+            "batch_size": 8,
+            "epochs": 1,
+            "learning_rate": 0.05,
+            "step_size": 40,
+            "max_grad_norm": 5,
+        },
+    }
+    cfg = os.path.join(tmpdir, "config.json")
+    with open(cfg, "w") as fid:
+        json.dump(config, fid)
+    args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
+    train_mod.train(args)
+    assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
