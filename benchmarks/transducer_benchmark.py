@@ -7,6 +7,10 @@ benchmarks/transducer_benchmark.py).
     reference ships the vocabulary as a data file; here it is induced
     on the fly from /root/reference when present, else synthesized.
   * n-gram CTC/ASG-style: T=250, L=44, N=81, ngram in {0, 1, 2}.
+
+All fwd+bwd protocols run BEFORE any decode: the first device->host
+readback (decoding is host-side) permanently raises sync latency on this
+TPU stack, which would otherwise pollute the loss-path numbers.
 """
 
 import os
@@ -62,11 +66,13 @@ def word_decompositions(B):
         return jax.value_and_grad(lambda x: crit.loss({}, x, prep))(x)
 
     time_func(lambda: fwd_bwd(inputs, prepared)[1], 20, "word decomps fwd + bwd")
-    time_func(lambda: jnp.zeros(()) if crit.viterbi(inputs) else None, 20,
-              "word decomps viterbi")
+    return lambda: time_func(
+        lambda: jnp.zeros(()) if crit.viterbi(inputs) else None, 20,
+        "word decomps viterbi",
+    )
 
 
-def ngram_variant(B, style):
+def ngram_variant(B, style, decoders):
     N, T, L = 81, 250, 44
     tokens = [(i,) for i in range(N)]
     graphemes_to_index = {i: i for i in range(N)}
@@ -95,14 +101,24 @@ def ngram_variant(B, style):
             lambda: fwd_bwd(params, inputs, prepared)[1], 20,
             f"{style} fwd + bwd, ngram={ngram}",
         )
-        time_func(
-            lambda: jnp.zeros(()) if crit.viterbi(inputs, params) else None,
-            5, f"{style} viterbi, ngram={ngram}",
+        decoders.append(
+            (crit, params, f"{style} viterbi, ngram={ngram}")
         )
 
 
 if __name__ == "__main__":
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    word_decompositions(B)
-    ngram_variant(B, "ctc")
-    ngram_variant(B, "asg")
+    decoders = []
+    wd_viterbi = word_decompositions(B)
+    ngram_variant(B, "ctc", decoders)
+    ngram_variant(B, "asg", decoders)
+    # decode protocols last (first host readback degrades sync latency)
+    wd_viterbi()
+    for crit, params, name in decoders:
+        inputs2 = jnp.asarray(
+            np.random.RandomState(0).randn(B, 250, 81).astype(np.float32)
+        )
+        time_func(
+            lambda: jnp.zeros(()) if crit.viterbi(inputs2, params) else None,
+            5, name,
+        )

@@ -41,3 +41,26 @@ class Dataset(audioset.Dataset):
 class Preprocessor(audioset.Preprocessor):
     def __init__(self, data_path, num_features, **kwargs):
         super().__init__(data_path, num_features, SPLITS, **kwargs)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Compute data stats.")
+    parser.add_argument("--data_path", type=str, help="Path to dataset JSONs.")
+    parser.add_argument("--save_text", type=str, default=None)
+    parser.add_argument("--save_tokens", type=str, default=None)
+    args = parser.parse_args()
+
+    pre = Preprocessor(args.data_path, 80)
+    print(f"Number of tokens: {pre.num_tokens}")
+    trainset = Dataset(args.data_path, pre, split="train")
+    if args.save_text is not None:
+        with open(args.save_text, "w") as fid:
+            fid.write("\n".join(t for _, t, _ in trainset.dataset))
+    if args.save_tokens is not None:
+        with open(args.save_tokens, "w") as fid:
+            fid.write("\n".join(pre.tokens))
+    print(f"Training: {len(trainset)}")
+    print(f"Validation: {len(Dataset(args.data_path, pre, split='validation'))}")
+    print(f"Test: {len(Dataset(args.data_path, pre, split='test'))}")

@@ -6,13 +6,18 @@
 (ops.sparse).  XLA lowers the equivalent ``jax.ops.segment_max/sum`` to
 scatters, which are serial on this TPU stack (~0.1 ms per step, ~28 ms per
 250-step scan); here both the source gather and the destination combine are
-in-kernel one-hot masks over an [A, S] tile with a stop-gradient per-dst
-max shift, and the custom VJP reproduces the exact posterior (softmax)
-weights.
+in-kernel one-hot masks with a stop-gradient per-dst max shift, and the
+custom VJP reproduces the exact posterior (softmax) weights.
+
+The [A, S] one-hot masks are materialized in VMEM one arc-chunk at a time
+(two passes: chunked max, then chunked exp-sum), so graphs with tens of
+thousands of arcs stay under the ~16 MB VMEM budget.
 
 Tables may be shared across the batch (leading dim 1) or per-sample
 (leading dim B); the grid index map broadcasts accordingly.  Arc arrays are
-shaped [*, A, 1] so they land on sublanes without in-kernel relayouts.
+shaped [*, A, 1] so they land on sublanes without in-kernel relayouts, and
+the state rides as [B, 1, S] so block shapes satisfy Mosaic's divisibility
+rules.
 """
 
 import functools
@@ -25,58 +30,82 @@ from jax.experimental.pallas import tpu as pltpu
 from .semiring import NEG
 
 _FLOOR = 1e-30
+# arc-chunk height: bounds the [CHUNK, S] temporaries in VMEM
+_CHUNK = 2048
 
 
 def _onehot(idx_col, S):
-    """[A, 1] int32 -> bool [A, S]."""
+    """[C, 1] int32 -> bool [C, S]."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (idx_col.shape[0], S), 1)
     return cols == idx_col
 
 
-def _contrib(alpha, src_col, w_col, em_col, S):
-    oh_src = _onehot(src_col, S)
-    alpha_src = jnp.sum(
-        jnp.where(oh_src, alpha, 0.0), axis=1, keepdims=True
-    )
-    return alpha_src + w_col + em_col  # [A, 1]
+def _chunks(A):
+    n = (A + _CHUNK - 1) // _CHUNK
+    return [(i * _CHUNK, min(_CHUNK, A - i * _CHUNK)) for i in range(n)]
+
+
+def _chunk_contrib(alpha, src_ref, w_ref, em_ref, off, size, S):
+    src = src_ref[0, pl.ds(off, size), :]
+    w = w_ref[0, pl.ds(off, size), :]
+    em = em_ref[0, pl.ds(off, size), :]
+    oh_src = _onehot(src, S)
+    alpha_src = jnp.sum(jnp.where(oh_src, alpha, 0.0), axis=1, keepdims=True)
+    return alpha_src + w + em  # [size, 1]
 
 
 def _fwd_kernel(alpha_ref, src_ref, dst_ref, w_ref, em_ref, out_ref):
-    S = out_ref.shape[1]
-    alpha = alpha_ref[:]                   # [1, S]
-    src = src_ref[0]                       # [A, 1]
-    dst = dst_ref[0]
-    contrib = _contrib(alpha, src, w_ref[0], em_ref[0], S)
-    oh_dst = _onehot(dst, S)
-    cand = jnp.where(oh_dst, contrib, NEG)  # [A, S]
-    m = jnp.maximum(jnp.max(cand, axis=0, keepdims=True), NEG)  # [1, S]
-    sums = jnp.sum(jnp.where(oh_dst, jnp.exp(contrib - m), 0.0), axis=0,
-                   keepdims=True)
-    out_ref[:] = m + jnp.log(jnp.maximum(sums, _FLOOR))
+    S = out_ref.shape[2]
+    A = src_ref.shape[1]
+    alpha = alpha_ref[0]  # [1, S]
+
+    m = jnp.full((1, S), NEG, jnp.float32)
+    for off, size in _chunks(A):
+        contrib = _chunk_contrib(alpha, src_ref, w_ref, em_ref, off, size, S)
+        oh_dst = _onehot(dst_ref[0, pl.ds(off, size), :], S)
+        cand = jnp.where(oh_dst, contrib, NEG)
+        m = jnp.maximum(m, jnp.max(cand, axis=0, keepdims=True))
+    m = jnp.maximum(m, NEG)
+
+    sums = jnp.zeros((1, S), jnp.float32)
+    for off, size in _chunks(A):
+        contrib = _chunk_contrib(alpha, src_ref, w_ref, em_ref, off, size, S)
+        oh_dst = _onehot(dst_ref[0, pl.ds(off, size), :], S)
+        sums = sums + jnp.sum(
+            jnp.where(oh_dst, jnp.exp(contrib - m), 0.0), axis=0, keepdims=True
+        )
+    out_ref[0] = m + jnp.log(jnp.maximum(sums, _FLOOR))
 
 
 def _bwd_kernel(
     alpha_ref, src_ref, dst_ref, w_ref, em_ref, out_ref, g_ref,
     dalpha_ref, dcontrib_ref,
 ):
-    S = alpha_ref.shape[1]
-    alpha = alpha_ref[:]
-    src = src_ref[0]
-    dst = dst_ref[0]
-    contrib = _contrib(alpha, src, w_ref[0], em_ref[0], S)
-    oh_dst = _onehot(dst, S)
-    # d contrib[a] = exp(contrib[a] - out[dst[a]]) * g[dst[a]]
-    ratio = jnp.exp(jnp.minimum(contrib - out_ref[:], 0.0)) * g_ref[:]
-    dcontrib = jnp.sum(jnp.where(oh_dst, ratio, 0.0), axis=1, keepdims=True)
-    dcontrib_ref[0] = dcontrib
-    oh_src = _onehot(src, S)
-    dalpha_ref[:] = jnp.sum(
-        jnp.where(oh_src, dcontrib, 0.0), axis=0, keepdims=True
-    )
+    S = alpha_ref.shape[2]
+    A = src_ref.shape[1]
+    alpha = alpha_ref[0]
+    out = out_ref[0]
+    g = g_ref[0]
+
+    dalpha = jnp.zeros((1, S), jnp.float32)
+    for off, size in _chunks(A):
+        contrib = _chunk_contrib(alpha, src_ref, w_ref, em_ref, off, size, S)
+        oh_dst = _onehot(dst_ref[0, pl.ds(off, size), :], S)
+        # d contrib[a] = exp(contrib[a] - out[dst[a]]) * g[dst[a]]
+        ratio = jnp.exp(jnp.minimum(contrib - out, 0.0)) * g
+        dcontrib = jnp.sum(jnp.where(oh_dst, ratio, 0.0), axis=1, keepdims=True)
+        dcontrib_ref[0, pl.ds(off, size), :] = dcontrib
+        oh_src = _onehot(src_ref[0, pl.ds(off, size), :], S)
+        dalpha = dalpha + jnp.sum(
+            jnp.where(oh_src, dcontrib, 0.0), axis=0, keepdims=True
+        )
+    dalpha_ref[0] = dalpha
 
 
 def _specs(B, S, A):
-    state = pl.BlockSpec((1, S), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    # state is carried as [B, 1, S] so the (1, S) block's last two dims
+    # equal the full array dims (Mosaic's block divisibility rule)
+    state = pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     arc_b = pl.BlockSpec((1, A, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     arc_s = pl.BlockSpec((1, A, 1), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
     return state, arc_b, arc_s
@@ -105,12 +134,12 @@ def _seg_fwd(alpha, src, dst, w, em):
     espec = arc_b if em.shape[0] == B else arc_s
     out = pl.pallas_call(
         _fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
         grid=(B,),
         in_specs=[state, tspec, tspec, tspec, espec],
         out_specs=state,
         interpret=jax.default_backend() != "tpu",
-    )(alpha, src_c, dst_c, w_c, em_c)
+    )(alpha[:, None, :], src_c, dst_c, w_c, em_c)[:, 0, :]
     return out, (alpha, src, dst, w, em, out)
 
 
@@ -125,7 +154,7 @@ def _seg_bwd(res, g):
     dalpha, dcontrib = pl.pallas_call(
         _bwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
             jax.ShapeDtypeStruct((B, A, 1), jnp.float32),
         ),
         grid=(B,),
@@ -135,7 +164,9 @@ def _seg_bwd(res, g):
             pl.BlockSpec((1, A, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(alpha, src_c, dst_c, w_c, em_c, out, g)
+    )(alpha[:, None, :], src_c, dst_c, w_c, em_c, out[:, None, :],
+      g[:, None, :])
+    dalpha = dalpha[:, 0, :]
     darc = dcontrib[:, :, 0]
     dw = jnp.sum(darc, axis=0, keepdims=True) if Ba == 1 else darc
     dem = jnp.sum(darc, axis=0, keepdims=True) if em.shape[0] == 1 else darc
