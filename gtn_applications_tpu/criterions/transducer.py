@@ -318,10 +318,21 @@ class Transducer(Criterion):
         B, T, C = outputs.shape
         if self.transitions is not None:
             params = params if params is not None else self.params
-            g = self.transitions.copy()
-            g.set_weights(np.asarray(params["transitions"]).tolist())
-            cg = wcompile.compile_acceptor(g, semiring="tropical", remove_eps=True)
-            table = wcompile.to_arc_table(cg)
+            ptr = params["transitions"]
+            cached = getattr(self, "_decode_cache", None)
+            if cached is not None and cached[0] is ptr:
+                table = cached[1]
+            else:
+                # epsilon removal mixes arc weights numerically, so the
+                # decode table is rebuilt when the parameters change —
+                # cached per parameter object (eval reuses one pytree)
+                g = self.transitions.copy()
+                g.set_weights(np.asarray(ptr).tolist())
+                cg = wcompile.compile_acceptor(
+                    g, semiring="tropical", remove_eps=True
+                )
+                table = wcompile.to_arc_table(cg)
+                self._decode_cache = (ptr, table)
             labels, _ = _viterbi_batch_jit(outputs, table, input_lengths)
             labels = np.asarray(labels)
         else:

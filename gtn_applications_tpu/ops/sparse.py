@@ -259,7 +259,67 @@ def viterbi(em, table: ArcTable, input_length=None):
     return labels_rev, score
 
 
+def _viterbi_batched_pallas(em, table: ArcTable, input_lengths=None):
+    """Batched tropical scan with the Pallas seg_max step (shared,
+    epsilon-free decode tables)."""
+    from .segmax_pallas import seg_max
+    from .semiring import gather_channels
+
+    B, T, C = em.shape
+    src = _as2d(table.src)
+    dst = _as2d(table.dst)
+    weight = _as2d(table.weight)
+    label = _as2d(table.label)
+    start = _as2d(table.start)
+    accept = _as2d(table.accept)
+    S = start.shape[-1]
+    A = src.shape[-1]
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    label_b = jnp.broadcast_to(label, (B, A))
+    em_arc = gather_channels(em, label_b).transpose(1, 0, 2)  # [T, B, A]
+
+    DEAD = jnp.int32(2**30)
+
+    def step(alpha, xs):
+        em_t, t = xs
+        new, arc = seg_max(alpha, src, dst, weight, em_t)
+        live = (t < input_lengths)[:, None]
+        new = jnp.where(live, new, alpha)
+        arc = jnp.where(live, arc, DEAD)
+        return new, arc
+
+    alpha0 = jnp.broadcast_to(start, (B, S))
+    alpha, backarcs = jax.lax.scan(step, alpha0, (em_arc, jnp.arange(T)))
+
+    final = alpha + accept
+    state = jnp.argmax(final, axis=-1).astype(jnp.int32)
+    score = jnp.max(final, axis=-1)
+
+    pad_src = jnp.concatenate([src[0], jnp.zeros((1,), jnp.int32)])
+    pad_label = jnp.concatenate([label[0], -jnp.ones((1,), jnp.int32)])
+    A_clamp = jnp.int32(A)
+
+    def backstep(state, arcs_t):
+        arc = jnp.take_along_axis(arcs_t, state[:, None], axis=1)[:, 0]
+        valid = arc < A
+        arc_c = jnp.minimum(arc, A_clamp)
+        lab = jnp.where(valid, pad_label[arc_c], -1)
+        prev = jnp.where(valid, pad_src[arc_c], state)
+        return prev, lab
+
+    _, labels_rev = jax.lax.scan(backstep, state, backarcs, reverse=True)
+    return labels_rev.transpose(1, 0), score
+
+
 def viterbi_batch(em, table: ArcTable, input_lengths=None):
+    if (
+        jax.default_backend() == "tpu"
+        and table.eps_depth == 0
+        and jnp.asarray(table.src).ndim == 1
+    ):
+        return _viterbi_batched_pallas(em, table, input_lengths)
     if input_lengths is None:
         return jax.vmap(lambda e: viterbi(e, table))(em)
     return jax.vmap(lambda e, l: viterbi(e, table, l))(em, input_lengths)

@@ -107,3 +107,36 @@ def test_batched_pallas_scan_matches_vmap():
         ).sum()
     )(em)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3)
+
+
+def test_viterbi_batched_pallas_matches_vmap():
+    rng = np.random.RandomState(5)
+    g = Graph()
+    for i in range(6):
+        g.add_node(i == 0, i >= 4)
+    for _ in range(14):
+        s = rng.randint(0, 5)
+        d = rng.randint(s, 6)
+        lbl = rng.randint(0, 4)
+        g.add_arc(s, min(d, 5), lbl, lbl, float(rng.randn() * 0.3))
+    for i in range(6):
+        g.add_arc(i, i, rng.randint(0, 4), None, float(rng.randn() * 0.3))
+
+    cg = wfst.compile_acceptor(g, semiring="tropical", remove_eps=True)
+    table = wfst.to_arc_table(cg)
+    B, T, C = 3, 8, 4
+    em = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    lens = jnp.asarray([8, 5, 8], jnp.int32)
+
+    ref_labels, ref_scores = jax.vmap(
+        lambda e, l: sparse.viterbi(e, table, l)
+    )(em, lens)
+    labels, scores = sparse._viterbi_batched_pallas(em, table, lens)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-4
+    )
+    # label sequences must re-score identically (argmax ties can differ in
+    # dead-frame handling, so compare live frames only)
+    for b in range(B):
+        L = int(lens[b])
+        assert labels[b, :L].tolist() == ref_labels[b, :L].tolist()
