@@ -9,7 +9,6 @@ the ``sample_sizes`` protocol for width-sorted batching.  Images are numpy
 """
 
 import collections
-import multiprocessing as mp
 import os
 import random
 import re
@@ -116,7 +115,11 @@ class Dataset:
                 img_file = os.path.join(data_path, f"{key}.png")
                 images.append((img_file, example["box"], preprocessor.num_features))
                 text.append(example["text"])
-        with mp.Pool(processes=16) as pool:
+        # thread pool, not processes: PIL releases the GIL during
+        # decode/resize and os.fork() after JAX initialization deadlocks
+        from multiprocessing.pool import ThreadPool
+
+        with ThreadPool(processes=16) as pool:
             images = pool.map(load_image, images)
         self.dataset = list(zip(images, text))
 

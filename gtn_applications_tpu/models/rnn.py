@@ -29,6 +29,14 @@ class RNN(nn.Module):
     kernel_sizes: Sequence[Sequence[int]] = ((5, 5), (5, 5))
     strides: Sequence[Sequence[int]] = ((2, 2), (2, 2))
 
+    @property
+    def time_stride(self):
+        """Total downsampling along W (frames per output step)."""
+        out = 1
+        for s in self.strides:
+            out *= s[1]
+        return out
+
     @nn.compact
     def __call__(self, inputs, train=False):
         cell_type = self.cell_type.upper()

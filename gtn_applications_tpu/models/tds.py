@@ -78,6 +78,14 @@ class TDS(nn.Module):
     kernel_size: int
     dropout: float
 
+    @property
+    def time_stride(self):
+        """Total downsampling along W (frames per output step)."""
+        out = 1
+        for g in self.tds_groups:
+            out *= g.get("stride", 2)
+        return out
+
     @nn.compact
     def __call__(self, inputs, train=False):
         # inputs: [B, H, W] -> time-major [B, W, H]

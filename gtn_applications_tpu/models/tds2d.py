@@ -64,6 +64,11 @@ class TDS2d(nn.Module):
     dropout: float
     in_channels: int = 1
 
+    @property
+    def time_stride(self):
+        """Total downsampling along W (frames per output step)."""
+        return int(np.prod([g["stride"][1] for g in self.tds_groups]))
+
     @nn.compact
     def __call__(self, inputs, train=False):
         B, H, W = inputs.shape
@@ -117,6 +122,12 @@ class TDS2dTransducer(nn.Module):
     tds2: Dict[str, Any]
     wfst: bool = True
     conv_kwargs: Dict[str, Any] = None
+
+    @property
+    def time_stride(self):
+        s1 = int(np.prod([g["stride"][1] for g in self.tds1["tds_groups"]]))
+        s2 = int(np.prod([g["stride"][1] for g in self.tds2["tds_groups"]]))
+        return s1 * self.stride * s2
 
     def setup(self):
         with open(self.tokens, "r") as fid:

@@ -82,14 +82,20 @@ def clip_global_norm(grads, max_norm):
 
 
 def make_train_step(model, criterion, lr_model, lr_crit, max_grad_norm):
-    """Build the jitted SPMD train step: forward, loss, grads, clip, SGD."""
+    """Build the jitted SPMD train step: forward, loss, grads, clip, SGD.
 
-    def step(params, inputs, prepared, dropout_rng, lr_scale):
+    ``input_lengths`` (None for reference parity — the reference scores
+    zero-padded frames, train.py:259-265) masks padded frames out of the
+    lattice when the config sets optim.use_input_lengths."""
+
+    def step(params, inputs, prepared, dropout_rng, lr_scale, input_lengths=None):
         def loss_fn(p):
             outputs = model.apply(
                 p["model"], inputs, train=True, rngs={"dropout": dropout_rng}
             )
-            loss = criterion.loss(p["criterion"], outputs, prepared)
+            loss = criterion.loss(
+                p["criterion"], outputs, prepared, input_lengths
+            )
             return loss, outputs
 
         (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -109,20 +115,31 @@ def make_train_step(model, criterion, lr_model, lr_crit, max_grad_norm):
 
 
 def make_eval_step(model, criterion):
-    def step(params, inputs, prepared):
+    def step(params, inputs, prepared, input_lengths=None):
         outputs = model.apply(params["model"], inputs)
-        loss = criterion.loss(params["criterion"], outputs, prepared)
+        loss = criterion.loss(
+            params["criterion"], outputs, prepared, input_lengths
+        )
         return loss, outputs
 
     return jax.jit(step)
 
 
-def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step):
+def output_lengths(model, widths):
+    """Map input widths to encoder output frame counts via the model's
+    total time stride."""
+    stride = getattr(model, "time_stride", 1)
+    return jnp.asarray(-(-np.asarray(widths) // stride), dtype=jnp.int32)
+
+
+def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
+         use_lengths=False):
     meters = utils.Meters()
     for inputs, widths, targets in data_loader:
         inputs = shard_batch(inputs, mesh)
         prepared = criterion.prepare(targets)
-        loss, outputs = eval_step(params, inputs, prepared)
+        lens = output_lengths(model, widths) if use_lengths else None
+        loss, outputs = eval_step(params, inputs, prepared, lens)
         meters.loss += float(loss) * len(targets)
         meters.num_samples += len(targets)
         predictions = criterion.viterbi(outputs, params["criterion"])
@@ -259,15 +276,17 @@ def train(args):
         # CER/WER (which requires decoding on host) is sampled every
         # ``metrics_interval`` steps (1 = reference parity).
         metrics_interval = config["optim"].get("metrics_interval", 1)
+        use_lengths = config["optim"].get("use_input_lengths", False)
         step_idx = 0
         pending_losses = []
         for inputs, widths, targets in train_loader:
             inputs = shard_batch(inputs, mesh)
             prepared = criterion.prepare(targets)
+            lens = output_lengths(model, widths) if use_lengths else None
             timers.stop("ds_fetch").start("model_fwd")
             rng, dropout_rng = jax.random.split(rng)
             params, loss, outputs = train_step(
-                params, inputs, prepared, dropout_rng, lr_scale
+                params, inputs, prepared, dropout_rng, lr_scale, lens
             )
             timers.stop("model_fwd").start("metrics")
             num_updates += 1
@@ -307,7 +326,8 @@ def train(args):
         if hasattr(criterion, "eval"):
             criterion.eval()
         val_loss, val_cer, val_wer = test(
-            model, criterion, params, val_loader, preprocessor, mesh, eval_step
+            model, criterion, params, val_loader, preprocessor, mesh,
+            eval_step, use_lengths,
         )
         timers.stop("test_total")
         if world_rank == 0:
@@ -346,6 +366,8 @@ def train(args):
 
 def main():
     args = parse_args()
+    if args.disable_tpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=args.coordinator_address,

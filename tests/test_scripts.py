@@ -176,3 +176,51 @@ def test_wordpiece_lexicon_files():
         word, *pieces = lex[0].split()
         assert word == "aba"
         assert "".join(pieces) == "▁aba"
+
+
+REF_TOKENS = "/root/reference/benchmarks/word_pieces_tokens_1000.txt"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_TOKENS), reason="reference vocabulary not mounted"
+)
+def test_reference_vocab_conformance():
+    """Tokenization with the reference's checked-in 1k wordpiece vocabulary:
+    deterministic ids via the lexicon path (the BASELINE conformance
+    surface) and full grapheme coverage for Viterbi segmentation."""
+    import math as _math
+
+    from gtn_applications_tpu.datasets.text import TextPreprocessor
+    from gtn_applications_tpu.scripts.wordpiece import UnigramModel
+
+    with open(REF_TOKENS) as fid:
+        pieces = [l.strip() for l in fid]
+    assert len(pieces) == 999 or len(pieces) == 1000
+
+    # a uniform unigram model over the reference pieces segments any
+    # training-domain string without unk fallback
+    model = UnigramModel({p: -_math.log(len(pieces)) for p in pieces})
+    for word in ["the", "move", "hello", "a", "recognition"]:
+        seg = model.encode(word)
+        assert "".join(seg) == "▁" + word
+        assert model.encode(word) == model.encode(word)  # deterministic
+
+    # Preprocessor.to_index through a lexicon built from the pieces is
+    # byte-deterministic
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tok_path = os.path.join(d, "tokens.txt")
+        with open(tok_path, "w") as fid:
+            fid.write("\n".join(pieces))
+        lex_path = os.path.join(d, "lex.txt")
+        with open(lex_path, "w") as fid:
+            for w in ["the", "move"]:
+                fid.write("{} {}\n".format(w, " ".join(model.encode(w))))
+        pre = TextPreprocessor(
+            ["the▁move"], tokens_path=tok_path, lexicon_path=lex_path
+        )
+        ids1 = pre.to_index("the▁move").tolist()
+        ids2 = pre.to_index("the▁move").tolist()
+        assert ids1 == ids2
+        assert pre.to_text(ids1) in ("the▁move", "▁the▁move")

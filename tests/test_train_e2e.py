@@ -140,3 +140,19 @@ def test_train_audio_pipeline():
     args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
     train_mod.train(args)
     assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
+
+
+def test_train_with_input_lengths():
+    """use_input_lengths masks padded frames out of the lattice."""
+    from gtn_applications_tpu import train as train_mod
+
+    tmpdir = tempfile.mkdtemp()
+    cfg = _write_config(tmpdir, epochs=1)
+    with open(cfg) as fid:
+        config = json.load(fid)
+    config["optim"]["use_input_lengths"] = True
+    with open(cfg, "w") as fid:
+        json.dump(config, fid)
+    args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
+    train_mod.train(args)
+    assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
