@@ -19,6 +19,7 @@ from gtn_applications_tpu.train import make_train_step
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    dtype = jnp.bfloat16 if "--bf16" in sys.argv else None
     H, W = 64, 512  # ~mean IAM line width after resize
     model = TDS2d(
         input_size=H, output_size=80, depth=4,
@@ -28,7 +29,7 @@ def main():
             {"channels": 32, "num_blocks": 3, "stride": [2, 1]},
             {"channels": 64, "num_blocks": 3, "stride": [2, 1]},
         ],
-        kernel_size=[5, 7], dropout=0.1,
+        kernel_size=[5, 7], dropout=0.1, dtype=dtype,
     )
     criterion = CTC(blank=79)
     rng = np.random.RandomState(0)
@@ -51,7 +52,8 @@ def main():
         p, loss, _ = step(p, x, prepared, key, 1.0)
     jax.block_until_ready(loss)
     ms = (time.perf_counter() - start) / iters * 1000
-    print(f"train step B={B} H={H} W={W}: {ms:.2f} ms/step, "
+    tag = " bf16" if dtype is not None else ""
+    print(f"train step B={B} H={H} W={W}{tag}: {ms:.2f} ms/step, "
           f"{B / ms * 1000:.1f} images/s")
 
 

@@ -8,7 +8,7 @@ downsample layers between groups.  Layout here is feature-last ([B, W, CH])
 torch's channel-first.
 """
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -17,7 +17,10 @@ import jax.numpy as jnp
 
 class InstanceNorm(nn.Module):
     """InstanceNorm1d/2d with affine params (torch semantics: normalize per
-    sample per channel over the spatial axes, no running stats)."""
+    sample per channel over the spatial axes, no running stats).
+
+    Statistics are always computed in fp32 regardless of the activation
+    dtype (bf16 means/variances lose too much precision)."""
 
     features: int
     axes: Sequence[int]  # spatial axes to reduce over
@@ -25,12 +28,14 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: [..., features] with spatial axes self.axes
-        mean = jnp.mean(x, axis=self.axes, keepdims=True)
-        var = jnp.var(x, axis=self.axes, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=self.axes, keepdims=True)
+        var = jnp.var(x32, axis=self.axes, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return y * scale + bias
+        return (y * scale + bias).astype(dtype)
 
 
 class TDSBlock(nn.Module):
@@ -40,6 +45,7 @@ class TDSBlock(nn.Module):
     num_features: int
     kernel_size: int
     dropout: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -52,6 +58,7 @@ class TDSBlock(nn.Module):
             features=C,
             kernel_size=(self.kernel_size, 1),
             padding=((self.kernel_size // 2, self.kernel_size // 2), (0, 0)),
+            dtype=self.dtype,
         )(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -59,10 +66,10 @@ class TDSBlock(nn.Module):
         x = y + x
         x = InstanceNorm(features=CH, axes=(1,))(x)
 
-        y = nn.Dense(CH)(x)
+        y = nn.Dense(CH, dtype=self.dtype)(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(CH)(y)
+        y = nn.Dense(CH, dtype=self.dtype)(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = y + x
         x = InstanceNorm(features=CH, axes=(1,))(x)
@@ -77,6 +84,7 @@ class TDS(nn.Module):
     tds_groups: Sequence[dict]
     kernel_size: int
     dropout: float
+    dtype: Any = None  # compute dtype, e.g. jnp.bfloat16 (params stay fp32)
 
     @property
     def time_stride(self):
@@ -90,6 +98,8 @@ class TDS(nn.Module):
     def __call__(self, inputs, train=False):
         # inputs: [B, H, W] -> time-major [B, W, H]
         x = inputs.transpose(0, 2, 1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for tds_group in self.tds_groups:
             out_channels = self.input_size * tds_group["channels"]
             stride = tds_group.get("stride", 2)
@@ -98,6 +108,7 @@ class TDS(nn.Module):
                 kernel_size=(self.kernel_size,),
                 strides=(stride,),
                 padding=((self.kernel_size // 2, self.kernel_size // 2),),
+                dtype=self.dtype,
             )(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -108,5 +119,7 @@ class TDS(nn.Module):
                     self.input_size,
                     self.kernel_size,
                     self.dropout,
+                    dtype=self.dtype,
                 )(x, train=train)
-        return nn.Dense(self.output_size)(x)
+        # logits in fp32 for the lattice criteria
+        return nn.Dense(self.output_size)(x.astype(jnp.float32))

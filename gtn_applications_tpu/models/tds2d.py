@@ -24,6 +24,7 @@ class TDSBlock2d(nn.Module):
     img_depth: int
     kernel_size: Sequence[int]
     dropout: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -36,6 +37,7 @@ class TDSBlock2d(nn.Module):
             features=C,
             kernel_size=(kh, kw, 1),
             padding=((kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+            dtype=self.dtype,
         )(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -43,10 +45,10 @@ class TDSBlock2d(nn.Module):
         x = y + x
         x = InstanceNorm(features=CD, axes=(1, 2))(x)
 
-        y = nn.Dense(CD)(x)
+        y = nn.Dense(CD, dtype=self.dtype)(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.Dense(CD)(y)
+        y = nn.Dense(CD, dtype=self.dtype)(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = y + x
         x = InstanceNorm(features=CD, axes=(1, 2))(x)
@@ -63,6 +65,7 @@ class TDS2d(nn.Module):
     kernel_size: Sequence[int]
     dropout: float
     in_channels: int = 1
+    dtype: Any = None  # compute dtype, e.g. jnp.bfloat16 (params stay fp32)
 
     @property
     def time_stride(self):
@@ -81,6 +84,8 @@ class TDS2d(nn.Module):
         # torch reshape [B, C_in, H//C_in, W] (C_in major) -> feature-last
         c_in = self.in_channels
         x = inputs.reshape(B, c_in, H // c_in, W).transpose(0, 2, 3, 1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for tds_group in self.tds_groups:
             out_channels = self.depth * tds_group["channels"]
             x = nn.Conv(
@@ -88,6 +93,7 @@ class TDS2d(nn.Module):
                 kernel_size=(kh, kw),
                 strides=tuple(tds_group["stride"]),
                 padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                dtype=self.dtype,
             )(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -95,13 +101,14 @@ class TDS2d(nn.Module):
             for _ in range(tds_group["num_blocks"]):
                 x = TDSBlock2d(
                     tds_group["channels"], self.depth, self.kernel_size,
-                    self.dropout,
+                    self.dropout, dtype=self.dtype,
                 )(x, train=train)
         # [B, H', W', C] -> [B, W', C*H'] (C major, matching torch
         # reshape(B, C*H, W)) -> Dense
         B2, H2, W2, C2 = x.shape
         x = x.transpose(0, 2, 3, 1).reshape(B2, W2, C2 * H2)
-        return nn.Dense(self.output_size)(x)
+        # logits in fp32 for the lattice criteria
+        return nn.Dense(self.output_size)(x.astype(jnp.float32))
 
 
 class TDS2dTransducer(nn.Module):

@@ -146,16 +146,41 @@ def padding_collate(samples, width_multiple=16):
 
 
 class DataLoader:
-    """Minimal synchronous loader: sampler -> collated numpy batches."""
+    """Loader with background-thread prefetch: sampler -> collated numpy
+    batches, with up to ``prefetch`` batches prepared ahead so host data
+    work (augmentation, collation, target padding) overlaps device steps
+    (the reference leans on torch DataLoader workers, utils.py:28-35)."""
 
-    def __init__(self, dataset, sampler, collate_fn=padding_collate):
+    def __init__(self, dataset, sampler, collate_fn=padding_collate, prefetch=2):
         self.dataset = dataset
         self.sampler = sampler
         self.collate_fn = collate_fn
+        self.prefetch = prefetch
+
+    def _produce(self, queue):
+        for batch_indices in self.sampler:
+            queue.put(self.collate_fn([self.dataset[i] for i in batch_indices]))
+        queue.put(None)
 
     def __iter__(self):
-        for batch_indices in self.sampler:
-            yield self.collate_fn([self.dataset[i] for i in batch_indices])
+        if self.prefetch <= 0:
+            for batch_indices in self.sampler:
+                yield self.collate_fn(
+                    [self.dataset[i] for i in batch_indices]
+                )
+            return
+        import queue as queue_mod
+        import threading
+
+        q = queue_mod.Queue(maxsize=self.prefetch)
+        worker = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        worker.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        worker.join()
 
     def __len__(self):
         return len(self.sampler)
@@ -286,7 +311,18 @@ CudaTimer = Timer  # API-compat alias; device sync is explicit via stop(sync=)
 
 
 def load_model(model_type, input_size, output_size, config):
+    """Model factory (reference utils.py:232-242).  An optional "dtype"
+    key ("bfloat16" / "float32") selects the compute dtype for TDS/TDS2d
+    encoders — MXU-native bf16 activations with fp32 params and fp32
+    logits."""
+    import jax.numpy as jnp
+
     from .models import RNN, TDS, TDS2d, TDS2dTransducer
+
+    config = dict(config)
+    dtype = config.pop("dtype", None)
+    if dtype is not None and model_type in ("tds", "tds2d"):
+        config["dtype"] = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
     if model_type == "rnn":
         return RNN(input_size=input_size, output_size=output_size, **config)

@@ -94,3 +94,28 @@ def test_dropout_train_mode():
     det1 = model.apply(params, x)
     det2 = model.apply(params, x)
     np.testing.assert_allclose(np.asarray(det1), np.asarray(det2))
+
+
+def test_tds2d_bf16_compute():
+    model = TDS2d(
+        input_size=8,
+        output_size=5,
+        depth=2,
+        tds_groups=[{"channels": 2, "num_blocks": 1, "stride": [2, 2]}],
+        kernel_size=[3, 3],
+        dropout=0.0,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 12).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.dtype == jnp.float32  # logits stay fp32
+    # params stay fp32
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    # close to the fp32 model's output
+    import dataclasses
+
+    model32 = dataclasses.replace(model, dtype=None)
+    out32 = model32.apply(params, x)
+    assert float(jnp.max(jnp.abs(out - out32))) < 0.15

@@ -156,3 +156,28 @@ def test_train_with_input_lengths():
     args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
     train_mod.train(args)
     assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
+
+
+def test_restore_continues_training():
+    from gtn_applications_tpu import train as train_mod
+
+    tmpdir = tempfile.mkdtemp()
+    cfg = _write_config(tmpdir, epochs=1)
+    args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
+    train_mod.train(args)
+
+    # continue for a second epoch from the checkpoint
+    cfg2 = _write_config(tmpdir, epochs=2)
+    args2 = train_mod.parse_args(
+        [
+            "--config", cfg2, "--checkpoint_path", tmpdir,
+            "--restore", "--last_epoch", "1",
+        ]
+    )
+    train_mod.train(args2)
+    import pickle
+
+    with open(os.path.join(tmpdir, "model.checkpoint"), "rb") as fid:
+        state = pickle.load(fid)
+    assert state["epoch"] == 1
+    assert state["num_updates"] == 16  # 8 batches/epoch x 2 epochs
