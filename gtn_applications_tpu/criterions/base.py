@@ -16,10 +16,6 @@ A criterion instance is also callable with stored parameters
 (``crit(inputs, targets)``) for parity with the reference's module API.
 """
 
-from typing import Any, Optional
-
-import numpy as np
-
 
 class Criterion:
     """Base class; subclasses implement the four methods above."""

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sparse
-from ..ops.semiring import NEG
 from ..wfst import compile as wcompile
 from ..wfst.graph import Graph
 from .base import Criterion

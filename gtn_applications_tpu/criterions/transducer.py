@@ -15,15 +15,13 @@ transition arc weights stay differentiable across the host composition via
 arc provenance maps: device arc weight = static weight + params[widx].
 """
 
-import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sparse
-from ..ops.semiring import NEG
 from ..wfst import compile as wcompile
 from ..wfst import graph as wgraph
 from ..wfst import ops as wops

@@ -7,9 +7,7 @@ defaults: power-2 spectrogram, HTK mel scale, no filterbank norm, center
 padding (reflect), hann window.
 """
 
-import math
 import wave
-from typing import Optional
 
 import numpy as np
 

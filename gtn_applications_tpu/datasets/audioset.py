@@ -11,8 +11,6 @@ import json
 import os
 import re
 
-import numpy as np
-
 from .audio import MelSpectrogram, load_audio, log_normalize
 from .text import TextPreprocessor, WORDSEP
 

@@ -6,7 +6,7 @@ import numpy as np
 
 from .audio import MelSpectrogram, log_normalize
 from .synthetic import _ALPHABET, _make_corpus
-from .text import TextPreprocessor, WORDSEP
+from .text import TextPreprocessor
 
 SAMPLE_RATE = 16000
 _CHAR_MS = 80

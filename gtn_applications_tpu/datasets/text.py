@@ -8,7 +8,6 @@ word separator, and the inverse maps used for CER/WER scoring.
 """
 
 import itertools
-from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -8,7 +8,7 @@ downsample layers between groups.  Layout here is feature-last ([B, W, CH])
 torch's channel-first.
 """
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

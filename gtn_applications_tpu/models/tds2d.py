@@ -7,7 +7,7 @@ kernel (1, kh, kw) over [B, C, D, H, W] becomes a 3-D Conv with kernel
 (kh, kw, 1) over [B, H, W, D, C] — identical math, MXU-friendly layout.
 """
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ vocab-entry) lattice is scored simultaneously with a K-step vectorized
 recursion — MXU/VPU-friendly with no per-sample host work.
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -20,11 +20,8 @@ Mosaic block divisibility rules.  Emissions are pre-gathered per state by a
 one-hot MXU contraction (ops.semiring.gather_channels).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

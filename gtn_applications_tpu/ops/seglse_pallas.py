@@ -20,8 +20,6 @@ the state rides as [B, 1, S] so block shapes satisfy Mosaic's divisibility
 rules.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

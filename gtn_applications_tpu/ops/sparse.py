@@ -23,8 +23,6 @@ Arc table convention (all int32 / float32, padded to fixed length):
 """
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,6 @@ asserts WFST-vs-oracle parity (a stronger internal check than an external
 binary).
 """
 
-import math
-
 from ..wfst.graph import EPSILON, Graph
 
 UNK = "<unk>"

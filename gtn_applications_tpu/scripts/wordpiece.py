@@ -18,7 +18,7 @@ ids 1..N, saved as ``{prefix}_tokens_{N}.txt`` / ``{prefix}_lex_{N}.txt``.
 
 import collections
 import math
-from typing import Dict, Iterable, List, Optional
+from typing import Dict
 
 WORDSEP = "▁"
 _NEG = -1e30

@@ -7,8 +7,6 @@ import json
 import logging
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from . import utils
 from .train import load_experiment, make_eval_step, make_mesh, shard_batch

@@ -13,11 +13,8 @@ Metric sync is a host allgather (utils.Meters.sync).
 """
 
 import argparse
-import functools
 import json
 import logging
-import os
-import sys
 import time
 
 import jax

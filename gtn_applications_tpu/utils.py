@@ -8,13 +8,12 @@ all_reduce, and timers bracket device work with ``block_until_ready``.
 """
 
 import importlib.util
-import json
 import logging
 import os
 import pickle
 import sys
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

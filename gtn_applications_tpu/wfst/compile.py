@@ -8,7 +8,7 @@ graphs.  This is the TPU replacement for handing GTN pointer graphs to a
 C++ thread pool (reference criterions/transducer.py:260-296).
 """
 
-from typing import List, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import numpy as np
 

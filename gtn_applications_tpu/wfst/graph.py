@@ -16,7 +16,7 @@ which is required for log-semiring forward-score parity with GTN, whose
 """
 
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 EPSILON = -1
 
