@@ -125,6 +125,8 @@ class STC(Criterion):
             cg = wcompile.compile_acceptor(g)
             star_mask = (cg.weight == _STAR_SENTINEL).astype(np.float32)
             hit = (cg._replace(weight=cg.weight * (1.0 - star_mask)), star_mask)
+            if len(self._graph_cache) > 100000:
+                self._graph_cache.clear()
             self._graph_cache[key] = hit
         return hit
 

@@ -219,6 +219,8 @@ class Transducer(Criterion):
                 eps_depth=t["eps_depth"],
             )
             result = (cg, t["widx"], t["eps_widx"])
+            if len(self._align_cache) > 100000:
+                self._align_cache.clear()
             self._align_cache[target] = result
             return result
         target_chain = make_chain_graph(target)
@@ -243,6 +245,8 @@ class Transducer(Criterion):
             widx = -np.ones(len(cg.src), dtype=np.int32)
             eps_widx = -np.ones(len(cg.eps_src), dtype=np.int32)
         result = (cg, widx, eps_widx)
+        if len(self._align_cache) > 100000:
+            self._align_cache.clear()
         self._align_cache[target] = result
         return result
 

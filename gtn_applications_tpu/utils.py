@@ -410,6 +410,9 @@ def load_checkpoint(checkpoint_path, load_last=False):
         return pickle.load(fid)
 
 
-def load_from_checkpoint(model_params, criterion_params, checkpoint_path, load_last=False):
+def load_from_checkpoint(checkpoint_path, load_last=False):
+    """Reference-API-shaped loader (utils.py:276-283): returns the
+    (model_params, criterion_params) pair from a saved train state."""
     state = load_checkpoint(checkpoint_path, load_last)
-    return state["model_params"], state["criterion_params"]
+    params = state["params"]
+    return params["model"], params["criterion"]
