@@ -172,6 +172,78 @@ def ctc_greedy_decode(outputs):
     return jnp.argmax(outputs, axis=2)
 
 
+def ctc_forward_score_assoc(
+    log_probs, targets, target_lengths, blank, input_lengths=None
+):
+    """CTC forward score as a parallel prefix over band transition operators.
+
+    The log-semiring scan is associative, so the time recursion can be
+    computed as an ``associative_scan`` over per-step [S, S] operators
+    ``M_t[s', s] = em[t, s'] + log(allowed(s -> s'))`` — O(T·S³) work and
+    O(T·S²) memory versus the sequential scan's O(T·S), but with O(log T)
+    depth.  This is the *sequence-sharding* form (SURVEY §5 long-context
+    axis): sharding the leading T axis of the operator tensor across a mesh
+    lets XLA parallelize the prefix combine across chips with boundary
+    exchanges — profitable when chips x sequence length outweigh the S²
+    overhead (small lattices / very long inputs).  Numerically identical to
+    impl='scan' (tested); not the default on a single chip.
+    """
+    B, T, C = log_probs.shape
+    L = targets.shape[1]
+    S = 2 * L + 1
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    labels, skip_ok = ctc_state_tables(targets, blank)
+    em = gather_channels(log_probs, labels)  # [B, T, S]
+
+    # allowed-transition mask [B, S, S]: stay, advance, skip
+    eye = jnp.eye(S, dtype=bool)
+    adv = jnp.eye(S, k=-1, dtype=bool)
+    skp = jnp.eye(S, k=-2, dtype=bool) & skip_ok[:, :, None]
+    allowed = jnp.where(eye[None] | adv[None] | skp, 0.0, NEG)
+
+    # per-step operators, masked to identity for t >= input_length
+    ident = jnp.where(eye, 0.0, NEG)[None, None]
+    ops_t = em.transpose(1, 0, 2)[:, :, :, None] + allowed[None]  # [T,B,S,S]
+    live = (jnp.arange(T)[:, None] < input_lengths[None, :])[..., None, None]
+    ops_t = jnp.where(live, ops_t, ident)
+    # frame 0 consumes its emission without a transition (the sequential
+    # init alpha_0 = start + em[0]): a diagonal operator
+    ops0 = jnp.where(eye[None], em[:, 0, :, None], NEG)
+    ops_t = ops_t.at[0].set(ops0)
+
+    def combine(a, b):
+        # (b ∘ a)[i, j] = lse_k b[i, k] + a[k, j]  (a applied first)
+        x = b[..., :, :, None] + a[..., None, :, :]
+        m = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(x, axis=-2, keepdims=True), NEG)
+        )
+        return (
+            m + jnp.log(jnp.maximum(jnp.sum(jnp.exp(x - m), axis=-2,
+                                            keepdims=True), 1e-30))
+        )[..., 0, :]
+
+    prefix = jax.lax.associative_scan(combine, ops_t, axis=0)
+    total = prefix[-1]  # [B, S, S]
+
+    # alpha0 before the first step is the start potential; the t=0 operator
+    # already consumes frame 0's emission, so fold start into the apply.
+    start = jnp.where(
+        (jnp.arange(S)[None, :] == 0)
+        | ((jnp.arange(S)[None, :] == 1) & (target_lengths[:, None] > 0)),
+        0.0,
+        NEG,
+    )
+    alpha_final = logsumexp(total + start[:, None, :], axis=-1)  # [B, S]
+
+    last = jnp.take_along_axis(alpha_final, (2 * target_lengths)[:, None], 1)[:, 0]
+    prev_idx = jnp.maximum(2 * target_lengths - 1, 0)
+    prev = jnp.take_along_axis(alpha_final, prev_idx[:, None], 1)[:, 0]
+    prev = jnp.where(target_lengths > 0, prev, NEG)
+    return logaddexp(last, prev)
+
+
 # ---------------------------------------------------------------------------
 # ASG
 # ---------------------------------------------------------------------------
