@@ -81,12 +81,6 @@ def _eps_closure(alpha, table: ArcTable):
     return acc
 
 
-def _eps_closure_batched(alpha, table: ArcTable):
-    if table.eps_depth == 0:
-        return alpha
-    return jax.vmap(lambda a: _eps_closure(a, table))(alpha)
-
-
 def forward_score(em, table: ArcTable, input_length=None):
     """Log-semiring forward score of emissions ``em [T, C]`` through ``table``.
 

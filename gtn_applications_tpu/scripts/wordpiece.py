@@ -25,11 +25,28 @@ _NEG = -1e30
 
 
 class UnigramModel:
-    """Trained piece -> log prob table with Viterbi encoding."""
+    """Trained piece -> log prob table with Viterbi encoding.
+
+    Encoding dispatches to the native C++ segmenter (wfst.native) when the
+    library is available; the Python DP below is the semantic oracle."""
 
     def __init__(self, log_probs: Dict[str, float]):
         self.log_probs = dict(log_probs)
         self.max_len = max((len(p) for p in log_probs), default=1)
+        self._native = None
+
+    def _native_encoder(self):
+        if self._native is None:
+            from ..wfst import native
+
+            if native.available():
+                pieces = list(self.log_probs)
+                self._native = native.WordpieceEncoder(
+                    pieces, [self.log_probs[p] for p in pieces]
+                )
+            else:
+                self._native = False
+        return self._native or None
 
     def encode(self, text, add_dummy_prefix=True):
         """Viterbi segmentation into pieces; unknown characters fall back
@@ -37,6 +54,9 @@ class UnigramModel:
         this rare on training-domain text)."""
         if add_dummy_prefix:
             text = WORDSEP + text
+        enc = self._native_encoder()
+        if enc is not None:
+            return enc.encode(text)
         n = len(text)
         best = [_NEG] * (n + 1)
         back = [None] * (n + 1)

@@ -274,3 +274,70 @@ def compile_alignment(lexicon_handle, tokens_handle, transitions_handle, target)
         "eps_widx": eps_widx.astype(np.int32),
         "eps_depth": depth,
     }
+
+
+# ---------------------------------------------------------------------------
+# Wordpiece encoder bindings
+# ---------------------------------------------------------------------------
+
+
+def _bind_wordpiece(lib):
+    if getattr(lib, "_wp_bound", False):
+        return
+    lib.tw_wp_model_new.restype = ctypes.c_void_p
+    lib.tw_wp_model_new.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.tw_wp_model_free.argtypes = [ctypes.c_void_p]
+    lib.tw_wp_encode.restype = ctypes.c_int64
+    lib.tw_wp_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib._wp_bound = True
+
+
+class WordpieceEncoder:
+    """Native unigram Viterbi segmenter (scripts.wordpiece.UnigramModel
+    semantics: codepoint DP, longest-piece tie-break, -100 unk fallback)."""
+
+    def __init__(self, pieces, log_probs):
+        lib = load_library()
+        _bind_wordpiece(lib)
+        self.lib = lib
+        self.pieces = list(pieces)
+        arr = (ctypes.c_char_p * len(self.pieces))(
+            *[p.encode("utf-8") for p in self.pieces]
+        )
+        lp = np.asarray(log_probs, dtype=np.float32)
+        self.h = lib.tw_wp_model_new(arr, _ptr(lp, ctypes.c_float), len(self.pieces))
+        self._buf = np.zeros(4096, dtype=np.int32)
+
+    def __del__(self):
+        if getattr(self, "h", None):
+            self.lib.tw_wp_model_free(self.h)
+            self.h = None
+
+    def encode(self, text):
+        data = text.encode("utf-8")
+        n = self.lib.tw_wp_encode(
+            self.h, data, len(data), _ptr(self._buf, ctypes.c_int32),
+            len(self._buf),
+        )
+        if n == -1:
+            self._buf = np.zeros(len(self._buf) * 4, dtype=np.int32)
+            return self.encode(text)
+        if n < 0:
+            raise ValueError("wordpiece encode failed")
+        out = []
+        for v in self._buf[:n]:
+            if v >= 0:
+                out.append(self.pieces[v])
+            else:
+                off = -1 - int(v)
+                end = off + 1
+                while end < len(data) and (data[end] & 0xC0) == 0x80:
+                    end += 1
+                out.append(data[off:end].decode("utf-8"))
+        return out

@@ -21,6 +21,7 @@
 #include <unordered_map>
 #include <vector>
 #include <functional>
+#include <string>
 
 namespace {
 
@@ -628,6 +629,100 @@ void tw_tables_sizes(void* h, int64_t* sizes) {
   sizes[1] = (int64_t)t->eps_src.size();
   sizes[2] = t->num_states;
   sizes[3] = t->eps_depth;
+}
+
+// -- wordpiece Viterbi encoder ----------------------------------------------
+//
+// Unigram-LM segmentation (scripts/wordpiece.py UnigramModel.encode) over
+// UTF-8 text: DP over codepoint boundaries, piece lookup by byte substring,
+// single-codepoint unknown fallback at a strong penalty.  This is the
+// framework's hot string op (the BASELINE bytes/s north-star metric).
+
+struct WpModel {
+  std::unordered_map<std::string, std::pair<float, int32_t>> pieces;  // -> (logp, id)
+  int64_t max_cp_len = 1;  // max piece length in codepoints
+};
+
+static int64_t utf8_cp_len(const std::string& s) {
+  int64_t n = 0;
+  for (unsigned char c : s)
+    if ((c & 0xC0) != 0x80) n++;
+  return n;
+}
+
+void* tw_wp_model_new(const char** pieces, const float* log_probs,
+                      int64_t n) {
+  WpModel* m = new WpModel();
+  for (int64_t i = 0; i < n; ++i) {
+    std::string p(pieces[i]);
+    m->pieces[p] = {log_probs[i], (int32_t)i};
+    m->max_cp_len = std::max(m->max_cp_len, utf8_cp_len(p));
+  }
+  return m;
+}
+
+void tw_wp_model_free(void* h) { delete (WpModel*)h; }
+
+// Segment `text` (UTF-8, length text_len bytes); writes piece ids (or
+// -1 - codepoint_byte_offset for unk codepoints) to out; returns the number
+// of pieces, or -1 if out_cap is too small.
+int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,
+                     int32_t* out, int64_t out_cap) {
+  WpModel* m = (WpModel*)h;
+  // codepoint boundaries (byte offsets, including 0 and text_len)
+  std::vector<int64_t> bounds;
+  for (int64_t i = 0; i < text_len; ++i)
+    if (((unsigned char)text[i] & 0xC0) != 0x80) bounds.push_back(i);
+  bounds.push_back(text_len);
+  int64_t n = (int64_t)bounds.size() - 1;  // number of codepoints
+
+  constexpr double kNegS = -1e30;
+  constexpr double kUnk = -100.0;
+  std::vector<double> best(n + 1, kNegS);
+  std::vector<int64_t> back(n + 1, -1);
+  std::vector<int32_t> back_id(n + 1, -1);
+  best[0] = 0.0;
+  std::string buf;
+  for (int64_t e = 1; e <= n; ++e) {
+    int64_t s0 = std::max<int64_t>(0, e - m->max_cp_len);
+    for (int64_t s = s0; s < e; ++s) {
+      if (best[s] <= kNegS / 2) continue;
+      buf.assign(text + bounds[s], text + bounds[e]);
+      auto it = m->pieces.find(buf);
+      double lp;
+      int32_t id;
+      if (it != m->pieces.end()) {
+        lp = it->second.first;
+        id = it->second.second;
+      } else if (e - s == 1) {
+        lp = kUnk;
+        id = -1;
+      } else {
+        continue;
+      }
+      double cand = best[s] + lp;
+      if (cand > best[e]) {
+        best[e] = cand;
+        back[e] = s;
+        back_id[e] = id;
+      }
+    }
+  }
+  // backtrace
+  std::vector<int32_t> rev;
+  int64_t e = n;
+  while (e > 0) {
+    int64_t s = back[e];
+    if (s < 0) return -2;  // unreachable (shouldn't happen with unk fallback)
+    if (back_id[e] >= 0)
+      rev.push_back(back_id[e]);
+    else
+      rev.push_back((int32_t)(-1 - bounds[s]));  // unk at byte offset
+    e = s;
+  }
+  if ((int64_t)rev.size() > out_cap) return -1;
+  for (size_t i = 0; i < rev.size(); ++i) out[i] = rev[rev.size() - 1 - i];
+  return (int64_t)rev.size();
 }
 
 void tw_tables_export(void* h, int32_t* src, int32_t* dst, int32_t* label,

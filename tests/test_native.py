@@ -144,3 +144,29 @@ def test_transducer_uses_native(monkeypatch):
         monkeypatch.setenv("TW_NATIVE", "1")
         native._LIB = None
     assert abs(loss_native - loss_py) < 1e-5
+
+
+def test_wordpiece_native_matches_python():
+    import math
+
+    from gtn_applications_tpu.scripts.wordpiece import UnigramModel
+
+    rng = np.random.RandomState(7)
+    alphabet = "abcdef▁"
+    pieces = set(alphabet)
+    while len(pieces) < 60:
+        pieces.add(
+            "".join(rng.choice(list(alphabet), rng.randint(2, 5)))
+        )
+    lps = {p: float(-rng.rand() * 8 - 1) for p in pieces}
+
+    m_native = UnigramModel(dict(lps))
+    m_py = UnigramModel(dict(lps))
+    m_py._native = False  # force the Python DP
+
+    texts = [
+        "abc▁def", "aaaa", "fedcba", "ab▁cd▁ef", "x▁abc",  # x is unk
+        "", "a",
+    ]
+    for t in texts:
+        assert m_native.encode(t) == m_py.encode(t), t
