@@ -122,6 +122,30 @@ def make_eval_step(model, criterion):
     return jax.jit(step)
 
 
+def prepared_batches(loader, criterion, prefetch=2):
+    """Run criterion.prepare on a background thread so host graph
+    compilation (transducer alignment tables, STC label graphs) overlaps
+    device steps.  Yields (inputs, widths, targets, prepared)."""
+    import queue as queue_mod
+    import threading
+
+    q = queue_mod.Queue(maxsize=prefetch)
+
+    def produce():
+        for inputs, widths, targets in loader:
+            q.put((inputs, widths, targets, criterion.prepare(targets)))
+        q.put(None)
+
+    worker = threading.Thread(target=produce, daemon=True)
+    worker.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    worker.join()
+
+
 def output_lengths(model, widths):
     """Map input widths to encoder output frame counts via the model's
     total time stride."""
@@ -276,9 +300,10 @@ def train(args):
         use_lengths = config["optim"].get("use_input_lengths", False)
         step_idx = 0
         pending_losses = []
-        for inputs, widths, targets in train_loader:
+        for inputs, widths, targets, prepared in prepared_batches(
+            train_loader, criterion
+        ):
             inputs = shard_batch(inputs, mesh)
-            prepared = criterion.prepare(targets)
             lens = output_lengths(model, widths) if use_lengths else None
             timers.stop("ds_fetch").start("model_fwd")
             rng, dropout_rng = jax.random.split(rng)
