@@ -215,3 +215,20 @@ def test_device_viterbi_matches_host():
         # the emitted labels re-score to the same value
         host_path = wfst.viterbi_path(inter)
         assert len([l for l in labels.tolist() if l >= 0]) == T
+
+
+def test_device_scan_fuzz_with_eps():
+    """Random acceptors incl. weighted eps arcs: host forward_score vs the
+    compiled device scan, 20 graphs."""
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        g = _random_acceptor(rng, S=rng.randint(4, 9), A=rng.randint(8, 24))
+        T, C = rng.randint(3, 9), 4
+        em = rng.randn(T, C).astype(np.float32)
+        host = _host_score_with_emissions(g, em)
+        table = wfst.to_arc_table(wfst.compile_acceptor(g))
+        dev = float(sparse.forward_score(jnp.asarray(em), table))
+        if host <= NEG / 2:
+            assert dev <= NEG / 2 + 1e25, trial
+        else:
+            assert abs(host - dev) < 2e-3, (trial, host, dev)
