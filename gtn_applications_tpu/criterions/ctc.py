@@ -44,17 +44,16 @@ class CTC(Criterion):
 
     def viterbi(self, outputs, params=None, input_lengths=None):
         """Greedy best-path decode with repeat/blank collapse
-        (ctc.py:126-135).  Returns a list of 1-D int32 numpy arrays."""
+        (ctc.py:126-135).  Returns a list of 1-D int32 numpy arrays.
+
+        The collapse is vectorized over the whole batch (one boolean mask
+        pass) instead of per-sample Python loops."""
         preds = np.asarray(lattice.ctc_greedy_decode(outputs))
+        B, T = preds.shape
+        keep = np.ones((B, T), dtype=bool)
+        keep[:, 1:] = preds[:, 1:] != preds[:, :-1]
+        keep &= preds != self.blank
         if input_lengths is not None:
-            input_lengths = np.asarray(input_lengths)
-        out = []
-        for b, pred in enumerate(preds):
-            if input_lengths is not None:
-                pred = pred[: int(input_lengths[b])]
-            if len(pred) > 0:
-                mask = np.concatenate([[True], pred[1:] != pred[:-1]])
-                pred = pred[mask]
-            pred = pred[pred != self.blank]
-            out.append(pred.astype(np.int32))
-        return out
+            lens = np.asarray(input_lengths)
+            keep &= np.arange(T)[None, :] < lens[:, None]
+        return [preds[b, keep[b]].astype(np.int32) for b in range(B)]

@@ -26,8 +26,23 @@ import numpy as np
 
 
 def edit_distance(a, b) -> int:
-    """Levenshtein distance over any two sequences."""
+    """Levenshtein distance over any two sequences.
+
+    Dispatches to the native C++ DP (wfst.native) when available — the
+    per-step eval metric cost in the reference came from the external
+    `editdistance` C module; this keeps the same property."""
     a, b = list(a), list(b)
+    from .wfst import native as _native
+
+    if _native.available():
+        # map arbitrary hashable items to int ids
+        ids = {}
+        def enc(seq):
+            out = np.empty(len(seq), dtype=np.int32)
+            for i, x in enumerate(seq):
+                out[i] = ids.setdefault(x, len(ids))
+            return out
+        return _native.edit_distance_i32(enc(a), enc(b))
     if len(a) < len(b):
         a, b = b, a
     if not b:

@@ -341,3 +341,27 @@ class WordpieceEncoder:
                     end += 1
                 out.append(data[off:end].decode("utf-8"))
         return out
+
+
+def _bind_editdist(lib):
+    if getattr(lib, "_ed_bound", False):
+        return
+    lib.tw_edit_distance.restype = ctypes.c_int64
+    lib.tw_edit_distance.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib._ed_bound = True
+
+
+def edit_distance_i32(a, b):
+    """Levenshtein over int32 numpy arrays via the native library."""
+    lib = load_library()
+    _bind_editdist(lib)
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    return int(
+        lib.tw_edit_distance(
+            _ptr(a, ctypes.c_int32), len(a), _ptr(b, ctypes.c_int32), len(b)
+        )
+    )

@@ -725,6 +725,29 @@ int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,
   return (int64_t)rev.size();
 }
 
+// -- edit distance -----------------------------------------------------------
+
+// Levenshtein over int32 sequences (utils.edit_distance semantics).
+int64_t tw_edit_distance(const int32_t* a, int64_t n, const int32_t* b,
+                         int64_t m) {
+  if (n < m) {
+    std::swap(a, b);
+    std::swap(n, m);
+  }
+  if (m == 0) return n;
+  std::vector<int64_t> prev(m + 1), cur(m + 1);
+  for (int64_t j = 0; j <= m; ++j) prev[j] = j;
+  for (int64_t i = 1; i <= n; ++i) {
+    cur[0] = i;
+    for (int64_t j = 1; j <= m; ++j) {
+      int64_t sub = prev[j - 1] + (a[i - 1] != b[j - 1] ? 1 : 0);
+      cur[j] = std::min({prev[j] + 1, cur[j - 1] + 1, sub});
+    }
+    std::swap(prev, cur);
+  }
+  return prev[m];
+}
+
 void tw_tables_export(void* h, int32_t* src, int32_t* dst, int32_t* label,
                       float* weight, int64_t* widx, float* start,
                       float* accept, int32_t* eps_src, int32_t* eps_dst,
