@@ -116,7 +116,16 @@ def _seed_vocab(sentences, max_piece_len=16, seed_size=100000):
 
 
 def _e_step(sentences, model: UnigramModel):
-    """Forward-backward expected piece counts over all segmentations."""
+    """Forward-backward expected piece counts over all segmentations.
+
+    Dispatches to the native C++ implementation when available (the
+    Python DP below is the oracle); vocabulary induction over real corpora
+    is minutes-vs-seconds work."""
+    enc = model._native_encoder()
+    if enc is not None:
+        from ..wfst import native
+
+        return native.wordpiece_estep(enc, sentences)
     expected = collections.defaultdict(float)
     total_ll = 0.0
     max_len = model.max_len

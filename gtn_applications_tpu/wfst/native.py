@@ -365,3 +365,36 @@ def edit_distance_i32(a, b):
             _ptr(a, ctypes.c_int32), len(a), _ptr(b, ctypes.c_int32), len(b)
         )
     )
+
+
+def _bind_estep(lib):
+    if getattr(lib, "_estep_bound", False):
+        return
+    lib.tw_wp_estep.restype = ctypes.c_double
+    lib.tw_wp_estep.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib._estep_bound = True
+
+
+def wordpiece_estep(encoder: "WordpieceEncoder", sentences):
+    """Native forward-backward expected piece counts over all
+    segmentations.  Returns ({piece: count}, total log likelihood)."""
+    lib = encoder.lib
+    _bind_estep(lib)
+    data = bytearray()
+    offsets = np.zeros(len(sentences) + 1, dtype=np.int64)
+    for i, s in enumerate(sentences):
+        data.extend(s.encode("utf-8"))
+        offsets[i + 1] = len(data)
+    expected = np.zeros(len(encoder.pieces), dtype=np.float64)
+    buf = bytes(data)
+    ll = lib.tw_wp_estep(
+        encoder.h, buf, _ptr(offsets, ctypes.c_int64), len(sentences),
+        _ptr(expected, ctypes.c_double),
+    )
+    counts = {
+        p: float(c) for p, c in zip(encoder.pieces, expected) if c > 0.0
+    }
+    return counts, float(ll)

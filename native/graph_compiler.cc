@@ -663,6 +663,14 @@ void* tw_wp_model_new(const char** pieces, const float* log_probs,
 
 void tw_wp_model_free(void* h) { delete (WpModel*)h; }
 
+double tw_wp_estep_impl(WpModel* m, const char* text, const int64_t* offsets,
+                        int64_t n_sent, double* expected);
+
+double tw_wp_estep(void* h, const char* text, const int64_t* offsets,
+                   int64_t n_sent, double* expected) {
+  return tw_wp_estep_impl((WpModel*)h, text, offsets, n_sent, expected);
+}
+
 // Segment `text` (UTF-8, length text_len bytes); writes piece ids (or
 // -1 - codepoint_byte_offset for unk codepoints) to out; returns the number
 // of pieces, or -1 if out_cap is too small.
@@ -723,6 +731,91 @@ int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,
   if ((int64_t)rev.size() > out_cap) return -1;
   for (size_t i = 0; i < rev.size(); ++i) out[i] = rev[rev.size() - 1 - i];
   return (int64_t)rev.size();
+}
+
+// -- wordpiece EM E-step -----------------------------------------------------
+//
+// Forward-backward expected piece counts over all segmentations
+// (scripts/wordpiece.py _e_step semantics: codepoint DP, -100 unk fallback
+// for single codepoints, posterior threshold exp(-30)).
+
+double wp_logadd(double a, double b) {
+  if (a <= -1e29) return b;
+  if (b <= -1e29) return a;
+  double m = std::max(a, b);
+  return m + std::log(std::exp(a - m) + std::exp(b - m));
+}
+
+// sentences: concatenated UTF-8 buffer with offsets[n_sent + 1].
+// expected[i] accumulates the count for piece id i; returns total loglik.
+double tw_wp_estep_impl(WpModel* m, const char* text,
+                        const int64_t* offsets, int64_t n_sent,
+                        double* expected) {
+  constexpr double kNegS = -1e30;
+  constexpr double kUnk = -100.0;
+  double total_ll = 0.0;
+  std::string buf;
+  for (int64_t si = 0; si < n_sent; ++si) {
+    const char* s = text + offsets[si];
+    int64_t len = offsets[si + 1] - offsets[si];
+    std::vector<int64_t> bounds;
+    for (int64_t i = 0; i < len; ++i)
+      if (((unsigned char)s[i] & 0xC0) != 0x80) bounds.push_back(i);
+    bounds.push_back(len);
+    int64_t n = (int64_t)bounds.size() - 1;
+    if (n == 0) continue;
+
+    // matches[e]: list of (start, logp, piece_id or -1 for unk)
+    struct Match { int64_t st; float lp; int32_t id; };
+    std::vector<std::vector<Match>> matches(n + 1);
+    std::vector<double> alpha(n + 1, kNegS), beta(n + 1, kNegS);
+    alpha[0] = 0.0;
+    for (int64_t e = 1; e <= n; ++e) {
+      int64_t s0 = std::max<int64_t>(0, e - m->max_cp_len);
+      double acc = kNegS;
+      for (int64_t st = s0; st < e; ++st) {
+        buf.assign(s + bounds[st], s + bounds[e]);
+        auto it = m->pieces.find(buf);
+        float lp;
+        int32_t id;
+        if (it != m->pieces.end()) {
+          lp = it->second.first;
+          id = it->second.second;
+        } else if (e - st == 1) {
+          lp = (float)kUnk;
+          id = -1;
+        } else {
+          continue;
+        }
+        matches[e].push_back({st, lp, id});
+        if (alpha[st] > kNegS / 2) acc = wp_logadd(acc, alpha[st] + lp);
+      }
+      alpha[e] = acc;
+    }
+    if (alpha[n] <= kNegS / 2) continue;
+    total_ll += alpha[n];
+    beta[n] = 0.0;
+    for (int64_t st = n - 1; st >= 0; --st) {
+      double acc = kNegS;
+      int64_t emax = std::min(n, st + m->max_cp_len);
+      for (int64_t e = st + 1; e <= emax; ++e) {
+        for (auto& mt : matches[e]) {
+          if (mt.st != st) continue;
+          if (beta[e] > kNegS / 2) acc = wp_logadd(acc, mt.lp + beta[e]);
+        }
+      }
+      beta[st] = acc;
+    }
+    for (int64_t e = 1; e <= n; ++e) {
+      for (auto& mt : matches[e]) {
+        if (mt.id < 0) continue;
+        if (alpha[mt.st] <= kNegS / 2 || beta[e] <= kNegS / 2) continue;
+        double post = alpha[mt.st] + mt.lp + beta[e] - alpha[n];
+        if (post > -30.0) expected[mt.id] += std::exp(post);
+      }
+    }
+  }
+  return total_ll;
 }
 
 // -- edit distance -----------------------------------------------------------

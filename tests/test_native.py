@@ -170,3 +170,24 @@ def test_wordpiece_native_matches_python():
     ]
     for t in texts:
         assert m_native.encode(t) == m_py.encode(t), t
+
+
+def test_wordpiece_estep_matches_python():
+    from gtn_applications_tpu.scripts import wordpiece as wp
+
+    rng = np.random.RandomState(8)
+    alphabet = "abcd▁"
+    pieces = set(alphabet) | {"ab", "cd", "▁a", "bcd"}
+    lps = {p: float(-rng.rand() * 4 - 0.5) for p in pieces}
+    sentences = ["▁abcd", "▁ab▁cd", "▁dcba", "▁abcdabcd"]
+
+    m_native = wp.UnigramModel(dict(lps))
+    counts_n, ll_n = wp._e_step(sentences, m_native)
+
+    m_py = wp.UnigramModel(dict(lps))
+    m_py._native = False
+    counts_p, ll_p = wp._e_step(sentences, m_py)
+
+    assert abs(ll_n - ll_p) < 1e-3
+    for p in set(counts_n) | set(counts_p):
+        assert abs(counts_n.get(p, 0.0) - counts_p.get(p, 0.0)) < 1e-3, p
