@@ -340,6 +340,19 @@ class Transducer(Criterion):
         else:
             labels = np.asarray(jnp.argmax(outputs, axis=2))
 
+        if self.blank in ("none", "optional"):
+            # vectorized run-collapse (see _alignment_to_tokens); -1 labels
+            # only occur on dead frames, which the length mask removes
+            Bn, Tn = labels.shape
+            keep = np.ones((Bn, Tn), dtype=bool)
+            keep[:, 1:] = labels[:, 1:] != labels[:, :-1]
+            keep &= (labels >= 0) & (labels < self._num_tokens)
+            if input_lengths is not None:
+                lens = np.asarray(input_lengths)
+                keep &= np.arange(Tn)[None, :] < lens[:, None]
+            return [
+                labels[b, keep[b]].astype(np.int32) for b in range(Bn)
+            ]
         predictions = []
         for b in range(B):
             seq = [int(l) for l in labels[b] if l >= 0]

@@ -77,6 +77,39 @@ struct Graph {
       m[final_node[i]].push_back(final_weight[i]);
     return m;
   }
+
+  // lazily-built arc indexes, cached on the handle so repeated compositions
+  // against the same (possibly ~10^6-arc) graph skip the rebuild
+  struct ComposeIndex {
+    bool built = false;
+    std::unordered_map<int64_t, std::vector<int64_t>> in_by_label;  // (s,il)
+    std::unordered_map<int64_t, std::vector<int64_t>> out_by_label;  // (s,ol)
+    std::unordered_map<int64_t, std::vector<int64_t>> in_eps, out_eps;
+    std::vector<std::vector<int64_t>> out_adj;
+  };
+  mutable ComposeIndex cidx;
+
+  static int64_t pack_key(int64_t s, int32_t lbl) {
+    return (s << 32) | (uint32_t)(lbl + 1);
+  }
+
+  const ComposeIndex& compose_index() const {
+    if (!cidx.built) {
+      for (int64_t i = 0; i < num_arcs(); ++i) {
+        if (ilabel[i] == kEps)
+          cidx.in_eps[src[i]].push_back(i);
+        else
+          cidx.in_by_label[pack_key(src[i], ilabel[i])].push_back(i);
+        if (olabel[i] == kEps)
+          cidx.out_eps[src[i]].push_back(i);
+        else
+          cidx.out_by_label[pack_key(src[i], olabel[i])].push_back(i);
+      }
+      cidx.out_adj = out_arcs();
+      cidx.built = true;
+    }
+    return cidx;
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -159,19 +192,20 @@ struct KeyHash {
 };
 
 Graph* compose(const Graph& g1, const Graph& g2, bool track) {
-  std::unordered_map<int64_t, std::vector<int64_t>> g2_by_label;  // key: s*K+lbl
-  std::unordered_map<int64_t, std::vector<int64_t>> g2_eps;
-  // label key packing: s * 2^32 + (label+1)
-  auto pack = [](int64_t s, int32_t lbl) {
-    return (s << 32) | (uint32_t)(lbl + 1);
-  };
-  for (int64_t i = 0; i < g2.num_arcs(); ++i) {
-    if (g2.ilabel[i] == kEps)
-      g2_eps[g2.src[i]].push_back(i);
-    else
-      g2_by_label[pack(g2.src[i], g2.ilabel[i])].push_back(i);
-  }
-  auto g1_out = g1.out_arcs();
+  // Label-indexed matching from BOTH sides: per composite state the side
+  // with fewer matching-relevant arcs drives the iteration.  This matters
+  // for the token graph (allow_repeats=false gives ~V^2 arcs, V ~ 1000)
+  // composed with small per-target lattices: iterating the dense side per
+  // state is ~300x slower.
+  const auto& idx1 = g1.compose_index();
+  const auto& idx2 = g2.compose_index();
+  const auto& g2_by_label = idx2.in_by_label;
+  const auto& g1_by_olabel = idx1.out_by_label;
+  const auto& g2_eps = idx2.in_eps;
+  const auto& g1_oeps = idx1.out_eps;
+  const auto& g1_out = idx1.out_adj;
+  const auto& g2_out = idx2.out_adj;
+  auto pack = Graph::pack_key;
   auto f1 = g1.finals_map();
   auto f2 = g2.finals_map();
 
@@ -212,12 +246,14 @@ Graph* compose(const Graph& g1, const Graph& g2, bool track) {
     int64_t s1 = std::get<0>(key), s2 = std::get<1>(key);
     int f = std::get<2>(key);
     int64_t src_node = state_map[key];
-    for (auto a1 : g1_out[s1]) {
-      int32_t ol1 = g1.olabel[a1];
-      int64_t d1 = g1.dst[a1];
-      int32_t il1 = g1.ilabel[a1];
-      float w1 = g1.weight[a1];
-      if (ol1 == kEps) {
+
+    // g1-only epsilon-output moves (+ paired epsilons)
+    auto e1 = g1_oeps.find(s1);
+    if (e1 != g1_oeps.end()) {
+      for (auto a1 : e1->second) {
+        int64_t d1 = g1.dst[a1];
+        int32_t il1 = g1.ilabel[a1];
+        float w1 = g1.weight[a1];
         if (f != 2) {
           int64_t d = get_state(d1, s2, 1);
           out->add_arc((int32_t)src_node, (int32_t)d, il1, kEps, w1);
@@ -240,17 +276,41 @@ Graph* compose(const Graph& g1, const Graph& g2, bool track) {
             }
           }
         }
-      } else {
+      }
+    }
+
+    // matched moves, driven from the sparser side per state
+    int64_t deg1 = (int64_t)g1_out[s1].size();
+    int64_t deg2 = (int64_t)g2_out[s2].size();
+    if (deg2 <= deg1) {
+      for (auto a2 : g2_out[s2]) {
+        int32_t il2 = g2.ilabel[a2];
+        if (il2 == kEps) continue;
+        auto it = g1_by_olabel.find(pack(s1, il2));
+        if (it == g1_by_olabel.end()) continue;
+        for (auto a1 : it->second) {
+          int64_t d = get_state(g1.dst[a1], g2.dst[a2], 0);
+          out->add_arc((int32_t)src_node, (int32_t)d, g1.ilabel[a1],
+                       g2.olabel[a2], g1.weight[a1] + g2.weight[a2]);
+          if (track) {
+            prov1.push_back(a1);
+            prov2.push_back(a2);
+          }
+        }
+      }
+    } else {
+      for (auto a1 : g1_out[s1]) {
+        int32_t ol1 = g1.olabel[a1];
+        if (ol1 == kEps) continue;
         auto it = g2_by_label.find(pack(s2, ol1));
-        if (it != g2_by_label.end()) {
-          for (auto a2 : it->second) {
-            int64_t d = get_state(d1, g2.dst[a2], 0);
-            out->add_arc((int32_t)src_node, (int32_t)d, il1, g2.olabel[a2],
-                         w1 + g2.weight[a2]);
-            if (track) {
-              prov1.push_back(a1);
-              prov2.push_back(a2);
-            }
+        if (it == g2_by_label.end()) continue;
+        for (auto a2 : it->second) {
+          int64_t d = get_state(g1.dst[a1], g2.dst[a2], 0);
+          out->add_arc((int32_t)src_node, (int32_t)d, g1.ilabel[a1],
+                       g2.olabel[a2], g1.weight[a1] + g2.weight[a2]);
+          if (track) {
+            prov1.push_back(a1);
+            prov2.push_back(a2);
           }
         }
       }
