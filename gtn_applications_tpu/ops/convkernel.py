@@ -119,6 +119,12 @@ def _arc_weights(tables: KernelTables, kernel_params):
     )
 
 
+# flip to V-chunked (rematerialized) scoring when the [B, W, K, V, S]
+# emission tensor would exceed this many elements (~256 MB fp32)
+_CHUNK_THRESHOLD = 64_000_000
+_V_CHUNK = 128
+
+
 def conv_transduce_scores(
     windows, tables: KernelTables, kernel_params=None, viterbi=False
 ):
@@ -132,9 +138,15 @@ def conv_transduce_scores(
 
     Returns: [B, W, V] forward (or Viterbi) scores, the reference's
     ConvTransduce1DFunction output (transducer.py:485-517).
+
+    Large vocabularies are processed in rematerialized V-chunks
+    (jax.checkpoint over a lax.map) so neither the emission tensor nor the
+    AD residuals scale with the full V.
     """
     B, W, K, C = windows.shape
     V, S = tables.label.shape
+    if B * W * K * V * S > _CHUNK_THRESHOLD and V > _V_CHUNK:
+        return _conv_scores_chunked(windows, tables, kernel_params, viterbi)
     w_self, w_prev, w_skip = _arc_weights(tables, kernel_params)
     label = jnp.asarray(tables.label)
     accept = jnp.asarray(tables.accept)
@@ -171,6 +183,85 @@ def conv_transduce_scores(
     return m + jnp.log(
         jnp.maximum(jnp.sum(jnp.exp(final - m[..., None]), axis=-1), 1e-30)
     )
+
+
+def _slice_tables(tables: KernelTables, start, size):
+    return KernelTables(
+        label=tables.label[start : start + size],
+        w_self=tables.w_self[start : start + size],
+        w_prev=tables.w_prev[start : start + size],
+        w_skip=tables.w_skip[start : start + size],
+        accept=tables.accept[start : start + size],
+        widx_self=tables.widx_self[start : start + size],
+        widx_prev=tables.widx_prev[start : start + size],
+        widx_skip=tables.widx_skip[start : start + size],
+        num_params=tables.num_params,
+    )
+
+
+def _conv_scores_chunked(windows, tables: KernelTables, kernel_params, viterbi):
+    """lax.map over V-chunks, each chunk wrapped in jax.checkpoint: live
+    memory and AD residuals are bounded by the chunk, at the cost of
+    recomputing each chunk's forward once in the backward pass."""
+    import numpy as _np
+
+    V = tables.label.shape[0]
+    pad_v = (-V) % _V_CHUNK
+    if pad_v:
+        dead = KernelTables(
+            label=_np.zeros((pad_v, tables.label.shape[1]), _np.int32),
+            w_self=_np.full((pad_v, tables.label.shape[1]), NEG, _np.float32),
+            w_prev=_np.full((pad_v, tables.label.shape[1]), NEG, _np.float32),
+            w_skip=_np.full((pad_v, tables.label.shape[1]), NEG, _np.float32),
+            accept=_np.full((pad_v, tables.label.shape[1]), NEG, _np.float32),
+            widx_self=-_np.ones((pad_v, tables.label.shape[1]), _np.int32),
+            widx_prev=-_np.ones((pad_v, tables.label.shape[1]), _np.int32),
+            widx_skip=-_np.ones((pad_v, tables.label.shape[1]), _np.int32),
+            num_params=tables.num_params,
+        )
+        tables = KernelTables(
+            label=_np.concatenate([tables.label, dead.label]),
+            w_self=_np.concatenate([tables.w_self, dead.w_self]),
+            w_prev=_np.concatenate([tables.w_prev, dead.w_prev]),
+            w_skip=_np.concatenate([tables.w_skip, dead.w_skip]),
+            accept=_np.concatenate([tables.accept, dead.accept]),
+            widx_self=_np.concatenate([tables.widx_self, dead.widx_self]),
+            widx_prev=_np.concatenate([tables.widx_prev, dead.widx_prev]),
+            widx_skip=_np.concatenate([tables.widx_skip, dead.widx_skip]),
+            num_params=tables.num_params,
+        )
+    n_chunks = tables.label.shape[0] // _V_CHUNK
+
+    chunks = [_slice_tables(tables, i * _V_CHUNK, _V_CHUNK) for i in range(n_chunks)]
+    stacked = KernelTables(
+        label=jnp.stack([jnp.asarray(c.label) for c in chunks]),
+        w_self=jnp.stack([jnp.asarray(c.w_self) for c in chunks]),
+        w_prev=jnp.stack([jnp.asarray(c.w_prev) for c in chunks]),
+        w_skip=jnp.stack([jnp.asarray(c.w_skip) for c in chunks]),
+        accept=jnp.stack([jnp.asarray(c.accept) for c in chunks]),
+        widx_self=jnp.stack([jnp.asarray(c.widx_self) for c in chunks]),
+        widx_prev=jnp.stack([jnp.asarray(c.widx_prev) for c in chunks]),
+        widx_skip=jnp.stack([jnp.asarray(c.widx_skip) for c in chunks]),
+        num_params=tables.num_params,
+    )
+
+    @jax.checkpoint
+    def one_chunk(fields):
+        t = KernelTables(*fields, num_params=tables.num_params)
+        return conv_transduce_scores(windows, t, kernel_params, viterbi)
+
+    out = jax.lax.map(
+        one_chunk,
+        (
+            stacked.label, stacked.w_self, stacked.w_prev, stacked.w_skip,
+            stacked.accept, stacked.widx_self, stacked.widx_prev,
+            stacked.widx_skip,
+        ),
+    )  # [n_chunks, B, W, V_CHUNK]
+    out = jnp.moveaxis(out, 0, 2).reshape(
+        windows.shape[0], windows.shape[1], -1
+    )
+    return out[:, :, :V]
 
 
 def make_windows(inputs, kernel_size, stride):

@@ -154,3 +154,32 @@ def test_scale_and_normalize_modes():
     np.testing.assert_allclose(out.sum(-1), np.ones_like(out.sum(-1)), rtol=1e-5)
     pre = ConvTransduce1D(lexicon, 3, 1, 2, normalize="pre")
     assert (np.asarray(pre(x)) >= 0).all()
+
+
+def test_chunked_matches_direct(monkeypatch):
+    """V-chunked (rematerialized) scoring equals the direct path."""
+    from gtn_applications_tpu.ops import convkernel as ck
+
+    rng = np.random.RandomState(9)
+    # 150 entries > chunk size 128 after padding
+    lexicon = []
+    seen = set()
+    while len(lexicon) < 150:
+        t = tuple(rng.randint(0, 3, rng.randint(1, 3)))
+        lexicon.append(t)
+    conv = ConvTransduce1D(lexicon, kernel_size=5, stride=2, blank_idx=3,
+                           learn_params=True)
+    p = conv.init_params()
+    x = jnp.asarray(rng.randn(2, 12, 4).astype(np.float32))
+
+    direct, gd = jax.value_and_grad(
+        lambda p, x: conv(x, p).sum(), argnums=(0, 1)
+    )(p, x)
+
+    monkeypatch.setattr(ck, "_CHUNK_THRESHOLD", 1)
+    chunked, gc_ = jax.value_and_grad(
+        lambda p, x: conv(x, p).sum(), argnums=(0, 1)
+    )(p, x)
+    np.testing.assert_allclose(float(direct), float(chunked), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd[0]), np.asarray(gc_[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(gc_[1]), rtol=1e-4, atol=1e-5)
