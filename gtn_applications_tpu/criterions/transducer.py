@@ -191,10 +191,12 @@ class Transducer(Criterion):
         if not native.available():
             return None
         if not hasattr(self, "_nh"):
+            # warm=True pre-builds compose indexes: the handles are shared
+            # across the prepare() thread pool
             self._nh = (
-                native.to_native(self.lexicon),
-                native.to_native(self.tokens),
-                native.to_native(self.transitions)
+                native.to_native(self.lexicon, warm=True),
+                native.to_native(self.tokens, warm=True),
+                native.to_native(self.transitions, warm=True)
                 if self.transitions is not None
                 else None,
             )
@@ -251,8 +253,18 @@ class Transducer(Criterion):
         return result
 
     def prepare(self, targets):
-        """Compile + stack per-sample alignment tables (host, cached)."""
-        compiled = [self._compile_target(tuple(int(t) for t in np.asarray(tgt))) for tgt in targets]
+        """Compile + stack per-sample alignment tables (host, cached).
+
+        Cache misses compile in parallel on a thread pool — the native
+        pipeline releases the GIL, so cold batches scale with cores."""
+        keys = [tuple(int(t) for t in np.asarray(tgt)) for tgt in targets]
+        missing = [k for k in dict.fromkeys(keys) if k not in self._align_cache]
+        if len(missing) > 1 and self._native_handles() is not None:
+            from multiprocessing.pool import ThreadPool
+
+            with ThreadPool(min(8, len(missing))) as pool:
+                pool.map(self._compile_target, missing)
+        compiled = [self._compile_target(k) for k in keys]
         cgs = [c[0] for c in compiled]
         table = wcompile.stack_arc_tables(cgs)
         A = table.src.shape[1]

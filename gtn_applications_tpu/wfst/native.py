@@ -70,6 +70,7 @@ def load_library():
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.tw_graph_free.argtypes = [ctypes.c_void_p]
+    lib.tw_graph_warm.argtypes = [ctypes.c_void_p]
     for fn in ("tw_num_nodes", "tw_num_arcs", "tw_num_finals", "tw_has_prov"):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
@@ -110,7 +111,9 @@ class _Handle:
             self.h = None
 
 
-def to_native(g: Graph):
+def to_native(g: Graph, warm=False):
+    """Convert to a native handle; ``warm`` pre-builds the compose index
+    (required before sharing the handle across threads)."""
     lib = load_library()
     start = np.asarray(g.start, dtype=np.uint8)
     finals = [(n, w) for n, ws in sorted(g.finals.items()) for w in ws]
@@ -128,7 +131,10 @@ def to_native(g: Graph):
         _ptr(il, ctypes.c_int32), _ptr(ol, ctypes.c_int32),
         _ptr(w, ctypes.c_float),
     )
-    return _Handle(lib, h)
+    handle = _Handle(lib, h)
+    if warm:
+        lib.tw_graph_warm(h)
+    return handle
 
 
 def from_native(handle: _Handle):

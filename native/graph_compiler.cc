@@ -598,6 +598,10 @@ void* tw_graph_new(int64_t n_nodes, const uint8_t* start,
 
 void tw_graph_free(void* h) { delete (Graph*)h; }
 
+// Pre-build the cached compose index so concurrent compositions against a
+// shared handle only READ it (the lazy build is not thread-safe).
+void tw_graph_warm(void* h) { ((Graph*)h)->compose_index(); }
+
 int64_t tw_num_nodes(void* h) { return ((Graph*)h)->num_nodes(); }
 int64_t tw_num_arcs(void* h) { return ((Graph*)h)->num_arcs(); }
 int64_t tw_num_finals(void* h) { return ((Graph*)h)->final_node.size(); }
