@@ -48,8 +48,16 @@ def main():
             model.encode(l)
     elapsed = (time.perf_counter() - start) / iters
     rate = total_bytes / elapsed
-    print(f"wordpiece encode: {rate / 1e6:.2f} MB/s "
+    print(f"wordpiece encode (per line): {rate / 1e6:.2f} MB/s "
           f"({total_bytes} bytes in {elapsed * 1000:.1f} ms)")
+    enc = model._native_encoder()
+    if enc is not None:
+        enc.encode_batch(lines[:20])
+        start = time.perf_counter()
+        for _ in range(iters):
+            enc.encode_batch(lines)
+        elapsed = (time.perf_counter() - start) / iters
+        print(f"wordpiece encode (batched): {total_bytes / elapsed / 1e6:.2f} MB/s")
 
 
 if __name__ == "__main__":

@@ -74,7 +74,12 @@ def save_pieces(model, num_pieces, output_prefix, vocab):
     pieces = sorted(model.log_probs, key=model.log_probs.get, reverse=True)
     pieces = pieces[:num_pieces]
     print(f"Encoding vocabulary of size {len(vocab)}.")
-    encoded_vocab = [model.encode(v) for v in vocab]
+    enc = model._native_encoder()
+    if enc is not None:
+        # encode() prepends the dummy "▁"; replicate for the batch call
+        encoded_vocab = enc.encode_batch(["▁" + v for v in vocab])
+    else:
+        encoded_vocab = [model.encode(v) for v in vocab]
 
     with open(output_prefix + f"_tokens_{num_pieces}.txt", "w") as fid:
         fid.write("\n".join(pieces))

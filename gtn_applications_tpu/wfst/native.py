@@ -301,6 +301,12 @@ def _bind_wordpiece(lib):
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
     ]
+    lib.tw_wp_encode_batch.restype = ctypes.c_int64
+    lib.tw_wp_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib._wp_bound = True
 
 
@@ -347,6 +353,40 @@ class WordpieceEncoder:
                     end += 1
                 out.append(data[off:end].decode("utf-8"))
         return out
+
+    def encode_batch(self, texts):
+        """Segment many texts in one native call.  Returns a list of piece
+        lists (same semantics as encode per text)."""
+        datas = [t.encode("utf-8") for t in texts]
+        buf = b"".join(datas)
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum([len(d) for d in datas], out=offsets[1:])
+        cap = max(4096, sum(len(t) for t in texts) + len(texts))
+        out = np.zeros(cap, dtype=np.int32)
+        counts = np.zeros(len(texts), dtype=np.int64)
+        n = self.lib.tw_wp_encode_batch(
+            self.h, buf, _ptr(offsets, ctypes.c_int64), len(texts),
+            _ptr(out, ctypes.c_int32), cap, _ptr(counts, ctypes.c_int64),
+        )
+        if n < 0:
+            raise ValueError("wordpiece batch encode failed")
+        results = []
+        pos = 0
+        for i, d in enumerate(datas):
+            ids = out[pos : pos + counts[i]]
+            pos += counts[i]
+            pieces = []
+            for v in ids:
+                if v >= 0:
+                    pieces.append(self.pieces[v])
+                else:
+                    off = -1 - int(v)
+                    end = off + 1
+                    while end < len(d) and (d[end] & 0xC0) == 0x80:
+                        end += 1
+                    pieces.append(d[off:end].decode("utf-8"))
+            results.append(pieces)
+        return results
 
 
 def _bind_editdist(lib):

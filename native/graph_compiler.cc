@@ -685,6 +685,27 @@ void* tw_compile_alignment(void* lexicon_h, void* tokens_h,
   return out;
 }
 
+int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,
+                     int32_t* out, int64_t out_cap);
+
+// Batch encode: sentences as one buffer with offsets[n+1]; results appended
+// to out (capacity out_cap) with per-sentence counts in out_counts.
+// Returns total ids written, or -1 if out_cap is too small.
+int64_t tw_wp_encode_batch(void* h, const char* text, const int64_t* offsets,
+                           int64_t n_sent, int32_t* out, int64_t out_cap,
+                           int64_t* out_counts) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_sent; ++i) {
+    int64_t n = tw_wp_encode(h, text + offsets[i],
+                             offsets[i + 1] - offsets[i], out + total,
+                             out_cap - total);
+    if (n < 0) return n;
+    out_counts[i] = n;
+    total += n;
+  }
+  return total;
+}
+
 void tw_tables_free(void* h) { delete (CompiledTables*)h; }
 
 void tw_tables_sizes(void* h, int64_t* sizes) {
@@ -703,8 +724,43 @@ void tw_tables_sizes(void* h, int64_t* sizes) {
 // framework's hot string op (the BASELINE bytes/s north-star metric).
 
 struct WpModel {
-  std::unordered_map<std::string, std::pair<float, int32_t>> pieces;  // -> (logp, id)
+  // Pieces <= 15 bytes (the overwhelming majority) live in an
+  // integer-keyed map: string keys cost a heap indirection + byte-wise
+  // hash per probe and dominate the segmentation DP.
+  struct K16 {
+    uint64_t a, b;
+    bool operator==(const K16& o) const { return a == o.a && b == o.b; }
+  };
+  struct K16Hash {
+    size_t operator()(const K16& k) const {
+      return std::hash<uint64_t>()(k.a * 0x9E3779B97F4A7C15ull ^ k.b);
+    }
+  };
+  std::unordered_map<K16, std::pair<float, int32_t>, K16Hash> short_pieces;
+  std::unordered_map<std::string, std::pair<float, int32_t>> pieces;  // > 15 bytes
   int64_t max_cp_len = 1;  // max piece length in codepoints
+  int64_t max_bytes = 1;
+
+  static bool pack16(const char* p, int64_t n, K16* out) {
+    if (n > 15) return false;  // keep the top byte of b free for the length
+    out->a = 0;
+    out->b = 0;
+    std::memcpy(&out->a, p, std::min<int64_t>(n, 8));
+    if (n > 8) std::memcpy(&out->b, p + 8, n - 8);
+    out->b |= ((uint64_t)n) << 56;
+    return true;
+  }
+
+  const std::pair<float, int32_t>* find(const char* p, int64_t n) const {
+    if (n > max_bytes) return nullptr;
+    K16 k;
+    if (pack16(p, n, &k)) {
+      auto it = short_pieces.find(k);
+      return it == short_pieces.end() ? nullptr : &it->second;
+    }
+    auto it = pieces.find(std::string(p, p + n));
+    return it == pieces.end() ? nullptr : &it->second;
+  }
 };
 
 static int64_t utf8_cp_len(const std::string& s) {
@@ -719,8 +775,13 @@ void* tw_wp_model_new(const char** pieces, const float* log_probs,
   WpModel* m = new WpModel();
   for (int64_t i = 0; i < n; ++i) {
     std::string p(pieces[i]);
-    m->pieces[p] = {log_probs[i], (int32_t)i};
+    WpModel::K16 k;
+    if (WpModel::pack16(p.data(), (int64_t)p.size(), &k))
+      m->short_pieces[k] = {log_probs[i], (int32_t)i};
+    else
+      m->pieces[p] = {log_probs[i], (int32_t)i};
     m->max_cp_len = std::max(m->max_cp_len, utf8_cp_len(p));
+    m->max_bytes = std::max(m->max_bytes, (int64_t)p.size());
   }
   return m;
 }
@@ -759,13 +820,12 @@ int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,
     int64_t s0 = std::max<int64_t>(0, e - m->max_cp_len);
     for (int64_t s = s0; s < e; ++s) {
       if (best[s] <= kNegS / 2) continue;
-      buf.assign(text + bounds[s], text + bounds[e]);
-      auto it = m->pieces.find(buf);
+      auto* ent = m->find(text + bounds[s], bounds[e] - bounds[s]);
       double lp;
       int32_t id;
-      if (it != m->pieces.end()) {
-        lp = it->second.first;
-        id = it->second.second;
+      if (ent) {
+        lp = ent->first;
+        id = ent->second;
       } else if (e - s == 1) {
         lp = kUnk;
         id = -1;
@@ -838,13 +898,12 @@ double tw_wp_estep_impl(WpModel* m, const char* text,
       int64_t s0 = std::max<int64_t>(0, e - m->max_cp_len);
       double acc = kNegS;
       for (int64_t st = s0; st < e; ++st) {
-        buf.assign(s + bounds[st], s + bounds[e]);
-        auto it = m->pieces.find(buf);
+        auto* ent = m->find(s + bounds[st], bounds[e] - bounds[st]);
         float lp;
         int32_t id;
-        if (it != m->pieces.end()) {
-          lp = it->second.first;
-          id = it->second.second;
+        if (ent) {
+          lp = ent->first;
+          id = ent->second;
         } else if (e - st == 1) {
           lp = (float)kUnk;
           id = -1;
