@@ -35,7 +35,7 @@ def main():
     words = ["the", "move", "recognition", "and", "training", "of",
              "transducers", "with", "finite", "state", "models"]
     lines = [
-        "▁".join(rng.choice(words) for _ in range(12)) for _ in range(200)
+        "▁".join(rng.choice(words) for _ in range(12)) for _ in range(2000)
     ]
     total_bytes = sum(len(l.encode("utf-8")) for l in lines)
     # warmup

@@ -31,6 +31,18 @@ def load_audio(path):
         if channels > 1:
             x = x.reshape(-1, channels).mean(axis=1)
         return x, sr
+    if path.endswith(".flac"):
+        from ..wfst import native
+
+        if native.available():
+            with open(path, "rb") as fid:
+                samples, sr, bits = native.decode_flac(fid.read())
+            x = samples.astype(np.float32) / float(2 ** (bits - 1))
+            if x.shape[1] > 1:
+                x = x.mean(axis=1)
+            else:
+                x = x[:, 0]
+            return x, sr
     try:
         import soundfile as sf
 
@@ -40,9 +52,9 @@ def load_audio(path):
         return x, sr
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
-            f"Cannot load {path}: non-WAV audio requires the 'soundfile' "
-            "package (convert with scripts/install_sph2pipe.sh / "
-            "preprocess_librispeech.py first)"
+            f"Cannot load {path}: non-WAV audio requires the native FLAC "
+            "decoder (make -C native) or the 'soundfile' package (or convert "
+            "with preprocess_librispeech.py first)"
         ) from e
 
 

@@ -370,21 +370,29 @@ class WordpieceEncoder:
         )
         if n < 0:
             raise ValueError("wordpiece batch encode failed")
+        ids_all = out[: int(n)].tolist()
+        counts_l = counts.tolist()
+        P = self.pieces
         results = []
         pos = 0
+        if n == 0 or int(out[: int(n)].min()) >= 0:
+            # no unknowns anywhere: pure table lookup
+            for c in counts_l:
+                results.append([P[v] for v in ids_all[pos : pos + c]])
+                pos += c
+            return results
         for i, d in enumerate(datas):
-            ids = out[pos : pos + counts[i]]
-            pos += counts[i]
             pieces = []
-            for v in ids:
+            for v in ids_all[pos : pos + counts_l[i]]:
                 if v >= 0:
-                    pieces.append(self.pieces[v])
+                    pieces.append(P[v])
                 else:
-                    off = -1 - int(v)
+                    off = -1 - v
                     end = off + 1
                     while end < len(d) and (d[end] & 0xC0) == 0x80:
                         end += 1
                     pieces.append(d[off:end].decode("utf-8"))
+            pos += counts_l[i]
             results.append(pieces)
         return results
 
@@ -444,3 +452,40 @@ def wordpiece_estep(encoder: "WordpieceEncoder", sentences):
         p: float(c) for p, c in zip(encoder.pieces, expected) if c > 0.0
     }
     return counts, float(ll)
+
+
+def _bind_flac(lib):
+    if getattr(lib, "_flac_bound", False):
+        return
+    lib.tw_flac_decode_alloc.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.tw_flac_decode_alloc.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.tw_flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    lib._flac_bound = True
+
+
+def decode_flac(data: bytes):
+    """Decode a FLAC stream (native/flac.cc) to PCM.
+
+    Returns ``(samples, sample_rate)`` where samples is an int32 array of
+    shape [frames, channels].  Raises ValueError on malformed input and
+    RuntimeError when the native library is unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable; cannot decode FLAC")
+    _bind_flac(lib)
+    info = np.zeros(4, dtype=np.int64)
+    ptr = lib.tw_flac_decode_alloc(data, len(data), _ptr(info, ctypes.c_int64))
+    if not ptr:
+        raise ValueError("malformed or unsupported FLAC stream")
+    try:
+        frames, channels = int(info[3]), int(info[1])
+        samples = np.ctypeslib.as_array(ptr, shape=(frames * channels,))
+        samples = samples.reshape(frames, channels).copy()
+    finally:
+        lib.tw_flac_free(ptr)
+    return samples, int(info[0]), int(info[2])

@@ -21,6 +21,7 @@
 #include <unordered_map>
 #include <vector>
 #include <functional>
+#include <thread>
 #include <string>
 
 namespace {
@@ -694,14 +695,40 @@ int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,
 int64_t tw_wp_encode_batch(void* h, const char* text, const int64_t* offsets,
                            int64_t n_sent, int32_t* out, int64_t out_cap,
                            int64_t* out_counts) {
+  // Parallel phase: each sentence's ids fit in its byte span (ids <=
+  // codepoints <= bytes), so thread t encodes its range into a scratch
+  // buffer at the sentence's own byte offset; a serial pass compacts.
+  int64_t total_bytes = offsets[n_sent];
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(hw ? hw : 1, 16);
+  if (n_sent < n_threads || total_bytes < (1 << 15)) n_threads = 1;
+  std::vector<int32_t> scratch((size_t)total_bytes);
+  std::vector<int64_t> errs(n_threads, 0);
+  auto work = [&](int64_t t) {
+    int64_t lo = n_sent * t / n_threads, hi = n_sent * (t + 1) / n_threads;
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t cap = offsets[i + 1] - offsets[i];
+      int64_t n = tw_wp_encode(h, text + offsets[i], cap,
+                               scratch.data() + offsets[i], cap);
+      if (n < 0) { errs[t] = -1; return; }
+      out_counts[i] = n;
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ths;
+    for (int64_t t = 0; t < n_threads; ++t) ths.emplace_back(work, t);
+    for (auto& th : ths) th.join();
+  }
+  for (int64_t t = 0; t < n_threads; ++t)
+    if (errs[t] < 0) return -1;
   int64_t total = 0;
   for (int64_t i = 0; i < n_sent; ++i) {
-    int64_t n = tw_wp_encode(h, text + offsets[i],
-                             offsets[i + 1] - offsets[i], out + total,
-                             out_cap - total);
-    if (n < 0) return n;
-    out_counts[i] = n;
-    total += n;
+    if (total + out_counts[i] > out_cap) return -1;
+    std::memcpy(out + total, scratch.data() + offsets[i],
+                out_counts[i] * sizeof(int32_t));
+    total += out_counts[i];
   }
   return total;
 }
