@@ -131,11 +131,22 @@ class ASG(Criterion):
     def viterbi_device(self, outputs, transitions, input_lengths=None):
         return _asg_viterbi_jit(outputs, transitions, input_lengths)
 
-    def viterbi(self, outputs, params=None, input_lengths=None):
-        """Device tropical scan + host cleanup (asg.py:211-237)."""
+    def viterbi_dispatch(self, outputs, params=None, input_lengths=None):
         params = params if params is not None else self.params
         paths, _ = self.viterbi_device(outputs, params["transitions"], input_lengths)
-        paths = np.asarray(paths)
+        return (paths, input_lengths)
+
+    def viterbi_finalize(self, handle):
+        paths_dev, input_lengths = handle
+        return self._cleanup(np.asarray(paths_dev), input_lengths)
+
+    def viterbi(self, outputs, params=None, input_lengths=None):
+        """Device tropical scan + host cleanup (asg.py:211-237)."""
+        return self.viterbi_finalize(
+            self.viterbi_dispatch(outputs, params, input_lengths)
+        )
+
+    def _cleanup(self, paths, input_lengths):
         out = []
         for b, path in enumerate(paths):
             if input_lengths is not None:

@@ -32,6 +32,21 @@ class Criterion:
     def viterbi(self, outputs, params=None, input_lengths=None):
         raise NotImplementedError
 
+    # -- two-phase decode ----------------------------------------------
+    # JAX dispatch is asynchronous: the expensive part of decoding is not
+    # the device scan but the host readback, which blocks until the device
+    # queue drains.  Eval loops call viterbi_dispatch for batch i+1 before
+    # viterbi_finalize for batch i so readback overlaps device compute.
+    def viterbi_dispatch(self, outputs, params=None, input_lengths=None):
+        """Launch the device portion of decoding without blocking.  The
+        default defers everything to finalize (criteria with a device
+        scan override this to enqueue it here)."""
+        return (outputs, params, input_lengths)
+
+    def viterbi_finalize(self, handle):
+        outputs, params, input_lengths = handle
+        return self.viterbi(outputs, params, input_lengths)
+
     # -- stateful convenience (reference nn.Module style) ---------------
     @property
     def params(self):

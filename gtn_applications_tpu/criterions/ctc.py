@@ -42,13 +42,24 @@ class CTC(Criterion):
             log_probs, targets, target_lengths, self.blank, "mean", input_lengths
         )
 
+    def viterbi_dispatch(self, outputs, params=None, input_lengths=None):
+        return (lattice.ctc_greedy_decode(outputs), input_lengths)
+
+    def viterbi_finalize(self, handle):
+        preds_dev, input_lengths = handle
+        return self._collapse(np.asarray(preds_dev), input_lengths)
+
     def viterbi(self, outputs, params=None, input_lengths=None):
         """Greedy best-path decode with repeat/blank collapse
         (ctc.py:126-135).  Returns a list of 1-D int32 numpy arrays.
 
         The collapse is vectorized over the whole batch (one boolean mask
         pass) instead of per-sample Python loops."""
-        preds = np.asarray(lattice.ctc_greedy_decode(outputs))
+        return self.viterbi_finalize(
+            self.viterbi_dispatch(outputs, params, input_lengths)
+        )
+
+    def _collapse(self, preds, input_lengths):
         B, T = preds.shape
         keep = np.ones((B, T), dtype=bool)
         keep[:, 1:] = preds[:, 1:] != preds[:, :-1]

@@ -324,12 +324,8 @@ class Transducer(Criterion):
         return jnp.mean(losses)
 
     # -- decoding -------------------------------------------------------
-    def viterbi(self, outputs, params=None, input_lengths=None):
-        """Best alignment path through emissions (∘ transitions), then
-        transduce alignment labels to tokens taking the shortest ambiguous
-        output (transducer.py:199-234)."""
+    def viterbi_dispatch(self, outputs, params=None, input_lengths=None):
         outputs = jnp.asarray(outputs)
-        B, T, C = outputs.shape
         if self.transitions is not None:
             params = params if params is not None else self.params
             ptr = params["transitions"]
@@ -348,10 +344,24 @@ class Transducer(Criterion):
                 table = wcompile.to_arc_table(cg)
                 self._decode_cache = (ptr, table)
             labels, _ = _viterbi_batch_jit(outputs, table, input_lengths)
-            labels = np.asarray(labels)
         else:
-            labels = np.asarray(jnp.argmax(outputs, axis=2))
+            labels = jnp.argmax(outputs, axis=2)
+        return (labels, input_lengths)
 
+    def viterbi_finalize(self, handle):
+        labels_dev, input_lengths = handle
+        return self._transduce(np.asarray(labels_dev), input_lengths)
+
+    def viterbi(self, outputs, params=None, input_lengths=None):
+        """Best alignment path through emissions (∘ transitions), then
+        transduce alignment labels to tokens taking the shortest ambiguous
+        output (transducer.py:199-234)."""
+        return self.viterbi_finalize(
+            self.viterbi_dispatch(outputs, params, input_lengths)
+        )
+
+    def _transduce(self, labels, input_lengths):
+        B = labels.shape[0]
         if self.blank in ("none", "optional"):
             # vectorized run-collapse (see _alignment_to_tokens); -1 labels
             # only occur on dead frames, which the length mask removes

@@ -47,13 +47,12 @@ def run_test(args):
     mesh = make_mesh()
     eval_step = make_eval_step(model, criterion)
     meters = utils.Meters()
-    for inputs, widths, targets in loader:
-        inputs = shard_batch(inputs, mesh)
-        prepared = criterion.prepare(targets)
-        loss, outputs = eval_step(params, inputs, prepared)
+
+    def consume(pending):
+        loss, handle, targets = pending
         meters.loss += float(loss) * len(targets)
         meters.num_samples += len(targets)
-        predictions = criterion.viterbi(outputs, params["criterion"])
+        predictions = criterion.viterbi_finalize(handle)
         for p, t in zip(predictions, targets):
             p_text = preprocessor.tokens_to_text(p)
             t_text = preprocessor.to_text(t)
@@ -67,6 +66,20 @@ def run_test(args):
         meters.num_tokens += nt
         meters.edit_distance_words += wd
         meters.num_words += nw
+
+    # pipelined: device work for batch i+1 is enqueued before batch i's
+    # blocking readback (see train.test)
+    pending = None
+    for inputs, widths, targets in loader:
+        inputs = shard_batch(inputs, mesh)
+        prepared = criterion.prepare(targets)
+        loss, outputs = eval_step(params, inputs, prepared)
+        handle = criterion.viterbi_dispatch(outputs, params["criterion"])
+        if pending is not None:
+            consume(pending)
+        pending = (loss, handle, targets)
+    if pending is not None:
+        consume(pending)
     print(
         "Loss {:.3f}, CER {:.3f}, WER {:.3f}".format(
             meters.avg_loss, meters.cer, meters.wer

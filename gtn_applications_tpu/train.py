@@ -156,14 +156,12 @@ def output_lengths(model, widths):
 def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
          use_lengths=False):
     meters = utils.Meters()
-    for inputs, widths, targets in data_loader:
-        inputs = shard_batch(inputs, mesh)
-        prepared = criterion.prepare(targets)
-        lens = output_lengths(model, widths) if use_lengths else None
-        loss, outputs = eval_step(params, inputs, prepared, lens)
+
+    def consume(pending):
+        loss, handle, targets = pending
         meters.loss += float(loss) * len(targets)
         meters.num_samples += len(targets)
-        predictions = criterion.viterbi(outputs, params["criterion"])
+        predictions = criterion.viterbi_finalize(handle)
         td, wd, nt, nw = utils.compute_edit_distance(
             predictions, targets, preprocessor
         )
@@ -171,6 +169,22 @@ def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
         meters.num_tokens += nt
         meters.edit_distance_words += wd
         meters.num_words += nw
+
+    # one-batch pipeline: dispatch device work for batch i+1 before the
+    # blocking readback/host cleanup of batch i, so the device queue never
+    # drains (device->host sync costs ~30 ms per drain on TPU)
+    pending = None
+    for inputs, widths, targets in data_loader:
+        inputs = shard_batch(inputs, mesh)
+        prepared = criterion.prepare(targets)
+        lens = output_lengths(model, widths) if use_lengths else None
+        loss, outputs = eval_step(params, inputs, prepared, lens)
+        handle = criterion.viterbi_dispatch(outputs, params["criterion"])
+        if pending is not None:
+            consume(pending)
+        pending = (loss, handle, targets)
+    if pending is not None:
+        consume(pending)
     if jax.process_count() > 1:
         meters.sync()
     return meters.avg_loss, meters.cer, meters.wer
@@ -352,7 +366,10 @@ def train(args):
             eval_step, use_lengths,
         )
         timers.stop("test_total")
-        if world_rank == 0:
+        ckpt_format = config["optim"].get("checkpoint_format", "pickle")
+        # pickle saves from rank 0 only; orbax saves are collective (every
+        # host writes its own param shards)
+        if world_rank == 0 or ckpt_format == "orbax":
             utils.save_checkpoint(
                 args.checkpoint_path,
                 {
@@ -362,10 +379,11 @@ def train(args):
                     "rng": rng,
                 },
                 save_best=(val_cer < min_val_cer),
+                format=ckpt_format,
             )
-            min_val_loss = min(val_loss, min_val_loss)
-            min_val_cer = min(val_cer, min_val_cer)
-            min_val_wer = min(val_wer, min_val_wer)
+        min_val_loss = min(val_loss, min_val_loss)
+        min_val_cer = min(val_cer, min_val_cer)
+        min_val_wer = min(val_wer, min_val_wer)
         logging.info(
             "Validation Set: Loss {:.3f}, CER {:.3f}, WER {:.3f}, "
             "Best Loss {:.3f}, Best CER {:.3f}, Best WER {:.3f}".format(

@@ -406,8 +406,23 @@ def load_criterion(criterion_type, preprocessor, config):
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(checkpoint_path, state, save_best=False):
+def save_checkpoint(checkpoint_path, state, save_best=False, format="pickle"):
+    """Persist the train state.
+
+    format="pickle" (default) gathers everything to host and writes one
+    file per checkpoint — fine for single-host runs.  format="orbax"
+    writes through orbax-checkpoint: sharded jax.Arrays are saved without
+    gathering (each host writes only its shards), which is the multi-host
+    path (reference utils.py:268-274 uses torch.save; per-shard writes
+    replace its rank-0 gather)."""
     os.makedirs(checkpoint_path, exist_ok=True)
+    if format == "orbax":
+        _orbax_save(os.path.join(checkpoint_path, "model.orbax"), state)
+        if save_best:
+            _orbax_save(
+                os.path.join(checkpoint_path, "model.orbax.best"), state
+            )
+        return
     payload = jax.device_get(state)
     path = os.path.join(checkpoint_path, "model.checkpoint")
     with open(path, "wb") as fid:
@@ -417,10 +432,35 @@ def save_checkpoint(checkpoint_path, state, save_best=False):
             pickle.dump(payload, fid)
 
 
+def _orbax_save(path, state):
+    import orbax.checkpoint as ocp
+
+    def to_host(x):
+        # pre-transfer fully-addressable arrays: orbax's internal async
+        # device->host path stalls on some TPU transports, and for
+        # replicated params the copy is needed anyway.  Arrays sharded
+        # across hosts (not fully addressable) stay on device so orbax
+        # writes only the local shards.
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return np.asarray(x)
+        return x
+
+    state = jax.tree_util.tree_map(to_host, state)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
 def load_checkpoint(checkpoint_path, load_last=False):
-    path = os.path.join(checkpoint_path, "model.checkpoint")
-    if not load_last:
-        path += ".best"
+    """Load a train state; auto-detects orbax vs pickle checkpoints."""
+    suffix = "" if load_last else ".best"
+    opath = os.path.join(checkpoint_path, "model.orbax" + suffix)
+    if os.path.isdir(opath):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(opath))
+    path = os.path.join(checkpoint_path, "model.checkpoint" + suffix)
     with open(path, "rb") as fid:
         return pickle.load(fid)
 

@@ -85,3 +85,26 @@ def test_subset_sample_sizes():
     sizes = list(sub.sample_sizes())
     assert sizes == [((30, 8), 3), ((10, 8), 3)]
     assert sub[0][0][0, 0] == 2
+
+
+def test_checkpoint_formats(tmp_path):
+    import jax.numpy as jnp
+
+    state = {
+        "params": {"model": {"w": jnp.arange(6.0).reshape(2, 3)},
+                   "criterion": {}},
+        "epoch": 2,
+        "num_updates": 9,
+        "rng": jnp.asarray(np.array([3, 4], np.uint32)),
+    }
+    for fmt in ("pickle", "orbax"):
+        d = str(tmp_path / fmt)
+        utils.save_checkpoint(d, state, save_best=True, format=fmt)
+        for load_last in (False, True):
+            back = utils.load_checkpoint(d, load_last=load_last)
+            assert int(back["epoch"]) == 2
+            assert int(back["num_updates"]) == 9
+            np.testing.assert_array_equal(
+                np.asarray(back["params"]["model"]["w"]),
+                np.asarray(state["params"]["model"]["w"]),
+            )
