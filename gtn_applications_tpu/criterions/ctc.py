@@ -28,9 +28,12 @@ class CTC(Criterion):
         the TPU path is used regardless.
     """
 
-    def __init__(self, blank, use_pt=True):
+    def __init__(self, blank, use_pt=True, impl="auto"):
         self.blank = blank
         self.use_pt = use_pt
+        # 'assoc' selects the associative-scan lattice (sequence-sharding
+        # form for long-context runs where T is sharded across the mesh)
+        self.impl = impl
 
     def prepare(self, targets):
         return pad_targets(targets)
@@ -39,7 +42,8 @@ class CTC(Criterion):
         targets, target_lengths = prepared
         log_probs = jax.nn.log_softmax(inputs, axis=2)
         return lattice.ctc_loss(
-            log_probs, targets, target_lengths, self.blank, "mean", input_lengths
+            log_probs, targets, target_lengths, self.blank, "mean",
+            input_lengths, self.impl,
         )
 
     def viterbi_dispatch(self, outputs, params=None, input_lengths=None):

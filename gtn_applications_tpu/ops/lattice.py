@@ -64,7 +64,9 @@ def ctc_forward_score(
       target_lengths: ``[B]`` true target lengths.
       blank: blank index.
       input_lengths: optional ``[B]`` true input lengths (default: T).
-      impl: 'auto' (Pallas kernel on TPU, scan elsewhere), 'pallas', 'scan'.
+      impl: 'auto' (Pallas kernel on TPU, scan elsewhere), 'pallas', 'scan',
+        or 'assoc' (associative_scan over band operators — the
+        sequence-sharding form; see ctc_forward_score_assoc).
 
     Returns:
       ``[B]`` forward scores (log total path probability).
@@ -79,6 +81,12 @@ def ctc_forward_score(
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl not in ("scan", "pallas", "assoc"):
+        raise ValueError(f"unknown CTC impl {impl!r}")
+    if impl == "assoc":
+        return ctc_forward_score_assoc(
+            log_probs, targets, target_lengths, blank, input_lengths
+        )
     if impl == "pallas":
         from . import lattice_pallas
 
@@ -144,6 +152,7 @@ def ctc_loss(
     blank,
     reduction="mean",
     input_lengths=None,
+    impl="auto",
 ):
     """Mean-over-batch negative CTC forward score.
 
@@ -152,7 +161,7 @@ def ctc_loss(
     mean is taken.
     """
     scores = ctc_forward_score(
-        log_probs, targets, target_lengths, blank, input_lengths
+        log_probs, targets, target_lengths, blank, input_lengths, impl
     )
     losses = -scores
     if reduction == "mean":

@@ -368,7 +368,8 @@ def load_criterion(criterion_type, preprocessor, config):
         )
     elif criterion_type == "ctc":
         use_pt = config.get("use_pt", True)
-        return CTC(num_tokens, use_pt), num_tokens + 1
+        impl = config.get("impl", "auto")
+        return CTC(num_tokens, use_pt, impl), num_tokens + 1
     elif criterion_type == "stc":
         # model emits [blank, tokens...]; star channels are internal
         return (

@@ -65,3 +65,19 @@ def test_assoc_sequence_sharded():
         out = f(lp_sharded)
     ref = lattice.ctc_forward_score(lp, tgts, lens, 6, il, impl="scan")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_impl_knob_through_criterion():
+    """config impl='assoc' reaches the associative-scan lattice and agrees
+    with the default scan through the CTC criterion API."""
+    from gtn_applications_tpu.criterions.ctc import CTC
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 12, 6).astype(np.float32))
+    targets = [[0, 1, 2], [3, 1]]
+    base = CTC(blank=5)
+    assoc = CTC(blank=5, impl="assoc")
+    prepared = base.prepare(targets)
+    l0 = float(base.loss({}, x, prepared))
+    l1 = float(assoc.loss({}, x, prepared))
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
