@@ -138,7 +138,16 @@ class ASG(Criterion):
 
     def viterbi_finalize(self, handle):
         paths_dev, input_lengths = handle
-        return self._cleanup(np.asarray(paths_dev), input_lengths)
+        paths = np.asarray(paths_dev)
+        from ..wfst import native as _native
+
+        if _native.available():
+            out = _native.asg_collapse(
+                paths, input_lengths, self.garbage_idx, self.num_replabels
+            )
+            if out is not None:
+                return out
+        return self._cleanup(paths, input_lengths)
 
     def viterbi(self, outputs, params=None, input_lengths=None):
         """Device tropical scan + host cleanup (asg.py:211-237)."""

@@ -489,3 +489,50 @@ def decode_flac(data: bytes):
     finally:
         lib.tw_flac_free(ptr)
     return samples, int(info[0]), int(info[2])
+
+
+def _bind_asg(lib):
+    if getattr(lib, "_asg_bound", False):
+        return
+    lib.tw_asg_collapse.restype = ctypes.c_int64
+    lib.tw_asg_collapse.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._asg_bound = True
+
+
+def asg_collapse(paths, lengths=None, garbage_idx=None, num_replabels=0):
+    """Batched ASG decode cleanup (collapse runs, drop garbage, unpack
+    replabels) in one native call.  paths: int32 [B, T].  Returns a list of
+    int32 arrays.  Returns None when the native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    _bind_asg(lib)
+    paths = np.ascontiguousarray(paths, dtype=np.int32)
+    B, T = paths.shape
+    cap = B * T * (num_replabels + 1)
+    out = np.zeros(cap, dtype=np.int32)
+    counts = np.zeros(B, dtype=np.int64)
+    lens = (
+        None if lengths is None
+        else np.ascontiguousarray(lengths, dtype=np.int32)
+    )
+    n = lib.tw_asg_collapse(
+        _ptr(paths, ctypes.c_int32), B, T,
+        None if lens is None else _ptr(lens, ctypes.c_int32),
+        -1 if garbage_idx is None else int(garbage_idx),
+        int(num_replabels), _ptr(out, ctypes.c_int32), cap,
+        _ptr(counts, ctypes.c_int64),
+    )
+    if n < 0:
+        return None
+    res = []
+    pos = 0
+    for b in range(B):
+        res.append(out[pos : pos + counts[b]].copy())
+        pos += counts[b]
+    return res

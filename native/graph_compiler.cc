@@ -733,6 +733,45 @@ int64_t tw_wp_encode_batch(void* h, const char* text, const int64_t* offsets,
   return total;
 }
 
+// Batched ASG decode cleanup: collapse consecutive repeats, drop the
+// garbage label, and unpack replabels (criterions/asg.py viterbi host
+// loop).  paths [B*T]; lengths may be null (use T).  Writes tokens to out
+// (capacity B*T*(num_replabels+1) worst case is bounded by caller using
+// B*T*(num_replabels+1)); per-sample counts to out_counts.  Returns total.
+int64_t tw_asg_collapse(const int32_t* paths, int64_t B, int64_t T,
+                        const int32_t* lengths, int32_t garbage_idx,
+                        int32_t num_replabels, int32_t* out,
+                        int64_t out_cap, int64_t* out_counts) {
+  int64_t total = 0;
+  for (int64_t b = 0; b < B; ++b) {
+    int64_t len = lengths ? lengths[b] : T;
+    if (len > T) len = T;
+    int64_t start = total;
+    int32_t prev_frame = INT32_MIN;
+    int32_t prev_tok = -1;  // replabel-unpack state
+    for (int64_t t = 0; t < len; ++t) {
+      int32_t p = paths[b * T + t];
+      if (p == prev_frame) continue;  // run collapse
+      prev_frame = p;
+      if (garbage_idx >= 0 && p == garbage_idx) continue;
+      // inline unpack_replabels (asg.py:52-67)
+      if (p >= num_replabels) {
+        if (total >= out_cap) return -1;
+        out[total++] = p - num_replabels;
+        prev_tok = p;
+      } else if (prev_tok != -1) {
+        for (int32_t k = 0; k <= p; ++k) {
+          if (total >= out_cap) return -1;
+          out[total++] = prev_tok - num_replabels;
+        }
+        prev_tok = -1;
+      }
+    }
+    out_counts[b] = total - start;
+  }
+  return total;
+}
+
 void tw_tables_free(void* h) { delete (CompiledTables*)h; }
 
 void tw_tables_sizes(void* h, int64_t* sizes) {

@@ -202,3 +202,29 @@ def test_wordpiece_estep_matches_python():
     assert abs(ll_n - ll_p) < 1e-3
     for p in set(counts_n) | set(counts_p):
         assert abs(counts_n.get(p, 0.0) - counts_p.get(p, 0.0)) < 1e-3, p
+
+
+def test_asg_collapse_matches_python():
+    """Native batched decode cleanup == the Python per-sample path."""
+    from gtn_applications_tpu.criterions.asg import ASG
+
+    rng = np.random.RandomState(5)
+    for num_replabels, use_garbage in [(0, False), (1, True), (2, True)]:
+        N = 5
+        crit = ASG(N, num_replabels, use_garbage)
+        C = N + num_replabels + int(use_garbage)
+        paths = rng.randint(0, C, (4, 30)).astype(np.int32)
+        lengths = np.asarray([30, 17, 1, 0], np.int32)
+        want = crit._cleanup(paths, lengths)
+        got = native.asg_collapse(
+            paths, lengths, crit.garbage_idx, num_replabels
+        )
+        assert got is not None
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, np.asarray(w, np.int32))
+        # no lengths -> full T
+        want = crit._cleanup(paths, None)
+        got = native.asg_collapse(paths, None, crit.garbage_idx, num_replabels)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, np.asarray(w, np.int32))
