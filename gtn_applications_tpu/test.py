@@ -47,10 +47,11 @@ def run_test(args):
     mesh = make_mesh()
     eval_step = make_eval_step(model, criterion)
     meters = utils.Meters()
+    pending_losses = []  # device scalars: one end-of-run readback
 
     def consume(pending):
         loss, handle, targets = pending
-        meters.loss += float(loss) * len(targets)
+        pending_losses.append(loss * len(targets))
         meters.num_samples += len(targets)
         predictions = criterion.viterbi_finalize(handle)
         for p, t in zip(predictions, targets):
@@ -80,6 +81,10 @@ def run_test(args):
         pending = (loss, handle, targets)
     if pending is not None:
         consume(pending)
+    if pending_losses:
+        import jax.numpy as jnp
+
+        meters.loss += float(jnp.sum(jnp.stack(pending_losses)))
     print(
         "Loss {:.3f}, CER {:.3f}, WER {:.3f}".format(
             meters.avg_loss, meters.cer, meters.wer

@@ -156,10 +156,13 @@ def output_lengths(model, widths):
 def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
          use_lengths=False):
     meters = utils.Meters()
+    pending_losses = []  # device scalars: one epoch-end readback
 
     def consume(pending):
         loss, handle, targets = pending
-        meters.loss += float(loss) * len(targets)
+        # loss stays on device (readbacks cost ~30 ms each on remote TPU
+        # stacks); weight by batch size without syncing
+        pending_losses.append(loss * len(targets))
         meters.num_samples += len(targets)
         predictions = criterion.viterbi_finalize(handle)
         td, wd, nt, nw = utils.compute_edit_distance(
@@ -172,7 +175,7 @@ def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
 
     # one-batch pipeline: dispatch device work for batch i+1 before the
     # blocking readback/host cleanup of batch i, so the device queue never
-    # drains (device->host sync costs ~30 ms per drain on TPU)
+    # drains between batches
     pending = None
     for inputs, widths, targets in data_loader:
         inputs = shard_batch(inputs, mesh)
@@ -185,6 +188,8 @@ def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
         pending = (loss, handle, targets)
     if pending is not None:
         consume(pending)
+    if pending_losses:
+        meters.loss += float(jnp.sum(jnp.stack(pending_losses)))
     if jax.process_count() > 1:
         meters.sync()
     return meters.avg_loss, meters.cer, meters.wer
