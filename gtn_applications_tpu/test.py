@@ -68,19 +68,26 @@ def run_test(args):
         meters.edit_distance_words += wd
         meters.num_words += nw
 
-    # pipelined: device work for batch i+1 is enqueued before batch i's
-    # blocking readback (see train.test)
-    pending = None
+    # grouped pipeline (see train.test): decode readbacks for GROUP batches
+    # are fetched in one jax.device_get
+    GROUP = 4
+    group = []
+
+    def flush():
+        fetched = jax.device_get([h for (_, h, _) in group])
+        for (loss, _, targets), handle in zip(group, fetched):
+            consume((loss, handle, targets))
+        group.clear()
+
     for inputs, widths, targets in loader:
         inputs = shard_batch(inputs, mesh)
         prepared = criterion.prepare(targets)
         loss, outputs = eval_step(params, inputs, prepared)
         handle = criterion.viterbi_dispatch(outputs, params["criterion"])
-        if pending is not None:
-            consume(pending)
-        pending = (loss, handle, targets)
-    if pending is not None:
-        consume(pending)
+        group.append((loss, handle, targets))
+        if len(group) >= GROUP:
+            flush()
+    flush()
     if pending_losses:
         import jax.numpy as jnp
 

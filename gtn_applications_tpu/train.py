@@ -173,21 +173,29 @@ def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
         meters.edit_distance_words += wd
         meters.num_words += nw
 
-    # one-batch pipeline: dispatch device work for batch i+1 before the
-    # blocking readback/host cleanup of batch i, so the device queue never
-    # drains between batches
-    pending = None
+    # grouped pipeline: dispatch device decodes for up to GROUP batches
+    # ahead, then pull all their results in ONE jax.device_get — per-array
+    # readbacks cost ~25 ms of transport latency each on remote TPU stacks,
+    # but a grouped transfer pays it once
+    GROUP = 4
+    group = []
+
+    def flush():
+        fetched = jax.device_get([h for (_, h, _) in group])
+        for (loss, _, targets), handle in zip(group, fetched):
+            consume((loss, handle, targets))
+        group.clear()
+
     for inputs, widths, targets in data_loader:
         inputs = shard_batch(inputs, mesh)
         prepared = criterion.prepare(targets)
         lens = output_lengths(model, widths) if use_lengths else None
         loss, outputs = eval_step(params, inputs, prepared, lens)
         handle = criterion.viterbi_dispatch(outputs, params["criterion"])
-        if pending is not None:
-            consume(pending)
-        pending = (loss, handle, targets)
-    if pending is not None:
-        consume(pending)
+        group.append((loss, handle, targets))
+        if len(group) >= GROUP:
+            flush()
+    flush()
     if pending_losses:
         meters.loss += float(jnp.sum(jnp.stack(pending_losses)))
     if jax.process_count() > 1:
