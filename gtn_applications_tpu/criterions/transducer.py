@@ -375,15 +375,20 @@ class Transducer(Criterion):
             return [
                 labels[b, keep[b]].astype(np.int32) for b in range(Bn)
             ]
-        predictions = []
-        for b in range(B):
+        def one(b):
             seq = [int(l) for l in labels[b] if l >= 0]
             if input_lengths is not None:
                 seq = seq[: int(np.asarray(input_lengths)[b])]
-            predictions.append(
-                np.asarray(self._alignment_to_tokens(seq), dtype=np.int32)
-            )
-        return predictions
+            return np.asarray(self._alignment_to_tokens(seq), dtype=np.int32)
+
+        if B > 1:
+            # the per-sample graph transduction runs native compose/viterbi
+            # through ctypes, which releases the GIL — thread it
+            from multiprocessing.pool import ThreadPool
+
+            with ThreadPool(min(B, 8)) as pool:
+                return pool.map(one, range(B))
+        return [one(b) for b in range(B)]
 
     def _alignment_to_tokens(self, seq):
         """Transduce an alignment label sequence to tokens, taking the

@@ -365,3 +365,21 @@ def test_backoff_transitions_numeric_grad():
         ld = float(loss_fn({"transitions": jnp.asarray(down)}))
         numeric[i] = (lu - ld) / (2 * eps)
     np.testing.assert_allclose(analytic, numeric, rtol=1e-2, atol=1e-3)
+
+
+def test_forced_blank_decode_batch():
+    """blank='forced' decode runs the general graph transduction per
+    sample (threaded); outputs must drop blanks and collapse runs exactly
+    like the single-sample path."""
+    crit = Transducer(
+        tokens=["a", "b"], graphemes_to_idx={"a": 0, "b": 1}, blank="forced"
+    )
+    # emissions force alignments: tokens 0/1 + blank (last index)
+    B, T, C = 4, 6, 3
+    rng = np.random.RandomState(2)
+    outputs = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 3)
+    batch = crit.viterbi(outputs)
+    assert len(batch) == B
+    for b in range(B):
+        single = crit.viterbi(outputs[b : b + 1])[0]
+        np.testing.assert_array_equal(batch[b], single)
