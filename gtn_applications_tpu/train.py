@@ -327,6 +327,20 @@ def train(args):
         use_lengths = config["optim"].get("use_input_lengths", False)
         step_idx = 0
         pending_losses = []
+        metric_group = []  # dispatched decodes, fetched 4 at a time
+
+        def flush_metrics():
+            fetched = jax.device_get([h for h, _ in metric_group])
+            for handle, tgts in zip(fetched, [g[1] for g in metric_group]):
+                td, wd, nt, nw = utils.compute_edit_distance(
+                    criterion.viterbi_finalize(handle), tgts, preprocessor
+                )
+                meters.edit_distance_tokens += td
+                meters.num_tokens += nt
+                meters.edit_distance_words += wd
+                meters.num_words += nw
+            metric_group.clear()
+
         for inputs, widths, targets, prepared in prepared_batches(
             train_loader, criterion
         ):
@@ -339,22 +353,22 @@ def train(args):
             )
             timers.stop("model_fwd").start("metrics")
             num_updates += 1
-            pending_losses.append((loss, len(targets)))
+            pending_losses.append(loss * len(targets))
             meters.num_samples += len(targets)
             if step_idx % metrics_interval == 0:
-                td, wd, nt, nw = utils.compute_edit_distance(
-                    criterion.viterbi(outputs, params["criterion"]),
-                    targets,
-                    preprocessor,
+                metric_group.append(
+                    (
+                        criterion.viterbi_dispatch(outputs, params["criterion"]),
+                        targets,
+                    )
                 )
-                meters.edit_distance_tokens += td
-                meters.num_tokens += nt
-                meters.edit_distance_words += wd
-                meters.num_words += nw
+                if len(metric_group) >= 4:
+                    flush_metrics()
             step_idx += 1
             timers.stop("metrics").start("ds_fetch")
-        for loss, n in pending_losses:
-            meters.loss += float(loss) * n
+        flush_metrics()
+        if pending_losses:
+            meters.loss += float(jnp.sum(jnp.stack(pending_losses)))
         timers.stop("ds_fetch").stop("train_total")
         if args.profile_dir and epoch == args.last_epoch:
             jax.profiler.stop_trace()
