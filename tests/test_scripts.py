@@ -224,3 +224,37 @@ def test_reference_vocab_conformance():
         ids2 = pre.to_index("the▁move").tolist()
         assert ids1 == ids2
         assert pre.to_text(ids1) in ("the▁move", "▁the▁move")
+
+
+REF_SMALL_ARPA = "/root/reference/scripts/lm_small.arpa"
+
+# log10 Katz-backoff scores computed BY HAND from the lm_small.arpa entries
+# (independent of score_sentence): each step is either the listed bigram
+# log-prob or bow(history) + unigram log-prob when the bigram is unlisted.
+#   "wood pittsburgh cindy jean": (-0.3064-0.6990) -0.2550 -0.2550 -0.2550 -0.5560
+#   "jean wood":  (-0.3064-0.6990) -0.5560 (-0.2553-1.0000)
+#   "cindy cindy": (-0.3064-0.6990) (-0.2553-0.6990) (-0.2553-1.0000)
+#   "jean xyzzy wood" (<unk>): (-0.3064-0.6990) (-0.1973-1.0000) -0.2550 (-0.2553-1.0000)
+HAND_GOLDENS = {
+    "wood pittsburgh cindy jean": -2.3264,
+    "jean wood": -2.8167,
+    "cindy cindy": -3.2150,
+    "jean xyzzy wood": -3.7130,
+}
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_SMALL_ARPA), reason="reference ARPA not mounted"
+)
+def test_arpa_hand_computed_goldens():
+    """Both the WFST score and the backoff-recursion oracle must match a
+    golden table derived by hand arithmetic on the ARPA file, so the oracle
+    does not share authorship with the code it validates."""
+    counts, vocab = load_arpa.read_counts_from_arpa(REF_SMALL_ARPA)
+    g = load_arpa.build_lm_graph(counts, vocab)
+    for sent, golden in HAND_GOLDENS.items():
+        oracle = load_arpa.score_sentence(counts, vocab, sent)
+        assert abs(oracle - golden) < 1e-4, (sent, oracle, golden)
+        gs = load_arpa.build_sentence_graph(sent, vocab)
+        wscore = wfst.viterbi_score(wfst.intersect(g, gs))
+        assert abs(wscore - golden) < 1e-4, (sent, wscore, golden)
