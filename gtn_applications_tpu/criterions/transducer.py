@@ -541,9 +541,16 @@ class ConvTransduce1D:
     def __call__(self, inputs, params=None):
         from ..ops import convkernel
 
+        # pad the raw scores first so that with normalize='pre' the padded
+        # edge frames normalize to uniform log-probs (-log C), not 0
+        # (reference transducer.py:437-441 pads before log_softmax)
+        pad = self.kernel_size // 2
+        inputs = jnp.pad(inputs, ((0, 0), (pad, pad), (0, 0)))
         if self.normalize == "pre":
             inputs = jax.nn.log_softmax(inputs, axis=2)
-        windows = convkernel.make_windows(inputs, self.kernel_size, self.stride)
+        windows = convkernel.make_windows(
+            inputs, self.kernel_size, self.stride, padded=True
+        )
         outputs = convkernel.conv_transduce_scores(
             windows, self.tables, params, self.viterbi
         )

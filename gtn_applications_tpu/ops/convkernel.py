@@ -264,17 +264,27 @@ def _conv_scores_chunked(windows, tables: KernelTables, kernel_params, viterbi):
     return out[:, :, :V]
 
 
-def make_windows(inputs, kernel_size, stride):
+def make_windows(inputs, kernel_size, stride, padded=False):
     """Pad by K//2 on both sides and extract strided windows.
 
     inputs: [B, T, C] -> [B, W, K, C] with W = (T - 1)//stride + 1.
+
+    With ``padded=True`` the input already carries the K//2 frames on each
+    side (the layer pads before normalization, matching the reference's
+    pad-then-log_softmax order at transducer.py:437-441) and only the
+    window extraction happens here.
     """
     B, T, C = inputs.shape
-    if T == 0:
-        raise ValueError("zero-length input")
-    pad = kernel_size // 2
-    x = jnp.pad(inputs, ((0, 0), (pad, pad), (0, 0)))
-    Tp = T + 2 * pad
+    if padded:
+        x, Tp = inputs, T
+        if Tp < kernel_size:
+            raise ValueError("input shorter than one kernel window")
+    else:
+        if T == 0:
+            raise ValueError("zero-length input")
+        pad = kernel_size // 2
+        x = jnp.pad(inputs, ((0, 0), (pad, pad), (0, 0)))
+        Tp = T + 2 * pad
     W = (Tp - kernel_size) // stride + 1
     idx = jnp.arange(W)[:, None] * stride + jnp.arange(kernel_size)[None, :]
     return x[:, idx, :]

@@ -183,3 +183,29 @@ def test_chunked_matches_direct(monkeypatch):
     np.testing.assert_allclose(float(direct), float(chunked), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gd[0]), np.asarray(gc_[0]), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(gc_[1]), rtol=1e-4, atol=1e-5)
+
+
+def test_pre_normalize_edge_window_parity():
+    """normalize='pre' must pad the raw scores BEFORE log_softmax so padded
+    edge frames carry uniform log-probs (-log C), matching the reference's
+    pad-then-normalize order (transducer.py:437-441).  Verified against the
+    host WFST on the edge windows."""
+    rng = np.random.RandomState(11)
+    lexicon = [(0,), (1,), (0, 1)]
+    blank_idx = 2
+    K, stride, C, T = 5, 2, 3, 6
+    x = rng.randn(1, T, C).astype(np.float32)
+    conv = ConvTransduce1D(lexicon, K, stride, blank_idx, normalize="pre")
+    dev = np.asarray(conv(jnp.asarray(x)))[0]
+
+    pad = K // 2
+    xp = np.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    logp = xp - jax.nn.logsumexp(jnp.asarray(xp), axis=2, keepdims=True)
+    win = np.asarray(
+        convkernel.make_windows(jnp.asarray(logp), K, stride, padded=True)
+    )[0]
+    host = np.exp(_host_scores(None, lexicon, blank_idx, True, win))
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+    # padded edge frames are uniform: prob exp(-log C) per channel, so the
+    # first window differs from what normalize-after-pad-with-zeros gives
+    assert dev.shape[0] == (T - 1) // stride + 1
