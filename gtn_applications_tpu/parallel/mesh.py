@@ -8,10 +8,14 @@ the lattice time axis can additionally be sharded for very long sequences
 since the log-semiring scan is associative — see ops.lattice.
 """
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_warned_indivisible = set()
 
 
 def make_mesh(devices=None, axis_name="data"):
@@ -25,13 +29,27 @@ def batch_spec(ndim, axis_name="data"):
 
 
 def shard_batch(batch, mesh, axis_name="data"):
-    """Shard the leading axis across the mesh; replicate if indivisible."""
+    """Shard the leading axis across the mesh; replicate if indivisible.
+
+    The replicated fallback is correct (every device computes the whole
+    batch; the psum averages identical gradients) but wastes ndev× the
+    compute, so it warns once per offending batch size."""
     batch = np.asarray(batch) if not isinstance(batch, jnp.ndarray) else batch
     ndev = mesh.devices.size
     if batch.shape[0] % ndev == 0 and ndev > 1:
         return jax.device_put(
             batch, NamedSharding(mesh, batch_spec(batch.ndim, axis_name))
         )
+    if ndev > 1 and batch.shape[0] % ndev != 0:
+        key = (batch.shape[0], ndev)
+        if key not in _warned_indivisible:
+            _warned_indivisible.add(key)
+            logging.warning(
+                "Batch size %d not divisible by %d devices: replicating the "
+                "batch (each device computes all samples — %dx wasted "
+                "compute). Pick batch_size divisible by the device count.",
+                batch.shape[0], ndev, ndev,
+            )
     return jnp.asarray(batch)
 
 
@@ -72,3 +90,51 @@ def global_batch_from_local(local_batch, mesh, axis_name="data"):
     return jax.make_array_from_process_local_data(
         sharding, local_batch, global_shape
     )
+
+
+def global_pytree_from_local(tree, mesh, local_batch_size, axis_name="data"):
+    """Assemble a prepared-targets pytree into global arrays on a
+    multi-host mesh.
+
+    Every host runs ``criterion.prepare`` on its own local samples, so
+    leaves with leading dim == local_batch_size are per-sample tables:
+    they are stitched batch-sharded along 'data'.  Other array leaves
+    (shared token/transition tables, scalars) are identical on every host
+    (they derive from the criterion's static graphs) and are placed
+    replicated.  Single-process falls back to shard_pytree_batch."""
+    if jax.process_count() == 1:
+        return shard_pytree_batch(tree, mesh, axis_name)
+
+    def put(x):
+        if not hasattr(x, "shape") or getattr(x, "ndim", 0) < 1:
+            return x
+        x = np.asarray(x)
+        if x.shape[0] == local_batch_size:
+            return global_batch_from_local(x, mesh, axis_name)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), x, x.shape
+        )
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def local_rows(x):
+    """Process-local rows of a globally batch-sharded array, as numpy.
+
+    Used by the host decode/metrics path on multi-host meshes: each host
+    decodes only the samples it fed in (mirroring DDP's per-rank metric
+    accounting, reference train.py:282-300), then Meters.sync aggregates
+    the counts.  Shards are re-ordered by their global row offset."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(
+            x.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        seen, parts = set(), []
+        for s in shards:
+            start = s.index[0].start or 0
+            if start in seen:  # replicated along a trailing mesh axis
+                continue
+            seen.add(start)
+            parts.append(np.asarray(s.data))
+        return np.concatenate(parts, axis=0)
+    return np.asarray(x)

@@ -9,7 +9,15 @@ import logging
 import jax
 
 from . import utils
-from .train import load_experiment, make_eval_step, make_mesh, shard_batch
+from .parallel import mesh as pmesh
+from .train import (
+    load_experiment,
+    make_eval_step,
+    make_mesh,
+    output_lengths,
+    shard_batch,
+    shard_prepared,
+)
 
 
 def parse_args(argv=None):
@@ -79,11 +87,19 @@ def run_test(args):
             consume((loss, handle, targets))
         group.clear()
 
+    use_lengths = config["optim"].get("use_input_lengths", False)
+    multihost = jax.process_count() > 1
     for inputs, widths, targets in loader:
         inputs = shard_batch(inputs, mesh)
-        prepared = criterion.prepare(targets)
-        loss, outputs = eval_step(params, inputs, prepared)
-        handle = criterion.viterbi_dispatch(outputs, params["criterion"])
+        prepared = shard_prepared(
+            criterion.prepare(targets), mesh, len(targets)
+        )
+        lens = output_lengths(model, widths) if use_lengths else None
+        glens = shard_batch(lens, mesh) if (use_lengths and multihost) else lens
+        loss, outputs = eval_step(params, inputs, prepared, glens)
+        if multihost:
+            outputs = pmesh.local_rows(outputs)
+        handle = criterion.viterbi_dispatch(outputs, params["criterion"], lens)
         group.append((loss, handle, targets))
         if len(group) >= GROUP:
             flush()
@@ -92,6 +108,8 @@ def run_test(args):
         import jax.numpy as jnp
 
         meters.loss += float(jnp.sum(jnp.stack(pending_losses)))
+    if multihost:
+        meters.sync()
     print(
         "Loss {:.3f}, CER {:.3f}, WER {:.3f}".format(
             meters.avg_loss, meters.cer, meters.wer

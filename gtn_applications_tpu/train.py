@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import utils
+from .parallel import mesh as pmesh
 
 
 def parse_args(argv=None):
@@ -61,13 +62,25 @@ def make_mesh():
 
 
 def shard_batch(batch, mesh):
-    """Shard the leading batch axis across the data mesh (replicated
-    fallback when not divisible)."""
-    ndev = mesh.devices.size
-    if batch.shape[0] % ndev == 0 and ndev > 1:
-        spec = P("data", *([None] * (batch.ndim - 1)))
-        return jax.device_put(batch, NamedSharding(mesh, spec))
-    return jnp.asarray(batch)
+    """Shard the local batch's leading axis across the data mesh.
+
+    Single-process: device_put with a batch-sharded NamedSharding (loud
+    replicated fallback when indivisible).  Multi-process: each host feeds
+    its own rank-dealt local batch and the global jax.Array is stitched
+    with jax.make_array_from_process_local_data — the multi-host
+    replacement for DDP's per-rank batches (reference train.py:135-208)."""
+    if jax.process_count() > 1:
+        return pmesh.global_batch_from_local(batch, mesh)
+    return pmesh.shard_batch(batch, mesh)
+
+
+def shard_prepared(prepared, mesh, local_batch_size):
+    """Globalize a prepared-targets pytree on multi-host meshes (per-sample
+    tables batch-sharded, shared tables replicated); identity single-host
+    (jit's sharding propagation handles local arrays)."""
+    if jax.process_count() > 1:
+        return pmesh.global_pytree_from_local(prepared, mesh, local_batch_size)
+    return prepared
 
 
 def clip_global_norm(grads, max_norm):
@@ -186,12 +199,20 @@ def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
             consume((loss, handle, targets))
         group.clear()
 
+    multihost = jax.process_count() > 1
     for inputs, widths, targets in data_loader:
         inputs = shard_batch(inputs, mesh)
-        prepared = criterion.prepare(targets)
+        prepared = shard_prepared(
+            criterion.prepare(targets), mesh, len(targets)
+        )
         lens = output_lengths(model, widths) if use_lengths else None
-        loss, outputs = eval_step(params, inputs, prepared, lens)
-        handle = criterion.viterbi_dispatch(outputs, params["criterion"])
+        glens = shard_batch(lens, mesh) if (use_lengths and multihost) else lens
+        loss, outputs = eval_step(params, inputs, prepared, glens)
+        if multihost:
+            # decode only this host's rows (per-rank metric accounting,
+            # aggregated by Meters.sync) — the decode itself is host-local
+            outputs = pmesh.local_rows(outputs)
+        handle = criterion.viterbi_dispatch(outputs, params["criterion"], lens)
         group.append((loss, handle, targets))
         if len(group) >= GROUP:
             flush()
@@ -341,24 +362,32 @@ def train(args):
                 meters.num_words += nw
             metric_group.clear()
 
+        multihost = jax.process_count() > 1
         for inputs, widths, targets, prepared in prepared_batches(
             train_loader, criterion
         ):
             inputs = shard_batch(inputs, mesh)
+            prepared = shard_prepared(prepared, mesh, len(targets))
             lens = output_lengths(model, widths) if use_lengths else None
+            glens = (
+                shard_batch(lens, mesh) if (use_lengths and multihost) else lens
+            )
             timers.stop("ds_fetch").start("model_fwd")
             rng, dropout_rng = jax.random.split(rng)
             params, loss, outputs = train_step(
-                params, inputs, prepared, dropout_rng, lr_scale, lens
+                params, inputs, prepared, dropout_rng, lr_scale, glens
             )
             timers.stop("model_fwd").start("metrics")
             num_updates += 1
             pending_losses.append(loss * len(targets))
             meters.num_samples += len(targets)
             if step_idx % metrics_interval == 0:
+                dec_out = pmesh.local_rows(outputs) if multihost else outputs
                 metric_group.append(
                     (
-                        criterion.viterbi_dispatch(outputs, params["criterion"]),
+                        criterion.viterbi_dispatch(
+                            dec_out, params["criterion"], lens
+                        ),
                         targets,
                     )
                 )
