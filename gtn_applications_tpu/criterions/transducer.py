@@ -343,15 +343,17 @@ class Transducer(Criterion):
             if cached is not None and cached[0] is ptr:
                 table = cached[1]
             else:
-                # epsilon removal mixes arc weights numerically, so the
-                # decode table is rebuilt when the parameters change —
-                # cached per parameter object (eval reuses one pytree)
-                g = self.transitions.copy()
-                g.set_weights(np.asarray(ptr).tolist())
-                cg = wcompile.compile_acceptor(
-                    g, semiring="tropical", remove_eps=True
-                )
-                table = wcompile.to_arc_table(cg)
+                # Epsilon removal mixes arc weights numerically, but its
+                # *structure* is weight-independent: a provenance template
+                # built once re-weights in O(contributions) numpy per
+                # update, so per-step metric decodes during training add
+                # no host graph compilation (the param-identity cache
+                # still short-circuits eval loops reusing one pytree).
+                tmpl = getattr(self, "_decode_template", None)
+                if tmpl is None:
+                    tmpl = wcompile.build_decode_template(self.transitions)
+                    self._decode_template = tmpl
+                table = wcompile.apply_decode_weights(tmpl, np.asarray(ptr))
                 self._decode_cache = (ptr, table)
             labels, _ = _viterbi_batch_jit(outputs, table, input_lengths)
         else:

@@ -125,6 +125,138 @@ def compile_acceptor(
     )
 
 
+class DecodeTemplate(NamedTuple):
+    """Weight-independent epsilon-removed structure for tropical decode
+    tables.
+
+    Epsilon removal's *structure* (which arcs exist and which original
+    arcs derive them) depends only on topology, and every derived weight
+    is a plain sum of original arc weights along one epsilon path — so a
+    transition graph with learnable arc weights (Transducer decode,
+    criterions/transducer.py) can precompute this template once and
+    re-weight per parameter update in O(total contributions) numpy work
+    instead of re-running host epsilon removal (reference rebuilds the
+    full gtn graph per weight set, transducer.py:253-260).
+
+    weight[i] = sum(w[contrib_ids[indptr[i]:indptr[i+1]]])
+    accept[s] = max over final terms t at s of
+                final_const[t] + sum(w[f_contrib[f_indptr[t]:f_indptr[t+1]]])
+    """
+
+    src: np.ndarray
+    dst: np.ndarray
+    label: np.ndarray
+    start: np.ndarray
+    contrib_ids: np.ndarray
+    indptr: np.ndarray
+    final_state: np.ndarray
+    final_const: np.ndarray
+    f_contrib: np.ndarray
+    f_indptr: np.ndarray
+    num_states: int
+
+
+def build_decode_template(g: Graph, max_paths: int = 100000) -> DecodeTemplate:
+    """One-time structural epsilon removal with arc-id provenance.
+
+    Mirrors ops.remove_py's path enumeration (every epsilon run folds into
+    the following emitting arc; trailing runs fold into finals) but records
+    contributing original arc ids instead of evaluating weights.  Dead
+    states are kept (their NEG accept potential excludes them from any
+    tropical best path), so no trim pass is needed."""
+    eps_adj, nonteps = {}, {}
+    for i in range(g.num_arcs()):
+        il, ol = g.arc_ilabel[i], g.arc_olabel[i]
+        if il == EPSILON and ol == EPSILON:
+            eps_adj.setdefault(g.arc_src[i], []).append(i)
+        else:
+            if il == EPSILON or ol == EPSILON:
+                raise ValueError(
+                    "build_decode_template requires an acceptor"
+                )
+            nonteps.setdefault(g.arc_src[i], []).append(i)
+
+    src, dst, label = [], [], []
+    contrib, indptr = [], [0]
+    f_state, f_const, f_contrib, f_indptr = [], [], [], [0]
+    for s in range(g.num_nodes()):
+        # all epsilon paths out of s, with the arc ids along each
+        stack = [(s, (), frozenset([s]))]
+        paths = []
+        while stack:
+            u, ids, onpath = stack.pop()
+            paths.append((u, ids))
+            if len(paths) > max_paths:
+                raise ValueError("epsilon path explosion")
+            for a in eps_adj.get(u, ()):
+                v = g.arc_dst[a]
+                if v in onpath:
+                    raise ValueError("epsilon cycle detected")
+                stack.append((v, ids + (a,), onpath | {v}))
+        for u, ids in paths:
+            for fw in g.finals.get(u, ()):
+                f_state.append(s)
+                f_const.append(fw)
+                f_contrib.extend(ids)
+                f_indptr.append(len(f_contrib))
+            for a in nonteps.get(u, ()):
+                src.append(s)
+                dst.append(g.arc_dst[a])
+                label.append(g.arc_ilabel[a])
+                contrib.extend(ids)
+                contrib.append(a)
+                indptr.append(len(contrib))
+
+    start = np.full((g.num_nodes(),), NEG, dtype=np.float32)
+    for s in g.start_nodes():
+        start[s] = 0.0
+    return DecodeTemplate(
+        src=np.asarray(src, np.int32),
+        dst=np.asarray(dst, np.int32),
+        label=np.asarray(label, np.int32),
+        start=start,
+        contrib_ids=np.asarray(contrib, np.int64),
+        indptr=np.asarray(indptr, np.int64),
+        final_state=np.asarray(f_state, np.int64),
+        final_const=np.asarray(f_const, np.float64),
+        f_contrib=np.asarray(f_contrib, np.int64),
+        f_indptr=np.asarray(f_indptr, np.int64),
+        num_states=g.num_nodes(),
+    )
+
+
+def _segment_sums(w, ids, indptr):
+    cs = np.concatenate([[0.0], np.cumsum(w[ids])])
+    return cs[indptr[1:]] - cs[indptr[:-1]]
+
+
+def apply_decode_weights(tmpl: DecodeTemplate, weights):
+    """Re-weight a DecodeTemplate -> tropical decode ArcTable in O(nnz)."""
+    w = np.asarray(weights, dtype=np.float64)
+    weight = _segment_sums(w, tmpl.contrib_ids, tmpl.indptr)
+    accept = np.full((tmpl.num_states,), NEG, dtype=np.float64)
+    if len(tmpl.final_state):
+        terms = tmpl.final_const + _segment_sums(
+            w, tmpl.f_contrib, tmpl.f_indptr
+        )
+        np.maximum.at(accept, tmpl.final_state, terms)
+    cg = CompiledGraph(
+        src=tmpl.src,
+        dst=tmpl.dst,
+        label=tmpl.label,
+        weight=weight.astype(np.float32),
+        arc_id=np.arange(len(tmpl.src), dtype=np.int32),
+        start=tmpl.start,
+        accept=accept.astype(np.float32),
+        eps_src=np.asarray([], np.int32),
+        eps_dst=np.asarray([], np.int32),
+        eps_weight=np.asarray([], np.float32),
+        eps_arc_id=np.asarray([], np.int32),
+        eps_depth=0,
+    )
+    return to_arc_table(cg)
+
+
 def _pad_arcs(src, dst, label, weight, arc_id, A, S):
     n = len(src)
     if n > A:

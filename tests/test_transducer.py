@@ -383,3 +383,71 @@ def test_forced_blank_decode_batch():
     for b in range(B):
         single = crit.viterbi(outputs[b : b + 1])[0]
         np.testing.assert_array_equal(batch[b], single)
+
+
+def test_decode_template_matches_full_rebuild():
+    """The weight-independent DecodeTemplate must reproduce the full
+    set_weights -> tropical epsilon-removal -> compile pipeline for any
+    weight assignment: same best-path labels and same best-path scores on
+    random emissions over a backoff graph with learnable epsilon arcs."""
+    from gtn_applications_tpu.ops import sparse
+    from gtn_applications_tpu.wfst import compile as wcompile
+
+    N = 4
+    C = N + 1
+    g = Graph()
+    uni = g.add_node(True, True)
+    for lbl in range(C):
+        g.add_node(False, True)
+    for lbl in range(C):
+        g.add_arc(uni, lbl + 1, lbl)
+        g.add_arc(lbl + 1, uni, EPSILON)
+    g.add_arc(1, 2, 1)
+    g.add_arc(2, 1, 0)
+    g.add_arc(1, 5, 4)
+
+    tmpl = wcompile.build_decode_template(g)
+    rng = np.random.RandomState(5)
+    em = jnp.asarray(rng.randn(3, 6, C).astype(np.float32))
+    for trial in range(4):
+        w = rng.randn(g.num_arcs()).astype(np.float32)
+        fresh = g.copy()
+        fresh.set_weights(w.tolist())
+        old = wcompile.to_arc_table(
+            wcompile.compile_acceptor(
+                fresh, semiring="tropical", remove_eps=True
+            )
+        )
+        new = wcompile.apply_decode_weights(tmpl, w)
+        lab_old, sc_old = sparse.viterbi_batch(em, old)
+        lab_new, sc_new = sparse.viterbi_batch(em, new)
+        np.testing.assert_allclose(
+            np.asarray(sc_old), np.asarray(sc_new), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(lab_old), np.asarray(lab_new))
+
+
+def test_decode_template_no_rebuild_in_train_loop():
+    """After the first dispatch, fresh parameter pytrees must not trigger
+    host epsilon removal again (the template re-weights instead)."""
+    from gtn_applications_tpu.wfst import compile as wcompile
+
+    N = 3
+    tokens = [(n,) for n in range(N)]
+    crit = Transducer(
+        tokens=tokens, graphemes_to_idx={n: n for n in range(N)},
+        ngram=2, blank="optional",
+    )
+    rng = np.random.RandomState(0)
+    out = jnp.asarray(rng.randn(2, 5, N + 1).astype(np.float32))
+    p1 = {"transitions": jnp.asarray(rng.randn(crit.num_transition_arcs))}
+    crit.viterbi(out, p1)
+    calls = []
+    orig = wcompile.build_decode_template
+    wcompile.build_decode_template = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        p2 = {"transitions": jnp.asarray(rng.randn(crit.num_transition_arcs))}
+        crit.viterbi(out, p2)
+    finally:
+        wcompile.build_decode_template = orig
+    assert calls == []  # template cached; only O(nnz) re-weighting ran
