@@ -1,41 +1,50 @@
 #!/usr/bin/env python
 """Wordpiece encode throughput (BASELINE.json north star: bytes/s/chip of
 the wordpiece tokenizer).  Measures Viterbi segmentation over the
-reference's 1k-piece vocabulary (or a synthesized one) on generated
-transcript-like text."""
+reference's 1k-piece vocabulary with the checked-in EM-fitted scores
+(benchmarks/word_pieces_scores_1000.tsv — see
+scripts/fit_piece_scores.py), on generated transcript-like text.
 
+Prints human-readable lines plus one JSON line:
+  {"metric": "wordpiece_encode", "value": <bytes/s>, "unit": "bytes/s", ...}
+"""
+
+import json
+import math
 import os
 import random
 import sys
 import time
 
-from gtn_applications_tpu.scripts.wordpiece import UnigramModel
+from gtn_applications_tpu.scripts.wordpiece import UnigramModel, WORDSEP
 
-REF_TOKENS = "/root/reference/benchmarks/word_pieces_tokens_1000.txt"
+_DIR = os.path.dirname(os.path.abspath(__file__))
+SCORES = os.path.join(_DIR, "word_pieces_scores_1000.tsv")
 
 
-def load_pieces():
-    if os.path.exists(REF_TOKENS):
-        with open(REF_TOKENS) as fid:
-            return [l.strip() for l in fid]
+def load_model():
+    if os.path.exists(SCORES):
+        from gtn_applications_tpu.scripts.fit_piece_scores import load_scores
+
+        pieces, lp = load_scores(SCORES)
+        return UnigramModel(lp), pieces
     rng = random.Random(0)
     alphabet = "abcdefghijklmnopqrstuvwxyz▁'"
     toks = {c for c in alphabet}
     while len(toks) < 1000:
         toks.add("".join(rng.choice(alphabet) for _ in range(rng.randint(2, 8))))
-    return sorted(toks)
+    toks = sorted(toks)
+    return UnigramModel({p: -math.log(len(toks)) for p in toks}), toks
 
 
 def main():
-    import math
-
-    pieces = load_pieces()
-    model = UnigramModel({p: -math.log(len(pieces)) for p in pieces})
+    model, pieces = load_model()
     rng = random.Random(0)
-    words = ["the", "move", "recognition", "and", "training", "of",
-             "transducers", "with", "finite", "state", "models"]
+    words = [p[len(WORDSEP):] for p in pieces
+             if p.startswith(WORDSEP) and len(p) > len(WORDSEP)] or [
+        "the", "move", "recognition", "and", "training"]
     lines = [
-        "▁".join(rng.choice(words) for _ in range(12)) for _ in range(2000)
+        WORDSEP.join(rng.choice(words) for _ in range(12)) for _ in range(2000)
     ]
     total_bytes = sum(len(l.encode("utf-8")) for l in lines)
     # warmup
@@ -49,7 +58,9 @@ def main():
     elapsed = (time.perf_counter() - start) / iters
     rate = total_bytes / elapsed
     print(f"wordpiece encode (per line): {rate / 1e6:.2f} MB/s "
-          f"({total_bytes} bytes in {elapsed * 1000:.1f} ms)")
+          f"({total_bytes} bytes in {elapsed * 1000:.1f} ms)",
+          file=sys.stderr)
+    batched_rate = rate
     enc = model._native_encoder()
     if enc is not None:
         enc.encode_batch(lines[:20])
@@ -57,7 +68,16 @@ def main():
         for _ in range(iters):
             enc.encode_batch(lines)
         elapsed = (time.perf_counter() - start) / iters
-        print(f"wordpiece encode (batched): {total_bytes / elapsed / 1e6:.2f} MB/s")
+        batched_rate = total_bytes / elapsed
+        print(f"wordpiece encode (batched): {batched_rate / 1e6:.2f} MB/s",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "wordpiece_encode_batched",
+        "value": batched_rate,
+        "unit": "bytes/s",
+        "total_bytes": total_bytes,
+        "vocab": len(pieces),
+    }))
 
 
 if __name__ == "__main__":

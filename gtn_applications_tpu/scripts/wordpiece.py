@@ -193,6 +193,35 @@ def _e_step(sentences, model: UnigramModel):
     return expected, total_ll
 
 
+def fit_scores(sentences, pieces, em_iters=4, add_dummy_prefix=True):
+    """Fit unigram log-probs for a FIXED piece inventory by EM.
+
+    Closes the gap between a published piece list (e.g. the reference's
+    benchmarks/word_pieces_tokens_1000.txt, which ships pieces but not the
+    SentencePiece model's scores) and score-faithful Viterbi encoding:
+    every piece is kept — EM only re-estimates its probability — so the
+    returned UnigramModel's id space matches the published file exactly.
+    Pieces never seen in the corpus get a floor probability."""
+    sentences = [
+        (WORDSEP + s if add_dummy_prefix else s) for s in sentences if s
+    ]
+    n_pieces = len(set(pieces))
+    uniform = -math.log(max(n_pieces, 1))
+    model = UnigramModel({p: uniform for p in pieces})
+    for _ in range(em_iters):
+        expected, _ll = _e_step(sentences, model)
+        total = sum(expected.values())
+        if total <= 0:
+            break
+        model = UnigramModel(
+            {
+                p: math.log(max(expected.get(p, 0.0), 1e-8)) - math.log(total)
+                for p in model.log_probs
+            }
+        )
+    return model
+
+
 def train_unigram(
     sentences,
     vocab_size,
