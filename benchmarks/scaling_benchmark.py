@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Train-step throughput scaling + MFU (BASELINE.md north stars:
+samples/s/device at ndev in {1, 8} and >=80% weak-scaling efficiency;
+MFU for the flagship TDS2d+CTC step).
+
+Two measurement modes:
+
+* CPU virtual mesh (default off-TPU, or --mesh): all virtual devices
+  share the host's physical cores, so naive samples/s/device cannot
+  weak-scale.  The honest scaling number on shared cores is
+  *sharding overhead efficiency*: the same GLOBAL batch is timed
+  unsharded on one device vs sharded over 8 (identical total compute,
+  same cores) — efficiency = t_unsharded / t_sharded.  This isolates
+  exactly what multi-chip scaling adds (partitioning + collectives),
+  which is the part the virtual mesh can validate; per-chip compute
+  isolation is what real chips add.
+
+* Real TPU chip: absolute samples/s and MFU = achieved flops/s over the
+  chip's peak (flops per step from XLA's compiled cost analysis, so the
+  number tracks the actual HLO rather than a hand model).
+
+Prints one JSON line:
+  {"metric": "train_step_scaling", "samples_per_s_dev1": ...,
+   "samples_per_s_dev8": ..., "scaling_efficiency": ..., "mfu": ...}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# bf16/fp32 peak FLOP/s per chip by device kind (public spec sheets;
+# conservative bf16 numbers). Unknown kinds report mfu=null.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _flagship_step(local_batch, n_devices):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship
+    from gtn_applications_tpu.parallel import mesh as pmesh
+    from gtn_applications_tpu.train import make_train_step
+
+    model, criterion = _flagship()
+    B = local_batch * n_devices
+    H, W = 64, 128
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, H, W).astype(np.float32)
+    targets = [list(rng.randint(0, 79, size=8)) for _ in range(B)]
+    prepared = criterion.prepare(targets)
+    params = {
+        "model": model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1])),
+        "criterion": criterion.init_params(),
+    }
+    step = make_train_step(model, criterion, 0.01, 0.01, max_grad_norm=5.0)
+    return step, params, x, prepared, B
+
+
+def _time_step(step, params, xs, prepared, iters=20, warmup=3):
+    import jax
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        params, loss, _ = step(params, xs, prepared, key, 1.0)
+    jax.block_until_ready(loss)
+    start = time.perf_counter()
+    for _ in range(iters):
+        params, loss, _ = step(params, xs, prepared, key, 1.0)
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - start) / iters
+
+
+def _step_flops(step, params, xs, prepared):
+    import jax
+
+    try:
+        lowered = step.lower(params, xs, prepared, jax.random.PRNGKey(1), 1.0)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def run_mesh_scaling(local_batch=2, iters=10):
+    """Virtual-mesh sharding efficiency + per-config samples/s."""
+    import jax
+    from gtn_applications_tpu.parallel import mesh as pmesh
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "need 8 (virtual) devices; set XLA_FLAGS"
+    out = {}
+    # ndev=1 on the LOCAL batch (per-device work unit)
+    step, params, x, prepared, _ = _flagship_step(local_batch, 1)
+    mesh1 = pmesh.make_mesh(devs[:1])
+    with mesh1:
+        p = pmesh.replicate(params, mesh1)
+        xs = pmesh.shard_batch(x, mesh1)
+        prep = pmesh.shard_pytree_batch(prepared, mesh1)
+        t1 = _time_step(step, p, xs, prep, iters)
+    out["samples_per_s_dev1"] = local_batch / t1
+
+    # same GLOBAL batch: unsharded (1 device) vs sharded (8 devices)
+    step, params, xg, prepg, Bg = _flagship_step(local_batch, 8)
+    with mesh1:
+        p = pmesh.replicate(params, mesh1)
+        xs = pmesh.shard_batch(xg, mesh1)
+        prep = pmesh.shard_pytree_batch(prepg, mesh1)
+        t_unsharded = _time_step(step, p, xs, prep, iters)
+    mesh8 = pmesh.make_mesh(devs[:8])
+    with mesh8:
+        p = pmesh.replicate(params, mesh8)
+        xs = pmesh.shard_batch(xg, mesh8)
+        prep = pmesh.shard_pytree_batch(prepg, mesh8)
+        t_sharded = _time_step(step, p, xs, prep, iters)
+    out["samples_per_s_dev8"] = Bg / t_sharded / 8
+    out["scaling_efficiency"] = t_unsharded / t_sharded
+    out["global_batch"] = Bg
+    return out
+
+
+def run_chip_throughput(local_batch=8, iters=20):
+    """Absolute single-chip samples/s + MFU."""
+    import jax
+
+    step, params, x, prepared, B = _flagship_step(local_batch, 1)
+    import jax.numpy as jnp
+
+    xs = jnp.asarray(x)
+    t = _time_step(step, params, xs, prepared, iters)
+    flops = _step_flops(step, params, xs, prepared)
+    kind = jax.devices()[0].device_kind
+    peak = next(
+        (v for k, v in _PEAK_FLOPS.items() if k.lower() in kind.lower()), None
+    )
+    mfu = (flops / t) / peak if (flops and peak) else None
+    return {
+        "samples_per_s_chip": B / t,
+        "step_ms": t * 1e3,
+        "flops_per_step": flops,
+        "device_kind": kind,
+        "mfu": mfu,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mesh", action="store_true",
+                        help="force the virtual-mesh scaling measurement")
+    parser.add_argument("--local_batch", type=int, default=2)
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    result = {"metric": "train_step_scaling"}
+    on_tpu = jax.default_backend() == "tpu" and not args.mesh
+    if on_tpu:
+        result.update(run_chip_throughput(iters=args.iters))
+    else:
+        jax.config.update("jax_platforms", "cpu")
+        result.update(run_mesh_scaling(args.local_batch, args.iters))
+        # MFU denominator is chip peak; on CPU report flops only
+        step, params, x, prepared, _ = _flagship_step(args.local_batch, 1)
+        import jax.numpy as jnp
+
+        result["flops_per_step_dev1"] = _step_flops(
+            step, params, jnp.asarray(x), prepared
+        )
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

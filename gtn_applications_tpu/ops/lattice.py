@@ -81,10 +81,14 @@ def ctc_forward_score(
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
-    if impl not in ("scan", "pallas", "assoc"):
+    if impl not in ("scan", "pallas", "assoc", "chunked"):
         raise ValueError(f"unknown CTC impl {impl!r}")
     if impl == "assoc":
         return ctc_forward_score_assoc(
+            log_probs, targets, target_lengths, blank, input_lengths
+        )
+    if impl == "chunked":
+        return ctc_forward_score_chunked(
             log_probs, targets, target_lengths, blank, input_lengths
         )
     if impl == "pallas":
@@ -181,8 +185,75 @@ def ctc_greedy_decode(outputs):
     return jnp.argmax(outputs, axis=2)
 
 
+def ctc_forward_score_chunked(
+    log_probs, targets, target_lengths, blank, input_lengths=None, chunk=128
+):
+    """Memory-bounded CTC forward: two-level scan with checkpointed chunks.
+
+    The plain scan (and the Pallas kernel) saves the full alpha trajectory
+    ``[T, B, S]`` as backward residuals; at long T that dominates memory.
+    Here the time axis splits into T/chunk blocks: the outer scan carries
+    only chunk-boundary alphas and each block is wrapped in
+    ``jax.checkpoint``, so the backward pass keeps O(T/chunk · B · S)
+    boundary slabs and recomputes the in-chunk alphas on the fly — the
+    classic sqrt-memory tradeoff (chunk ≈ sqrt(T) minimizes the sum).
+    Numerically identical to impl='scan'.
+    """
+    B, T, C = log_probs.shape
+    L = targets.shape[1]
+    S = 2 * L + 1
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    labels, skip_ok = ctc_state_tables(targets, blank)
+    em = gather_channels(log_probs, labels).transpose(1, 0, 2)  # [T, B, S]
+
+    alpha0 = jnp.full((B, S), NEG)
+    alpha0 = alpha0.at[:, 0].set(em[0, :, 0])
+    if L > 0:
+        first = jnp.where(target_lengths > 0, em[0, :, 1], NEG)
+        alpha0 = alpha0.at[:, 1].set(first)
+
+    def shift(x, k):
+        return jnp.concatenate([jnp.full((B, k), NEG), x[:, :-k]], axis=1)
+
+    def step(alpha, inputs):
+        em_t, t = inputs
+        stay = alpha
+        prev = shift(alpha, 1)
+        skip = jnp.where(skip_ok, shift(alpha, 2), NEG)
+        new = em_t + logsumexp_stack([stay, prev, skip])
+        live = (t < input_lengths)[:, None]
+        return jnp.where(live, new, alpha), None
+
+    n_steps = T - 1
+    nc = max(-(-n_steps // chunk), 1)
+    pad = nc * chunk - n_steps
+    em_rest = jnp.concatenate(
+        [em[1:], jnp.zeros((pad, B, S), em.dtype)], axis=0
+    ).reshape(nc, chunk, B, S)
+    # padded steps use t >= T so the live mask makes them identity
+    ts = jnp.concatenate(
+        [jnp.arange(1, T), jnp.full((pad,), T, jnp.int32)]
+    ).reshape(nc, chunk)
+
+    @jax.checkpoint
+    def chunk_body(alpha, xs):
+        em_c, ts_c = xs
+        alpha, _ = jax.lax.scan(step, alpha, (em_c, ts_c))
+        return alpha, None
+
+    alpha, _ = jax.lax.scan(chunk_body, alpha0, (em_rest, ts))
+
+    last = jnp.take_along_axis(alpha, (2 * target_lengths)[:, None], axis=1)[:, 0]
+    prev_idx = jnp.maximum(2 * target_lengths - 1, 0)
+    prev = jnp.take_along_axis(alpha, prev_idx[:, None], axis=1)[:, 0]
+    prev = jnp.where(target_lengths > 0, prev, NEG)
+    return logaddexp(last, prev)
+
+
 def ctc_forward_score_assoc(
-    log_probs, targets, target_lengths, blank, input_lengths=None
+    log_probs, targets, target_lengths, blank, input_lengths=None, chunk=None
 ):
     """CTC forward score as a parallel prefix over band transition operators.
 
@@ -196,7 +267,20 @@ def ctc_forward_score_assoc(
     exchanges — profitable when chips x sequence length outweigh the S²
     overhead (small lattices / very long inputs).  Numerically identical to
     impl='scan' (tested); not the default on a single chip.
+
+    ``chunk``: with a chunk size c, dense [S, S] operators materialize per
+    *chunk* instead of per *frame* — each chunk's transfer matrix is built
+    by a cheap banded in-chunk recursion (CTC transitions only reach 2
+    states back, so the per-frame update is 3 shifted adds, not a matmul),
+    then T/c dense operators combine by associative_scan.  Memory drops
+    from O(T·S²) to O(T/c·S² + T·S), which is what makes the T-sharded
+    long-context regime (T >= 4k) actually fit; the in-chunk recursion is
+    checkpointed so backward recomputes it instead of saving [c, B, S, S].
     """
+    if chunk is not None:
+        return _ctc_assoc_chunked(
+            log_probs, targets, target_lengths, blank, input_lengths, chunk
+        )
     B, T, C = log_probs.shape
     L = targets.shape[1]
     S = 2 * L + 1
@@ -245,6 +329,88 @@ def ctc_forward_score_assoc(
         NEG,
     )
     alpha_final = logsumexp(total + start[:, None, :], axis=-1)  # [B, S]
+
+    last = jnp.take_along_axis(alpha_final, (2 * target_lengths)[:, None], 1)[:, 0]
+    prev_idx = jnp.maximum(2 * target_lengths - 1, 0)
+    prev = jnp.take_along_axis(alpha_final, prev_idx[:, None], 1)[:, 0]
+    prev = jnp.where(target_lengths > 0, prev, NEG)
+    return logaddexp(last, prev)
+
+
+def _ctc_assoc_chunked(
+    log_probs, targets, target_lengths, blank, input_lengths, chunk
+):
+    """Chunk-transfer form of the associative CTC scan (see
+    ctc_forward_score_assoc): banded in-chunk recursion builds one dense
+    [S, S] transfer per chunk, associative_scan combines the T/chunk
+    transfers.  Each chunk depends only on its own frames, so a T-sharded
+    emissions array keeps the transfer construction local to its shard."""
+    B, T, C = log_probs.shape
+    L = targets.shape[1]
+    S = 2 * L + 1
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    labels, skip_ok = ctc_state_tables(targets, blank)
+    em = gather_channels(log_probs, labels).transpose(1, 0, 2)  # [T, B, S]
+
+    alpha0 = jnp.full((B, S), NEG)
+    alpha0 = alpha0.at[:, 0].set(em[0, :, 0])
+    if L > 0:
+        first = jnp.where(target_lengths > 0, em[0, :, 1], NEG)
+        alpha0 = alpha0.at[:, 1].set(first)
+
+    n_steps = T - 1
+    nc = max(-(-n_steps // chunk), 1)
+    pad = nc * chunk - n_steps
+    em_rest = jnp.concatenate(
+        [em[1:], jnp.zeros((pad, B, S), em.dtype)], axis=0
+    ).reshape(nc, chunk, B, S)
+    ts = jnp.concatenate(
+        [jnp.arange(1, T), jnp.full((pad,), T, jnp.int32)]
+    ).reshape(nc, chunk)
+
+    def shift_rows(M, k):
+        # shift the s_out axis (-2) down by k, filling with NEG
+        return jnp.concatenate(
+            [jnp.full(M.shape[:-2] + (k, S), NEG), M[..., :-k, :]], axis=-2
+        )
+
+    @jax.checkpoint
+    def chunk_transfer(em_c, ts_c):
+        # M[b, i, j] = score of reaching state i from state j across the
+        # frames seen so far in this chunk; identity to start
+        eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG)
+        M0 = jnp.broadcast_to(eye, (B, S, S))
+
+        def tstep(M, xs):
+            em_t, t = xs
+            stay = M
+            prev = shift_rows(M, 1)
+            skip = jnp.where(skip_ok[:, :, None], shift_rows(M, 2), NEG)
+            new = em_t[:, :, None] + logsumexp_stack([stay, prev, skip])
+            live = (t < input_lengths)[:, None, None]
+            return jnp.where(live, new, M), None
+
+        M, _ = jax.lax.scan(tstep, M0, (em_c, ts_c))
+        return M
+
+    transfers = jax.vmap(chunk_transfer)(em_rest, ts)  # [nc, B, S, S]
+
+    def combine(a, b):
+        # (b ∘ a)[i, j] = lse_k b[i, k] + a[k, j]  (a applied first)
+        x = b[..., :, :, None] + a[..., None, :, :]
+        m = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(x, axis=-2, keepdims=True), NEG)
+        )
+        return (
+            m + jnp.log(jnp.maximum(jnp.sum(jnp.exp(x - m), axis=-2,
+                                            keepdims=True), 1e-30))
+        )[..., 0, :]
+
+    prefix = jax.lax.associative_scan(combine, transfers, axis=0)
+    total = prefix[-1]  # [B, S, S]
+    alpha_final = logsumexp(total + alpha0[:, None, :], axis=-1)
 
     last = jnp.take_along_axis(alpha_final, (2 * target_lengths)[:, None], 1)[:, 0]
     prev_idx = jnp.maximum(2 * target_lengths - 1, 0)

@@ -81,3 +81,106 @@ def test_impl_knob_through_criterion():
     l0 = float(base.loss({}, x, prepared))
     l1 = float(assoc.loss({}, x, prepared))
     np.testing.assert_allclose(l0, l1, rtol=1e-5)
+
+
+def test_chunked_matches_scan_values_and_grads():
+    """impl='chunked' (checkpointed two-level scan) is numerically the
+    sequential scan, including through AD."""
+    rng = np.random.RandomState(3)
+    B, T, C, L = 2, 67, 7, 5
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    tgts = jnp.asarray(rng.randint(1, C, size=(B, L)))
+    lens = jnp.asarray([5, 3])
+    il = jnp.asarray([67, 41])
+
+    def loss(impl):
+        def f(x):
+            lp = jax.nn.log_softmax(x, 2)
+            return -lattice.ctc_forward_score(
+                lp, tgts, lens, 0, il, impl=impl
+            ).sum()
+        return f
+
+    np.testing.assert_allclose(
+        float(loss("chunked")(x)), float(loss("scan")(x)), rtol=1e-5
+    )
+    g_ref = jax.grad(loss("scan"))(x)
+    g_chk = jax.grad(loss("chunked"))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_chk), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_long_T_sharded_chunked_assoc():
+    """The long-context regime the assoc form exists for: T = 4096 sharded
+    across the 8-device mesh on the time axis, chunk-transfer operators
+    built shard-locally, prefix combined across devices — must match the
+    sequential scan."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.asarray(devs[:8]), ("seq",))
+    rng = np.random.RandomState(9)
+    B, T, C, L = 2, 4096, 6, 4
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(B, T, C).astype(np.float32)), axis=2
+    )
+    tgts = jnp.asarray(rng.randint(0, 5, size=(B, L)))
+    lens = jnp.asarray([4, 2])
+    il = jnp.asarray([4096, 3000])
+
+    lp_sharded = jax.device_put(lp, NamedSharding(mesh, P(None, "seq", None)))
+
+    @jax.jit
+    def f(lp):
+        return lattice.ctc_forward_score_assoc(
+            lp, tgts, lens, 5, il, chunk=512
+        )
+
+    with mesh:
+        out = f(lp_sharded)
+    ref = lattice.ctc_forward_score(lp, tgts, lens, 5, il, impl="scan")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_chunked_assoc_peak_memory_bounded():
+    """The chunk-transfer form must materialize O(T/c) dense operators,
+    not O(T): XLA's own memory analysis of the compiled backward shows at
+    least ~4x less temp memory than the per-frame dense form."""
+    rng = np.random.RandomState(4)
+    B, T, C, L = 2, 1024, 6, 4
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    tgts = jnp.asarray(rng.randint(0, 5, size=(B, L)))
+    lens = jnp.asarray([4, 3])
+
+    def temp_bytes(fn):
+        compiled = jax.jit(fn).lower(x).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:
+            import pytest
+
+            pytest.skip("memory_analysis unavailable on this backend")
+        return ma.temp_size_in_bytes
+
+    def dense(x):
+        lp = jax.nn.log_softmax(x, 2)
+        return jax.grad(
+            lambda lp: lattice.ctc_forward_score_assoc(
+                lp, tgts, lens, 5
+            ).sum()
+        )(lp)
+
+    def chunked(x):
+        lp = jax.nn.log_softmax(x, 2)
+        return jax.grad(
+            lambda lp: lattice.ctc_forward_score_assoc(
+                lp, tgts, lens, 5, chunk=128
+            ).sum()
+        )(lp)
+
+    bd, bc = temp_bytes(dense), temp_bytes(chunked)
+    assert bc * 4 <= bd, (bc, bd)
