@@ -2,11 +2,22 @@
 """Headline benchmark: CTC fwd+bwd at the reference protocol shapes.
 
 Protocol from /root/reference/benchmarks/ctc_benchmark.py:17-31: T=250,
-L=44, N=80, B=32, ms/iteration with warmup.  The baseline is the reference
-implementation's own fallback path — torch.nn.functional.ctc_loss on CPU
-(criterions/ctc.py:109-121 with use_pt=True) — measured here on identical
-shapes.  vs_baseline = baseline_ms / tpu_ms (>1 means faster than
-baseline).
+L=44, N=80, B=32, ms/iteration with warmup.
+
+Comparators (both measured here on identical shapes, host CPU):
+
+* PRIMARY (``vs_baseline``): the reference's actual engine algorithm —
+  per-sample emission-graph ∘ CTC-acceptor composition, log-semiring
+  forward_score, graph autodiff, C++ thread pool over the batch
+  (reference criterions/ctc.py:31-94 delegating to GTN).  Re-implemented
+  natively in native/graph_compiler.cc (tw_ctc_engine_batch) and
+  differential-tested against the JAX lattice in tests/test_native.py.
+* secondary (``vs_torch_cpu``): torch.nn.functional.ctc_loss, the
+  reference's use_pt fallback path (criterions/ctc.py:109-121).
+
+Also reports TPU fwd+bwd ms for ASG (reference benchmarks/
+asg_benchmark.py shapes) and the ngram=0 transducer (reference
+benchmarks/transducer_benchmark.py:56-119 shapes) in the same JSON line.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -23,6 +34,15 @@ WARMUP, ITERS = 5, 20
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _time(fn, iters=ITERS, warmup=WARMUP):
+    for _ in range(warmup):
+        fn()
+    start = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - start) / iters * 1000
 
 
 def bench_tpu():
@@ -47,15 +67,97 @@ def bench_tpu():
         loss, grad = jax.value_and_grad(f)(x)
         return loss, grad
 
-    for _ in range(WARMUP):
+    loss = None
+
+    def run():
+        nonlocal loss
         loss, grad = fwd_bwd(inputs, tg, ln)
         jax.block_until_ready(grad)
-    start = time.perf_counter()
-    for _ in range(ITERS):
-        loss, grad = fwd_bwd(inputs, tg, ln)
-        jax.block_until_ready(grad)
-    ms = (time.perf_counter() - start) / ITERS * 1000
+
+    ms = _time(run)
     log(f"tpu ctc fwd+bwd: {ms:.3f} ms/iter (loss={float(loss):.4f})")
+    return ms
+
+
+def bench_asg_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions import ASG
+
+    rng = np.random.RandomState(0)
+    crit = ASG(num_classes=N, num_replabels=0, use_garbage=False)
+    inputs = jnp.asarray(rng.randn(B, T, crit.N).astype(np.float32))
+    prepared = crit.prepare(
+        [rng.randint(0, N, size=L).tolist() for _ in range(B)]
+    )
+    params = crit.init_params()
+
+    @jax.jit
+    def fwd_bwd(p, x, prep):
+        return jax.value_and_grad(
+            lambda p, x: crit.loss(p, x, prep), argnums=(0, 1)
+        )(p, x)
+
+    def run():
+        _, grads = fwd_bwd(params, inputs, prepared)
+        jax.block_until_ready(grads[1])
+
+    ms = _time(run)
+    log(f"tpu asg fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
+def bench_transducer_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    C = N + 1  # ngram-0 CTC-style protocol: N=81 classes
+    tokens = [(i,) for i in range(C)]
+    crit = Transducer(
+        tokens, {i: i for i in range(C)}, blank="optional",
+        allow_repeats=False, reduction="mean",
+    )
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    prepared = crit.prepare(
+        [rng.randint(0, C, size=L).tolist() for _ in range(B)]
+    )
+
+    @jax.jit
+    def fwd_bwd(x, prep):
+        return jax.value_and_grad(lambda x: crit.loss({}, x, prep))(x)
+
+    def run():
+        _, grad = fwd_bwd(inputs, prepared)
+        jax.block_until_ready(grad)
+
+    ms = _time(run)
+    log(f"tpu transducer ngram0 fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
+def bench_graph_engine_cpu():
+    """The honest denominator: the reference's own algorithm, natively."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.wfst import native
+
+    if not native.available():
+        return None
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, N).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(x), 2))
+    targets = [rng.randint(0, N - 1, size=L).tolist() for _ in range(B)]
+
+    def run():
+        native.ctc_engine_batch(lp, targets, blank=N - 1)
+
+    ms = _time(run, iters=10, warmup=2)
+    log(f"graph-engine-cpu ctc fwd+bwd: {ms:.3f} ms/iter")
     return ms
 
 
@@ -82,30 +184,33 @@ def bench_torch_cpu():
         x.grad = None
         return loss
 
-    for _ in range(WARMUP):
-        fwd_bwd()
-    start = time.perf_counter()
-    for _ in range(ITERS):
-        loss = fwd_bwd()
-    ms = (time.perf_counter() - start) / ITERS * 1000
-    log(f"torch-cpu ctc fwd+bwd: {ms:.3f} ms/iter (loss={float(loss):.4f})")
+    ms = _time(fwd_bwd)
+    log(f"torch-cpu ctc fwd+bwd: {ms:.3f} ms/iter")
     return ms
 
 
 def main():
     tpu_ms = bench_tpu()
-    base_ms = bench_torch_cpu()
-    vs = (base_ms / tpu_ms) if base_ms else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "ctc_fwd_bwd_ms_per_iter_B32_T250_L44_N80",
-                "value": round(tpu_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+    asg_ms = bench_asg_tpu()
+    trans_ms = bench_transducer_tpu()
+    engine_ms = bench_graph_engine_cpu()
+    torch_ms = bench_torch_cpu()
+    out = {
+        "metric": "ctc_fwd_bwd_ms_per_iter_B32_T250_L44_N80",
+        "value": round(tpu_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(engine_ms / tpu_ms, 3) if engine_ms else 0.0,
+        "baseline": (
+            "graph_engine_cpu: the reference's algorithm (per-sample graph "
+            "compose + log-semiring autodiff, C++ thread pool) on this host"
+        ),
+        "graph_engine_cpu_ms": round(engine_ms, 3) if engine_ms else None,
+        "torch_cpu_ms": round(torch_ms, 3) if torch_ms else None,
+        "vs_torch_cpu": round(torch_ms / tpu_ms, 3) if torch_ms else None,
+        "asg_fwd_bwd_ms": round(asg_ms, 3),
+        "transducer_ngram0_fwd_bwd_ms": round(trans_ms, 3),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

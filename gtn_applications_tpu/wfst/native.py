@@ -86,6 +86,13 @@ def load_library():
     for fn in ("tw_forward_score", "tw_viterbi_score"):
         getattr(lib, fn).restype = ctypes.c_double
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.tw_ctc_engine_batch.restype = ctypes.c_int64
+    lib.tw_ctc_engine_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     return lib
 
@@ -215,6 +222,40 @@ def viterbi_score(g: Graph) -> float:
     if np.isnan(s):
         raise ValueError("graph has cycles; viterbi_score requires a DAG")
     return float(s)
+
+
+def ctc_engine_batch(log_probs, targets, blank):
+    """Graph-engine CTC fwd+bwd over a batch on the host C++ tier.
+
+    Reproduces the reference's execution model (reference criterions/
+    ctc.py:31-94: per-sample emission-graph ∘ CTC-acceptor compose,
+    log-semiring forward_score, graph autodiff, C++ thread pool over the
+    batch).  Serves as bench.py's honest same-algorithm CPU denominator
+    and as a differential grad oracle for the Pallas lattice kernels.
+
+    Args: log_probs [B, T, C] float array; targets list of int lists;
+    blank label id.  Returns (losses [B], grad [B, T, C]) with
+    losses[b] = -log p(target_b) and grad = d losses / d log_probs
+    (no batch reduction).
+    """
+    lib = load_library()
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    B, T, C = lp.shape
+    lens = np.array([len(t) for t in targets], dtype=np.int64)
+    lmax = max(1, int(lens.max()) if B else 1)
+    tg = np.zeros((B, lmax), dtype=np.int32)
+    for b, t in enumerate(targets):
+        tg[b, : len(t)] = t
+    losses = np.zeros(B, dtype=np.float32)
+    grad = np.zeros((B, T, C), dtype=np.float32)
+    fails = lib.tw_ctc_engine_batch(
+        B, T, C, _ptr(lp, ctypes.c_float), _ptr(tg, ctypes.c_int32),
+        _ptr(lens, ctypes.c_int64), lmax, blank,
+        _ptr(losses, ctypes.c_float), _ptr(grad, ctypes.c_float),
+    )
+    if fails:
+        raise ValueError(f"{fails} samples had no accepting CTC path")
+    return losses, grad
 
 
 def _bind_pipeline(lib):

@@ -474,6 +474,127 @@ double score(const Graph& g, bool tropical) {
 }
 
 // ---------------------------------------------------------------------------
+// Graph-engine CTC: per-sample compose + log-semiring autodiff, threaded
+// over the batch.  This reproduces the reference's actual execution model
+// (/root/reference/criterions/ctc.py:31-94 — GTN's linear emission graph
+// intersected with the CTC acceptor, forward_score, gtn.backward, one C++
+// thread-pool task per sample) so bench.py can report an honest
+// same-algorithm CPU denominator, and doubles as a differential gradient
+// oracle for the Pallas lattice kernels.
+// ---------------------------------------------------------------------------
+
+// alpha/beta over a DAG; *arc_grad = d(logZ)/d(weight) = arc posteriors.
+bool score_with_grad(const Graph& g, double* total_out,
+                     std::vector<double>* arc_grad) {
+  std::vector<int64_t> order;
+  if (!topo_order(g, &order)) return false;
+  int64_t n = g.num_nodes();
+  std::vector<double> alpha(n, kNeg), beta(n, kNeg);
+  for (int64_t i = 0; i < n; ++i)
+    if (g.start[i]) alpha[i] = 0.0;
+  auto adj = g.out_arcs();
+  for (auto s : order) {
+    if (alpha[s] <= kNeg / 2) continue;
+    for (auto a : adj[s])
+      alpha[g.dst[a]] = logadd(alpha[g.dst[a]], alpha[s] + g.weight[a]);
+  }
+  double total = kNeg;
+  for (size_t i = 0; i < g.final_node.size(); ++i) {
+    double v = alpha[g.final_node[i]];
+    if (v <= kNeg / 2) continue;
+    total = logadd(total, v + g.final_weight[i]);
+  }
+  *total_out = total;
+  if (total <= kNeg / 2) return false;
+  for (size_t i = 0; i < g.final_node.size(); ++i)
+    beta[g.final_node[i]] =
+        logadd(beta[g.final_node[i]], g.final_weight[i]);
+  for (auto it = order.rbegin(); it != order.rend(); ++it) {
+    int64_t s = *it;
+    for (auto a : adj[s])
+      beta[s] = logadd(beta[s], g.weight[a] + beta[g.dst[a]]);
+  }
+  arc_grad->assign(g.num_arcs(), 0.0);
+  for (int64_t a = 0; a < g.num_arcs(); ++a) {
+    double lp = alpha[g.src[a]] + g.weight[a] + beta[g.dst[a]] - total;
+    if (lp > kNeg / 2) (*arc_grad)[a] = std::exp(lp);
+  }
+  return true;
+}
+
+// CTC acceptor over the interleaved blank/label rows.  Row r consumes
+// label(r) on every arc that ENTERS it (self-loop consumes its own label);
+// a blank row may be skipped only between two distinct labels.  Single
+// start row 0; accepting rows 2L and 2L-1.
+Graph* ctc_acceptor(const int32_t* target, int64_t L, int32_t blank) {
+  Graph* g = new Graph();
+  int64_t rows = 2 * L + 1;
+  auto row_label = [&](int64_t r) -> int32_t {
+    return (r % 2 == 0) ? blank : target[r / 2];
+  };
+  // single start row: every alignment's first frame is reachable from row 0
+  // (self-loop = blank, 0->1 = first label); adding row 1 as a start would
+  // double-count label-initial paths under the enters-row convention.
+  for (int64_t r = 0; r < rows; ++r) g->add_node(r == 0);
+  for (int64_t r = 0; r < rows; ++r) {
+    int32_t lbl = row_label(r);
+    g->add_arc((int32_t)r, (int32_t)r, lbl, lbl, 0.0f);
+    if (r + 1 < rows) {
+      int32_t nl = row_label(r + 1);
+      g->add_arc((int32_t)r, (int32_t)(r + 1), nl, nl, 0.0f);
+    }
+    if (r + 2 < rows && r % 2 == 1 && row_label(r + 2) != lbl) {
+      int32_t sl = row_label(r + 2);
+      g->add_arc((int32_t)r, (int32_t)(r + 2), sl, sl, 0.0f);
+    }
+  }
+  g->add_final(rows - 1, 0.0f);
+  if (L > 0) g->add_final(rows - 2, 0.0f);
+  return g;
+}
+
+// T-frame emission lattice: arc (t, c) carries weight w[t*C + c].
+Graph* emission_graph(int64_t T, int64_t C, const float* w) {
+  Graph* g = new Graph();
+  for (int64_t t = 0; t <= T; ++t) g->add_node(t == 0);
+  for (int64_t t = 0; t < T; ++t)
+    for (int64_t c = 0; c < C; ++c)
+      g->add_arc((int32_t)t, (int32_t)(t + 1), (int32_t)c, (int32_t)c,
+                 w[t * C + c]);
+  g->add_final(T, 0.0f);
+  return g;
+}
+
+// One sample: loss = -logZ(emissions ∘ ctc); grad (T*C floats, ADDED to
+// grad_out) = d(loss)/d(emission weights), scattered through the tracked
+// compose provenance.  Returns false on an empty composition.
+bool ctc_engine_sample(int64_t T, int64_t C, const float* log_probs,
+                       const int32_t* target, int64_t L, int32_t blank,
+                       float* loss_out, float* grad_out) {
+  Graph* em = emission_graph(T, C, log_probs);
+  Graph* ctc = ctc_acceptor(target, L, blank);
+  Graph* full = compose(*em, *ctc, true);
+  delete ctc;
+  delete em;
+  if (!full || full->num_arcs() == 0) {
+    delete full;
+    return false;
+  }
+  double logz = 0.0;
+  std::vector<double> arc_grad;
+  bool ok = score_with_grad(*full, &logz, &arc_grad);
+  if (ok) {
+    *loss_out = (float)(-logz);
+    for (int64_t a = 0; a < full->num_arcs(); ++a) {
+      int64_t src_arc = full->prov1[a];
+      if (src_arc >= 0) grad_out[src_arc] += (float)(-arc_grad[a]);
+    }
+  }
+  delete full;
+  return ok;
+}
+
+// ---------------------------------------------------------------------------
 // Transducer alignment pipeline + arc-table compilation (single native call
 // per target: avoids per-op Python<->C++ graph marshaling)
 // ---------------------------------------------------------------------------
@@ -649,6 +770,44 @@ void* tw_project(void* h, int input_side) {
 
 double tw_forward_score(void* h) { return score(*(Graph*)h, false); }
 double tw_viterbi_score(void* h) { return score(*(Graph*)h, true); }
+
+// Batched graph-engine CTC (see ctc_engine_sample).  log_probs is
+// [B, T, C] row-major; targets is [B, Lmax] padded, lens gives true
+// lengths.  losses[b] = -logZ_b; grad [B, T, C] gets d(losses[b])/d(lp)
+// (no batch-mean scaling — callers apply reduction).  One thread-pool
+// task per sample, mirroring the reference engine's gtn.parallel_for.
+// Returns the number of samples that failed (empty composition).
+int64_t tw_ctc_engine_batch(int64_t B, int64_t T, int64_t C,
+                            const float* log_probs, const int32_t* targets,
+                            const int64_t* lens, int64_t Lmax, int32_t blank,
+                            float* losses, float* grad) {
+  std::memset(grad, 0, (size_t)(B * T * C) * sizeof(float));
+  std::vector<int64_t> fails(B, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(std::min<int64_t>(hw ? hw : 1, 16), B);
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      bool ok = ctc_engine_sample(T, C, log_probs + b * T * C,
+                                  targets + b * Lmax, lens[b], blank,
+                                  losses + b, grad + b * T * C);
+      if (!ok) {
+        fails[b] = 1;
+        losses[b] = 0.0f;
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    work(0, B);
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t)
+      pool.emplace_back(work, B * t / n_threads, B * (t + 1) / n_threads);
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto f : fails) total += f;
+  return total;
+}
 
 // -- transducer alignment pipeline ------------------------------------------
 

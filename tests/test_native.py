@@ -228,3 +228,56 @@ def test_asg_collapse_matches_python():
         got = native.asg_collapse(paths, None, crit.garbage_idx, num_replabels)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(g, np.asarray(w, np.int32))
+
+
+def test_ctc_engine_matches_lattice():
+    """Graph-engine CTC (C++ compose + log-semiring autodiff, the honest
+    bench.py denominator) == the JAX lattice path, losses and grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.common import pad_targets
+    from gtn_applications_tpu.ops import lattice
+
+    rng = np.random.RandomState(0)
+    B, T, C = 5, 14, 7
+    x = rng.randn(B, T, C).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(x), 2))
+    targets = [
+        rng.randint(0, C - 1, size=rng.randint(1, 7)).tolist()
+        for _ in range(B - 1)
+    ]
+    targets.append([2, 2, 3, 3])  # repeats exercise the no-skip rule
+    losses, grad = native.ctc_engine_batch(lp, targets, blank=C - 1)
+
+    tg, ln = pad_targets(targets)
+    want = -np.asarray(lattice.ctc_forward_score(jnp.asarray(lp), tg, ln, C - 1))
+    np.testing.assert_allclose(losses, want, rtol=1e-5, atol=1e-5)
+    gwant = np.asarray(
+        jax.jacrev(
+            lambda y: -jnp.sum(lattice.ctc_forward_score(y, tg, ln, C - 1))
+        )(jnp.asarray(lp))
+    )
+    np.testing.assert_allclose(grad, gwant, rtol=1e-4, atol=1e-5)
+
+
+def test_ctc_engine_golden():
+    """Reference golden table (gtn_ctc_test 5x6): loss 3.34211."""
+    golden = np.log(np.array([
+        [0.633766, 0.221185, 0.0917319, 0.0129757, 0.0142857, 0.0260553],
+        [0.111121, 0.588392, 0.278779, 0.0055756, 0.00569609, 0.010436],
+        [0.0357786, 0.633813, 0.321418, 0.00249248, 0.00272882, 0.0037688],
+        [0.0663296, 0.643849, 0.280111, 0.00283995, 0.0035545, 0.00331533],
+        [0.458235, 0.396634, 0.123377, 0.00648837, 0.00903441, 0.00623107],
+    ], dtype=np.float32))[None]
+    losses, grad = native.ctc_engine_batch(golden, [[0, 1, 2, 1, 0]], blank=5)
+    assert abs(losses[0] - 3.34211) < 1e-4
+    # grad of -logZ wrt log-probs sums to -T over the posterior rows
+    assert abs(grad.sum() + golden.shape[1]) < 1e-3
+
+
+def test_ctc_engine_impossible_target():
+    """A target longer than T has no accepting path -> ValueError."""
+    lp = np.zeros((1, 3, 4), dtype=np.float32)
+    with pytest.raises(ValueError):
+        native.ctc_engine_batch(lp, [[0, 1, 0, 1, 0]], blank=3)
