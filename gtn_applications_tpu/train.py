@@ -398,7 +398,12 @@ def train(args):
         flush_metrics()
         if pending_losses:
             meters.loss += float(jnp.sum(jnp.stack(pending_losses)))
-        timers.stop("ds_fetch").stop("train_total")
+        # One device sync per epoch: the loss readback above (or params here)
+        # drains the async-dispatch queue so train_total includes device
+        # time.  Per-phase labels (ds_fetch/model_fwd/metrics) deliberately
+        # measure host + dispatch cost only — syncing per step would add a
+        # ~28 ms readback penalty to every iteration on this stack.
+        timers.stop("ds_fetch").stop("train_total", sync=params)
         if args.profile_dir and epoch == args.last_epoch:
             jax.profiler.stop_trace()
             logging.info(f"Profiler trace written to {args.profile_dir}")
@@ -449,7 +454,8 @@ def train(args):
         )
         try:
             logging.info(
-                "Timing Info: "
+                "Timing Info (host+dispatch per phase; device time lands in "
+                "train_total via the epoch-end sync): "
                 + ", ".join(
                     "{} : {:.2f}ms".format(k, v * 1000.0)
                     for k, v in timers.value().items()

@@ -308,11 +308,19 @@ class Timer:
         return self
 
     def value(self):
+        """Mean seconds per start/stop pair, for phases that ever ran.
+
+        Phases with no samples are skipped rather than raising: the fused
+        jitted train step has no separate crit_fwd/bwd/optim brackets, so
+        those reference phase keys legitimately stay empty here.
+        """
         vals = {}
         for k in self.keys:
             if self.n[k] == 0:
-                raise ValueError("Trying to divide by zero in TimeMeter")
+                continue
             vals[k] = self.total_time[k] / self.n[k]
+        if not vals:
+            raise ValueError("Trying to divide by zero in TimeMeter")
         return vals
 
 
