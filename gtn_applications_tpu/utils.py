@@ -379,7 +379,12 @@ def load_criterion(criterion_type, preprocessor, config):
         impl = config.get("impl", "auto")
         return CTC(num_tokens, use_pt, impl), num_tokens + 1
     elif criterion_type == "stc":
-        # model emits [blank, tokens...]; star channels are internal
+        # model emits [blank, tokens...]; star channels are internal.
+        # NOTE: the STC class defaults to reduction="none" (matching the
+        # reference class, stc.py:135), but this factory defaults to "mean"
+        # so configs compose with the other criteria's training semantics —
+        # the reference never wires STC into its factory, so there is no
+        # strict parity target; set criterion.reduction to override.
         return (
             STC(
                 blank_idx=0,
