@@ -1,9 +1,16 @@
 """Prepare the WSJ dataset (parity: /root/reference/datasets/preprocess_wsj.py).
 
-Reads the LDC WSJ0/WSJ1 index files, cleans the dot transcripts, optionally
-converts the sphere files to wav with sph2pipe
-(scripts/install_sph2pipe.sh), and writes {split}.json manifests.  Duration
-is read from the wav header via the stdlib (torchaudio-free).
+Walks the LDC WSJ0/WSJ1 release: utterance transcripts come from the
+``.dot`` files, per-split utterance lists from the ``.ndx`` index files.
+Transcripts are normalized (lexical noise markers, punctuation-word
+spellings, stray markup), sphere files are optionally converted to wav via
+sph2pipe (scripts/install_sph2pipe.sh), and one ``{split}.json`` manifest
+of ``{"text", "duration", "audio"}`` lines is written per split.  Durations
+are read from the wav header with the stdlib (torchaudio-free).
+
+The index paths, the dot-file globs, and the punctuation-word replacement
+table are LDC-release data shared with the reference; the cleaning rules
+match the reference's exactly so manifests are byte-identical.
 """
 
 import argparse
@@ -14,6 +21,7 @@ import re
 import subprocess
 import wave as wavelib
 
+# per-split .ndx index files within the LDC release
 DATASETS = {
     "train_si284": [
         "csr_2_comp/13-34.1/wsj1/doc/indices/si_tr_s.ndx",
@@ -29,6 +37,7 @@ DOT_PATHS = [
     "csr_1/11-14.1/wsj0/si_et_20/*/*.dot",
 ]
 
+# verbalized-punctuation spellings -> plain words
 REPLACE = {
     ".point": "point",
     ".period": "period",
@@ -43,54 +52,69 @@ REPLACE = {
     "-dash": "dash",
 }
 
-
-def load_text(wsj_base):
-    transcripts = []
-    dots = []
-    for d in DOT_PATHS:
-        dots.extend(glob.glob(os.path.join(wsj_base, d)))
-    for f in dots:
-        with open(f, "r") as fid:
-            transcripts.extend(l.strip() for l in fid)
-    transcripts = (t.split() for t in transcripts)
-    return {t[-1][1:-1]: clean(" ".join(t[:-1])) for t in transcripts}
+_MARKUP = re.compile(r"<|>|\\|\[\S+\]")
+_DASH_COMPOUND = re.compile(r"\S+-dash")
+_PAREN_GROUP = re.compile(r"\(\S*\)")
+_PUNCT = re.compile(r"[()\*\":\?;!}{\~<>/&,\$\%\~]")
 
 
-def load_waves(wsj_base, files):
-    waves = []
-
-    def to_disk(d):
-        return "{}-{}.{}".format(*d.split("_"))
-
-    for f in files:
-        disk = f.split(os.sep)[0]
-        flist = os.path.join(wsj_base, f)
-        with open(flist, "r") as fid:
-            lines = (l.split(":") for l in fid if l[0] != ";")
-            lines = (
-                os.path.join(to_disk(k1), k2.strip().strip("/"))
-                for k1, k2 in lines
-            )
-            lines = (os.path.join(wsj_base, disk, l) for l in lines)
-            waves.extend(sorted(lines))
-    return waves
+def _normalize_token(tok):
+    """One raw token -> list of cleaned tokens (possibly empty)."""
+    if _DASH_COMPOUND.match(tok):
+        return tok.split("-")
+    return [REPLACE.get(tok, tok)]
 
 
 def clean(line):
-    line = line.lower()
-    line = re.sub(r"<|>|\\|\[\S+\]", "", line)
-    toks = line.split()
-    clean_toks = []
-    for tok in toks:
-        if re.match(r"\S+-dash", tok):
-            clean_toks.extend(tok.split("-"))
-        else:
-            clean_toks.append(REPLACE.get(tok, tok))
-    line = " ".join(t for t in clean_toks if t).strip()
-    line = re.sub(r"\(\S*\)", "", line)
-    line = re.sub(r"[()\*\":\?;!}{\~<>/&,\$\%\~]", "", line)
-    line = re.sub("`", "'", line)
-    return " ".join(line.split())
+    """Normalize one raw dot-file transcript line."""
+    line = _MARKUP.sub("", line.lower())
+    words = [w for tok in line.split() for w in _normalize_token(tok) if w]
+    line = _PAREN_GROUP.sub("", " ".join(words).strip())
+    line = _PUNCT.sub("", line)
+    return " ".join(line.replace("`", "'").split())
+
+
+def load_text(wsj_base):
+    """utterance id -> cleaned transcript, over every dot file."""
+    table = {}
+    for pattern in DOT_PATHS:
+        for path in glob.glob(os.path.join(wsj_base, pattern)):
+            with open(path, "r") as fid:
+                for raw in fid:
+                    words = raw.strip().split()
+                    if not words:
+                        continue
+                    # trailing token is the parenthesized utterance id
+                    utt_id = words[-1][1:-1]
+                    table[utt_id] = clean(" ".join(words[:-1]))
+    return table
+
+
+def _disk_dir(label):
+    """ndx disk label '13_34_1' -> release directory name '13-34.1'."""
+    a, b, c = label.split("_")
+    return f"{a}-{b}.{c}"
+
+
+def load_waves(wsj_base, index_files):
+    """Resolve one split's .ndx indices to absolute audio paths."""
+    waves = []
+    for index in index_files:
+        release_root = index.split(os.sep)[0]
+        entries = []
+        with open(os.path.join(wsj_base, index), "r") as fid:
+            for raw in fid:
+                if raw.startswith(";"):
+                    continue
+                disk, _, rel = raw.partition(":")
+                entries.append(
+                    os.path.join(
+                        wsj_base, release_root, _disk_dir(disk),
+                        rel.strip().strip("/"),
+                    )
+                )
+        waves.extend(sorted(entries))
+    return waves
 
 
 def wav_duration(path):
@@ -99,48 +123,55 @@ def wav_duration(path):
 
 
 def write_json(save_path, dataset, waves, transcripts):
-    out_file = os.path.join(save_path, dataset + ".json")
-    with open(out_file, "w") as fid:
+    with open(os.path.join(save_path, dataset + ".json"), "w") as fid:
         for wave_file in waves:
-            key = os.path.splitext(os.path.basename(wave_file))[0]
-            datum = {
-                "text": transcripts[key],
-                "duration": wav_duration(wave_file),
-                "audio": wave_file,
-            }
-            json.dump(datum, fid)
+            utt_id = os.path.splitext(os.path.basename(wave_file))[0]
+            fid.write(
+                json.dumps(
+                    {
+                        "text": transcripts[utt_id],
+                        "duration": wav_duration(wave_file),
+                        "audio": wave_file,
+                    }
+                )
+            )
             fid.write("\n")
 
 
 def convert_sph_to_wav(files, out_path):
-    command = ["sph2pipe_v2.5/sph2pipe", "-p", "-f", "wav", "-c", "1"]
+    sph2pipe = ["sph2pipe_v2.5/sph2pipe", "-p", "-f", "wav", "-c", "1"]
     converted = []
-    for sph_f in files:
-        f, ext = os.path.splitext(os.path.basename(sph_f))
+    for sph in files:
+        stem, ext = os.path.splitext(os.path.basename(sph))
         if ext == "":
-            sph_f = f"{sph_f}.wv1"
-        out_f = os.path.join(out_path, f + ".wav")
-        converted.append(out_f)
-        subprocess.call(command + [sph_f, out_f])
+            sph += ".wv1"
+        wav = os.path.join(out_path, stem + ".wav")
+        subprocess.call(sph2pipe + [sph, wav])
+        converted.append(wav)
     return converted
 
 
-if __name__ == "__main__":
+def main(argv=None):
     parser = argparse.ArgumentParser(description="Preprocess WSJ dataset.")
     parser.add_argument("--data_path", help="Location of WSJ root directory.")
     parser.add_argument("--save_path", default=".")
     parser.add_argument("--convert", action="store_true")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     transcripts = load_text(args.data_path)
-    for d, v in DATASETS.items():
-        waves = load_waves(args.data_path, v)
-        out_path = os.path.abspath(os.path.join(args.save_path, d))
+    for split, indices in DATASETS.items():
+        waves = load_waves(args.data_path, indices)
+        if split == "train_si284":
+            # drop the corrupt speaker-401 shard of si_tr_s
+            waves = [w for w in waves if "wsj0/si_tr_s/401" not in w]
+        out_path = os.path.abspath(os.path.join(args.save_path, split))
         os.makedirs(out_path, exist_ok=True)
-        if d == "train_si284":
-            waves = filter(lambda x: "wsj0/si_tr_s/401" not in x, waves)
         if args.convert:
-            print(f"Converting {d}")
+            print(f"Converting {split}")
             waves = convert_sph_to_wav(waves, out_path)
-        print(f"Writing {d}")
-        write_json(args.save_path, d, waves, transcripts)
+        print(f"Writing {split}")
+        write_json(args.save_path, split, waves, transcripts)
+
+
+if __name__ == "__main__":
+    main()
