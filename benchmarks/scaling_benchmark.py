@@ -44,7 +44,7 @@ _PEAK_FLOPS = {
 }
 
 
-def _flagship_step(local_batch, n_devices):
+def _flagship_step(local_batch, n_devices, dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +53,7 @@ def _flagship_step(local_batch, n_devices):
     from gtn_applications_tpu.parallel import mesh as pmesh
     from gtn_applications_tpu.train import make_train_step
 
-    model, criterion = _flagship()
+    model, criterion = _flagship(dtype=dtype)
     B = local_batch * n_devices
     H, W = 64, 128
     rng = np.random.RandomState(0)
@@ -133,27 +133,28 @@ def run_mesh_scaling(local_batch=2, iters=10):
 
 
 def run_chip_throughput(local_batch=8, iters=20):
-    """Absolute single-chip samples/s + MFU."""
+    """Absolute single-chip samples/s + MFU, fp32 and bf16 encoder."""
     import jax
-
-    step, params, x, prepared, B = _flagship_step(local_batch, 1)
     import jax.numpy as jnp
 
-    xs = jnp.asarray(x)
-    t = _time_step(step, params, xs, prepared, iters)
-    flops = _step_flops(step, params, xs, prepared)
     kind = jax.devices()[0].device_kind
     peak = next(
         (v for k, v in _PEAK_FLOPS.items() if k.lower() in kind.lower()), None
     )
-    mfu = (flops / t) / peak if (flops and peak) else None
-    return {
-        "samples_per_s_chip": B / t,
-        "step_ms": t * 1e3,
-        "flops_per_step": flops,
-        "device_kind": kind,
-        "mfu": mfu,
-    }
+    out = {"device_kind": kind}
+    for tag, dtype in (("", None), ("_bf16", jnp.bfloat16)):
+        step, params, x, prepared, B = _flagship_step(
+            local_batch, 1, dtype=dtype
+        )
+        xs = jnp.asarray(x)
+        t = _time_step(step, params, xs, prepared, iters)
+        flops = _step_flops(step, params, xs, prepared)
+        mfu = (flops / t) / peak if (flops and peak) else None
+        out[f"samples_per_s_chip{tag}"] = B / t
+        out[f"step_ms{tag}"] = t * 1e3
+        out[f"flops_per_step{tag}"] = flops
+        out[f"mfu{tag}"] = mfu
+    return out
 
 
 def main(argv=None):

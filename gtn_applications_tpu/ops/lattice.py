@@ -440,9 +440,21 @@ def asg_fcc_score(inputs, transitions, input_lengths=None):
 
     trans = transitions[1:].T  # [C, C], trans[i, j] = score of j after i
 
+    # Log-semiring "matvec" as a real MXU matmul: with row shift ma and
+    # column shift mt, lse_i(alpha_i + trans_ij) = ma + mt_j +
+    # log(sum_i exp(alpha_i - ma) exp(trans_ij - mt_j)).  The shifted
+    # factors are in (0, 1], the sum is exact up to fp32 accumulation,
+    # and exp(trans - mt) is constant across the scan so it hoists out.
+    # This turns the hot per-step op from a [B, C, C] broadcast
+    # reduction (VPU) into a [B, C] @ [C, C] matmul (MXU).
+    mt = jax.lax.stop_gradient(jnp.max(trans, axis=0))  # [C]
+    exp_trans = jnp.exp(trans - mt[None, :])  # [C, C]
+
     def step(alpha, xs):
         em_t, t = xs
-        new = em_t + logsumexp(alpha[:, :, None] + trans[None, :, :], axis=1)
+        ma = jax.lax.stop_gradient(jnp.max(alpha, axis=1, keepdims=True))
+        z = jnp.exp(alpha - ma) @ exp_trans  # [B, C] on the MXU
+        new = em_t + ma + mt[None, :] + jnp.log(jnp.maximum(z, 1e-37))
         new = jnp.where((t < input_lengths)[:, None], new, alpha)
         return new, None
 
