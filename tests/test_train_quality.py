@@ -147,3 +147,58 @@ def test_ngram_transducer_learns_glyphs():
     )
     assert train_cer <= 8.0, train_cer
     assert test_cer <= 20.0, test_cer
+
+
+def test_asg_learns_glyphs():
+    """ASG (learned transitions + replabels + garbage) to near-zero train CER.
+
+    Measured at authoring: train CER 0.23, test CER 14.14.
+    """
+    from gtn_applications_tpu import test as test_mod
+    from gtn_applications_tpu import train as train_mod
+
+    tmpdir = tempfile.mkdtemp()
+    config = {
+        "seed": 0,
+        "data": {"dataset": "synthetic", "data_path": tmpdir, "num_features": 16},
+        "model_type": "tds2d",
+        "model": _MODEL,
+        "criterion_type": "asg",
+        "criterion": {"num_replabels": 1, "use_garbage": True},
+        "optim": {
+            "batch_size": 8,
+            "epochs": 60,
+            "learning_rate": 0.05,
+            "crit_learning_rate": 0.05,
+            "step_size": 60,
+            "max_grad_norm": 5,
+        },
+    }
+    cfg = os.path.join(tmpdir, "config.json")
+    with open(cfg, "w") as fid:
+        json.dump(config, fid)
+
+    records = []
+
+    class H(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = H()
+    logging.getLogger().addHandler(h)
+    try:
+        args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
+        train_mod.train(args)
+    finally:
+        logging.getLogger().removeHandler(h)
+    train_cers = [
+        float(m.split("CER ")[1].split(",")[0])
+        for m in records
+        if "complete" in m and "CER" in m
+    ]
+    targs = test_mod.parse_args(
+        ["--config", cfg, "--checkpoint_path", tmpdir, "--split", "test"]
+    )
+    meters = test_mod.run_test(targs)
+    assert train_cers[-1] <= 2.0, train_cers[-1]
+    assert meters.cer <= 25.0, meters.cer
