@@ -161,6 +161,26 @@ def bench_graph_engine_cpu():
     return ms
 
 
+def bench_asg_graph_engine_cpu():
+    """Same-algorithm ASG denominator (free-energy + force-aligned graph
+    compositions with autodiff, threaded) at the reference protocol."""
+    from gtn_applications_tpu.wfst import native
+
+    if not native.available():
+        return None
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, N).astype(np.float32)
+    trans = np.zeros((N + 1, N), np.float32)
+    targets = [rng.randint(0, N, size=L).tolist() for _ in range(B)]
+
+    def run():
+        native.asg_engine_batch(x, targets, trans)
+
+    ms = _time(run, iters=3, warmup=1)
+    log(f"graph-engine-cpu asg fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
 def bench_torch_cpu():
     try:
         import torch
@@ -194,6 +214,7 @@ def main():
     asg_ms = bench_asg_tpu()
     trans_ms = bench_transducer_tpu()
     engine_ms = bench_graph_engine_cpu()
+    asg_engine_ms = bench_asg_graph_engine_cpu()
     torch_ms = bench_torch_cpu()
     out = {
         "metric": "ctc_fwd_bwd_ms_per_iter_B32_T250_L44_N80",
@@ -208,6 +229,12 @@ def main():
         "torch_cpu_ms": round(torch_ms, 3) if torch_ms else None,
         "vs_torch_cpu": round(torch_ms / tpu_ms, 3) if torch_ms else None,
         "asg_fwd_bwd_ms": round(asg_ms, 3),
+        "asg_graph_engine_cpu_ms": (
+            round(asg_engine_ms, 3) if asg_engine_ms else None
+        ),
+        "asg_vs_baseline": (
+            round(asg_engine_ms / asg_ms, 3) if asg_engine_ms else None
+        ),
         "transducer_ngram0_fwd_bwd_ms": round(trans_ms, 3),
     }
     print(json.dumps(out))

@@ -93,6 +93,14 @@ def load_library():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.tw_asg_engine_batch.restype = ctypes.c_int64
+    lib.tw_asg_engine_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     return lib
 
@@ -256,6 +264,44 @@ def ctc_engine_batch(log_probs, targets, blank):
     if fails:
         raise ValueError(f"{fails} samples had no accepting CTC path")
     return losses, grad
+
+
+def asg_engine_batch(log_probs, targets, transitions):
+    """Graph-engine ASG fwd+bwd over a batch on the host C++ tier.
+
+    The reference's execution model (reference criterions/asg.py:84-170:
+    free-energy and force-aligned graph compositions, log-semiring
+    forward_score, graph autodiff, thread pool over the batch).  Serves as
+    bench.py's same-algorithm CPU denominator for ASG and as a
+    differential oracle for ops.lattice.asg_loss.
+
+    Args: log_probs [B, T, C]; targets: PREPARED id lists (replabels /
+    garbage already applied); transitions: (C+1) x C matrix.  Returns
+    (losses [B], grad_em [B, T, C], grad_trans [(C+1), C]) where
+    losses[b] = logZ_free - logZ_forced and grad_trans is batch-summed.
+    """
+    lib = load_library()
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    B, T, C = lp.shape
+    tw = np.ascontiguousarray(transitions, dtype=np.float32)
+    assert tw.shape == (C + 1, C)
+    lens = np.array([len(t) for t in targets], dtype=np.int64)
+    lmax = max(1, int(lens.max()) if B else 1)
+    tg = np.zeros((B, lmax), dtype=np.int32)
+    for b, t in enumerate(targets):
+        tg[b, : len(t)] = t
+    losses = np.zeros(B, dtype=np.float32)
+    grad_em = np.zeros((B, T, C), dtype=np.float32)
+    grad_trans = np.zeros((C + 1, C), dtype=np.float32)
+    fails = lib.tw_asg_engine_batch(
+        B, T, C, _ptr(lp, ctypes.c_float), _ptr(tg, ctypes.c_int32),
+        _ptr(lens, ctypes.c_int64), lmax, _ptr(tw, ctypes.c_float),
+        _ptr(losses, ctypes.c_float), _ptr(grad_em, ctypes.c_float),
+        _ptr(grad_trans, ctypes.c_float),
+    )
+    if fails:
+        raise ValueError(f"{fails} samples had no accepting ASG path")
+    return losses, grad_em, grad_trans
 
 
 def _bind_pipeline(lib):

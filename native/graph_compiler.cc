@@ -594,6 +594,85 @@ bool ctc_engine_sample(int64_t T, int64_t C, const float* log_probs,
   return ok;
 }
 
+// ASG graphs (same conventions as criterions/asg.py create_transitions_graph
+// / the reference's builders): node 0 starts, node i+1 accepts label i, and
+// the arc order equals the row-major (C+1) x C weight layout, so arc k's
+// weight is trans_w[k] and gradients scatter back by arc index.
+Graph* asg_transitions_graph(int64_t C, const float* w) {
+  Graph* g = new Graph();
+  g->add_node(true);
+  for (int64_t i = 1; i <= C; ++i) {
+    g->add_node(false);
+    g->add_final(i, 0.0f);
+    g->add_arc(0, (int32_t)i, (int32_t)(i - 1), (int32_t)(i - 1),
+               w[i - 1]);
+  }
+  for (int64_t i = 0; i < C; ++i)
+    for (int64_t j = 0; j < C; ++j)
+      g->add_arc((int32_t)(j + 1), (int32_t)(i + 1), (int32_t)i, (int32_t)i,
+                 w[(i + 1) * C + j]);
+  return g;
+}
+
+// Force-align chain: position l emits target[l] once then self-loops on it.
+Graph* asg_fal_graph(const int32_t* tgt, int64_t L) {
+  Graph* g = new Graph();
+  g->add_node(true);
+  for (int64_t l = 0; l < L; ++l) {
+    g->add_node(false);
+    g->add_arc((int32_t)l, (int32_t)(l + 1), tgt[l], tgt[l], 0.0f);
+    g->add_arc((int32_t)(l + 1), (int32_t)(l + 1), tgt[l], tgt[l], 0.0f);
+  }
+  g->add_final(L, 0.0f);
+  return g;
+}
+
+// One ASG sample: loss = logZ(em ∘ trans) - logZ(em ∘ (fal ∘ trans)).
+// Emission grads ADD to grad_em [T*C]; transition grads ADD to
+// grad_trans [(C+1)*C] (arc index == flat weight index).
+bool asg_engine_sample(int64_t T, int64_t C, const float* log_probs,
+                       const int32_t* target, int64_t L,
+                       const Graph& trans, float* loss_out, float* grad_em,
+                       float* grad_trans) {
+  Graph* em = emission_graph(T, C, log_probs);
+
+  Graph* fcc = compose(*em, trans, true);
+  double z_fcc = 0.0;
+  std::vector<double> g_fcc;
+  bool ok = fcc && score_with_grad(*fcc, &z_fcc, &g_fcc);
+
+  Graph* ft = nullptr;
+  Graph* fal_full = nullptr;
+  double z_fal = 0.0;
+  std::vector<double> g_fal;
+  if (ok) {
+    Graph* fal = asg_fal_graph(target, L);
+    ft = compose(*fal, trans, true);
+    delete fal;
+    fal_full = ft ? compose(*em, *ft, true) : nullptr;
+    ok = fal_full && score_with_grad(*fal_full, &z_fal, &g_fal);
+  }
+  if (ok) {
+    *loss_out = (float)(z_fcc - z_fal);
+    for (int64_t a = 0; a < fcc->num_arcs(); ++a) {
+      if (fcc->prov1[a] >= 0) grad_em[fcc->prov1[a]] += (float)g_fcc[a];
+      if (fcc->prov2[a] >= 0) grad_trans[fcc->prov2[a]] += (float)g_fcc[a];
+    }
+    for (int64_t a = 0; a < fal_full->num_arcs(); ++a) {
+      if (fal_full->prov1[a] >= 0)
+        grad_em[fal_full->prov1[a]] -= (float)g_fal[a];
+      int64_t fta = fal_full->prov2[a];
+      if (fta >= 0 && ft->prov2[fta] >= 0)
+        grad_trans[ft->prov2[fta]] -= (float)g_fal[a];
+    }
+  }
+  delete fal_full;
+  delete ft;
+  delete fcc;
+  delete em;
+  return ok;
+}
+
 // ---------------------------------------------------------------------------
 // Transducer alignment pipeline + arc-table compilation (single native call
 // per target: avoids per-op Python<->C++ graph marshaling)
@@ -804,6 +883,53 @@ int64_t tw_ctc_engine_batch(int64_t B, int64_t T, int64_t C,
       pool.emplace_back(work, B * t / n_threads, B * (t + 1) / n_threads);
     for (auto& th : pool) th.join();
   }
+  int64_t total = 0;
+  for (auto f : fails) total += f;
+  return total;
+}
+
+// Batched graph-engine ASG (see asg_engine_sample).  Shapes as in
+// tw_ctc_engine_batch; trans_w is the (C+1) x C row-major transition
+// matrix; grad_trans gets the batch-SUMMED transition gradient.  Fewer
+// threads than the CTC engine: each in-flight sample materializes a
+// ~T*(C+1)*C-arc composed graph.
+int64_t tw_asg_engine_batch(int64_t B, int64_t T, int64_t C,
+                            const float* log_probs, const int32_t* targets,
+                            const int64_t* lens, int64_t Lmax,
+                            const float* trans_w, float* losses,
+                            float* grad_em, float* grad_trans) {
+  std::memset(grad_em, 0, (size_t)(B * T * C) * sizeof(float));
+  std::memset(grad_trans, 0, (size_t)((C + 1) * C) * sizeof(float));
+  Graph* trans = asg_transitions_graph(C, trans_w);
+  trans->compose_index();  // pre-build: threads only read it
+  std::vector<int64_t> fails(B, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(std::min<int64_t>(hw ? hw : 1, 8), B);
+  std::vector<std::vector<float>> gt_local(
+      n_threads, std::vector<float>((C + 1) * C, 0.0f));
+  auto work = [&](int64_t tid, int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      bool ok = asg_engine_sample(T, C, log_probs + b * T * C,
+                                  targets + b * Lmax, lens[b], *trans,
+                                  losses + b, grad_em + b * T * C,
+                                  gt_local[tid].data());
+      if (!ok) {
+        fails[b] = 1;
+        losses[b] = 0.0f;
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    work(0, 0, B);
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t)
+      pool.emplace_back(work, t, B * t / n_threads, B * (t + 1) / n_threads);
+    for (auto& th : pool) th.join();
+  }
+  delete trans;
+  for (int64_t t = 0; t < n_threads; ++t)
+    for (int64_t k = 0; k < (C + 1) * C; ++k) grad_trans[k] += gt_local[t][k];
   int64_t total = 0;
   for (auto f : fails) total += f;
   return total;

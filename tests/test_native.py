@@ -281,3 +281,48 @@ def test_ctc_engine_impossible_target():
     lp = np.zeros((1, 3, 4), dtype=np.float32)
     with pytest.raises(ValueError):
         native.ctc_engine_batch(lp, [[0, 1, 0, 1, 0]], blank=3)
+
+
+def test_asg_engine_matches_lattice():
+    """Graph-engine ASG (C++ compose + autodiff) == JAX lattice: losses,
+    emission grads, and transition grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.common import pad_targets
+    from gtn_applications_tpu.ops import lattice
+
+    rng = np.random.RandomState(1)
+    B, T, C = 4, 12, 6
+    lp = rng.randn(B, T, C).astype(np.float32)
+    trans = (rng.randn(C + 1, C) * 0.3).astype(np.float32)
+    targets = [
+        rng.randint(0, C, size=rng.randint(1, 6)).tolist() for _ in range(B)
+    ]
+    losses, gem, gtr = native.asg_engine_batch(lp, targets, trans)
+
+    tg, ln = pad_targets(targets)
+
+    def per_sample(lp, trans):
+        fcc = lattice.asg_fcc_score(lp, trans)
+        fal = lattice.asg_fal_score(lp, trans, tg, ln)
+        return fcc - fal
+
+    want = np.asarray(per_sample(jnp.asarray(lp), jnp.asarray(trans)))
+    np.testing.assert_allclose(losses, want, rtol=1e-5, atol=1e-5)
+    g = jax.grad(
+        lambda x, t: jnp.sum(per_sample(x, t)), argnums=(0, 1)
+    )(jnp.asarray(lp), jnp.asarray(trans))
+    np.testing.assert_allclose(gem, np.asarray(g[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gtr, np.asarray(g[1]), rtol=1e-4, atol=1e-5)
+
+
+def test_asg_engine_golden():
+    """Reference ASG golden (gtn_asg_test): batch-mean loss 7.47995."""
+    from tests.test_asg import EMISSIONS, LABELS
+
+    N = 6
+    losses, _, _ = native.asg_engine_batch(
+        EMISSIONS, LABELS, np.zeros((N + 1, N), np.float32)
+    )
+    assert abs(losses.mean() - 7.47995) < 1e-4
