@@ -114,16 +114,20 @@ def bench_transducer_tpu():
 
     from gtn_applications_tpu.criterions.transducer import Transducer
 
-    C = N + 1  # ngram-0 CTC-style protocol: N=81 classes
-    tokens = [(i,) for i in range(C)]
+    # ngram-0 CTC-style protocol: 81 emission channels (the reference's
+    # N=81) = 80 singleton tokens + the optional blank, so the blank
+    # channel actually exists on both the TPU path and the graph-engine
+    # comparator (the reference's own harness labels blank out of range,
+    # which its composition silently drops).
+    tokens = [(i,) for i in range(N)]
     crit = Transducer(
-        tokens, {i: i for i in range(C)}, blank="optional",
+        tokens, {i: i for i in range(N)}, blank="optional",
         allow_repeats=False, reduction="mean",
     )
     rng = np.random.RandomState(0)
-    inputs = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    inputs = jnp.asarray(rng.randn(B, T, N + 1).astype(np.float32))
     prepared = crit.prepare(
-        [rng.randint(0, C, size=L).tolist() for _ in range(B)]
+        [rng.randint(0, N, size=L).tolist() for _ in range(B)]
     )
 
     @jax.jit
@@ -181,6 +185,34 @@ def bench_asg_graph_engine_cpu():
     return ms
 
 
+def bench_transducer_graph_engine_cpu():
+    """Same-algorithm transducer denominator (alignment-graph compose +
+    autodiff, threaded) at the ngram-0 protocol shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.transducer import Transducer
+    from gtn_applications_tpu.wfst import native
+
+    if not native.available():
+        return None
+    crit = Transducer(
+        [(i,) for i in range(N)], {i: i for i in range(N)},
+        blank="optional", allow_repeats=False, reduction="mean",
+    )
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, N + 1).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(x), 2))
+    targets = [rng.randint(0, N, size=L).tolist() for _ in range(B)]
+
+    def run():
+        native.transducer_engine_batch(lp, crit.lexicon, crit.tokens, targets)
+
+    ms = _time(run, iters=3, warmup=1)
+    log(f"graph-engine-cpu transducer ngram0 fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
 def bench_torch_cpu():
     try:
         import torch
@@ -215,6 +247,7 @@ def main():
     trans_ms = bench_transducer_tpu()
     engine_ms = bench_graph_engine_cpu()
     asg_engine_ms = bench_asg_graph_engine_cpu()
+    trans_engine_ms = bench_transducer_graph_engine_cpu()
     torch_ms = bench_torch_cpu()
     out = {
         "metric": "ctc_fwd_bwd_ms_per_iter_B32_T250_L44_N80",
@@ -236,6 +269,12 @@ def main():
             round(asg_engine_ms / asg_ms, 3) if asg_engine_ms else None
         ),
         "transducer_ngram0_fwd_bwd_ms": round(trans_ms, 3),
+        "transducer_graph_engine_cpu_ms": (
+            round(trans_engine_ms, 3) if trans_engine_ms else None
+        ),
+        "transducer_vs_baseline": (
+            round(trans_engine_ms / trans_ms, 3) if trans_engine_ms else None
+        ),
     }
     print(json.dumps(out))
 

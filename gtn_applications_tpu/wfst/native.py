@@ -101,6 +101,14 @@ def load_library():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.tw_transducer_engine_batch.restype = ctypes.c_int64
+    lib.tw_transducer_engine_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     return lib
 
@@ -302,6 +310,41 @@ def asg_engine_batch(log_probs, targets, transitions):
     if fails:
         raise ValueError(f"{fails} samples had no accepting ASG path")
     return losses, grad_em, grad_trans
+
+
+def transducer_engine_batch(log_probs, lexicon, tokens, targets):
+    """Graph-engine transducer fwd+bwd (no transition model) on the host.
+
+    Per sample: loss = -forward_score(emissions ∘ alignment_graph(target))
+    where the alignment graph marginalizes decompositions through the
+    lexicon (reference transducer.py:239-309 without transitions), with
+    graph autodiff and a thread pool over the batch — bench.py's
+    same-algorithm CPU denominator for the transducer protocols.
+
+    Args: log_probs [B, T, C]; lexicon / tokens: host ``Graph``s (the
+    criterion's ``self.lexicon`` / ``self.tokens``); targets: grapheme id
+    lists.  Returns (losses [B], grad [B, T, C]).
+    """
+    lib = load_library()
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    B, T, C = lp.shape
+    hl = to_native(lexicon, warm=True)
+    ht = to_native(tokens, warm=True)
+    lens = np.array([len(t) for t in targets], dtype=np.int64)
+    lmax = max(1, int(lens.max()) if B else 1)
+    tg = np.zeros((B, lmax), dtype=np.int32)
+    for b, t in enumerate(targets):
+        tg[b, : len(t)] = t
+    losses = np.zeros(B, dtype=np.float32)
+    grad = np.zeros((B, T, C), dtype=np.float32)
+    fails = lib.tw_transducer_engine_batch(
+        B, T, C, _ptr(lp, ctypes.c_float), hl.h, ht.h,
+        _ptr(tg, ctypes.c_int32), _ptr(lens, ctypes.c_int64), lmax,
+        _ptr(losses, ctypes.c_float), _ptr(grad, ctypes.c_float),
+    )
+    if fails:
+        raise ValueError(f"{fails} samples had no accepting alignment path")
+    return losses, grad
 
 
 def _bind_pipeline(lib):

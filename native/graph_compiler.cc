@@ -940,24 +940,37 @@ int64_t tw_asg_engine_batch(int64_t B, int64_t T, int64_t C,
 // target chain ∘ lexicon -> project_output -> remove;
 // tokens ∘ that -> remove -> project_input; optionally transitions ∘ that
 // (tracked); then compile to arc tables.  Returns a CompiledTables handle.
-void* tw_compile_alignment(void* lexicon_h, void* tokens_h,
-                           void* transitions_h, const int32_t* target,
-                           int64_t target_len) {
+// target chain ∘ lexicon -> project_output -> remove; tokens ∘ that ->
+// remove -> project_input.  The marginalized-decomposition alignment
+// acceptor (reference transducer.py:260-296), shared by the table
+// compiler and the graph-engine comparator.
+Graph* alignment_graph(const Graph& lexicon, const Graph& tokens,
+                       const int32_t* target, int64_t target_len) {
   Graph* chain = chain_graph(target, target_len);
-  Graph* c1 = compose(*chain, *(Graph*)lexicon_h, false);
+  Graph* c1 = compose(*chain, lexicon, false);
   delete chain;
   Graph* p1 = project(*c1, false);
   delete c1;
   Graph* r1 = remove_eps(*p1);
   delete p1;
   if (!r1) return nullptr;
-  Graph* c2 = compose(*(Graph*)tokens_h, *r1, false);
+  Graph* c2 = compose(tokens, *r1, false);
   delete r1;
   Graph* r2 = remove_eps(*c2);
   delete c2;
   if (!r2) return nullptr;
   Graph* align = project(*r2, true);
   delete r2;
+  return align;
+}
+
+void* tw_compile_alignment(void* lexicon_h, void* tokens_h,
+                           void* transitions_h, const int32_t* target,
+                           int64_t target_len) {
+  Graph* align =
+      alignment_graph(*(Graph*)lexicon_h, *(Graph*)tokens_h, target,
+                      target_len);
+  if (!align) return nullptr;
   CompiledTables* out;
   if (transitions_h) {
     Graph* final_g = compose(*(Graph*)transitions_h, *align, true);
@@ -969,6 +982,70 @@ void* tw_compile_alignment(void* lexicon_h, void* tokens_h,
     delete align;
   }
   return out;
+}
+
+// Batched graph-engine transducer (no transition model): per sample,
+// loss = -logZ(emissions ∘ alignment_graph(target)); emission grads via
+// tracked provenance.  The reference execution model for the ngram-0
+// protocols (transducer.py:239-309 without the transitions term), used
+// as bench.py's same-algorithm CPU denominator.  Shapes as in
+// tw_ctc_engine_batch.  Returns the number of failed samples.
+int64_t tw_transducer_engine_batch(int64_t B, int64_t T, int64_t C,
+                                   const float* log_probs, void* lexicon_h,
+                                   void* tokens_h, const int32_t* targets,
+                                   const int64_t* lens, int64_t Lmax,
+                                   float* losses, float* grad) {
+  std::memset(grad, 0, (size_t)(B * T * C) * sizeof(float));
+  Graph* lexicon = (Graph*)lexicon_h;
+  Graph* tokens = (Graph*)tokens_h;
+  lexicon->compose_index();  // warm shared indexes before the pool
+  tokens->compose_index();
+  std::vector<int64_t> fails(B, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(std::min<int64_t>(hw ? hw : 1, 16), B);
+  auto task = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      bool ok = false;
+      Graph* align =
+          alignment_graph(*lexicon, *tokens, targets + b * Lmax, lens[b]);
+      if (align) {
+        Graph* em = emission_graph(T, C, log_probs + b * T * C);
+        Graph* full = compose(*em, *align, true);
+        delete em;
+        delete align;
+        if (full && full->num_arcs() > 0) {
+          double logz = 0.0;
+          std::vector<double> arc_grad;
+          ok = score_with_grad(*full, &logz, &arc_grad);
+          if (ok) {
+            losses[b] = (float)(-logz);
+            float* gb = grad + b * T * C;
+            for (int64_t a = 0; a < full->num_arcs(); ++a)
+              if (full->prov1[a] >= 0)
+                gb[full->prov1[a]] -= (float)arc_grad[a];
+          }
+        }
+        delete full;
+      } else {
+        delete align;
+      }
+      if (!ok) {
+        fails[b] = 1;
+        losses[b] = 0.0f;
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    task(0, B);
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t)
+      pool.emplace_back(task, B * t / n_threads, B * (t + 1) / n_threads);
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto f : fails) total += f;
+  return total;
 }
 
 int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,

@@ -326,3 +326,47 @@ def test_asg_engine_golden():
         EMISSIONS, LABELS, np.zeros((N + 1, N), np.float32)
     )
     assert abs(losses.mean() - 7.47995) < 1e-4
+
+
+def test_transducer_engine_matches_criterion():
+    """Graph-engine transducer (alignment-graph compose + autodiff) == the
+    criterion's sparse-scan path, losses and grads (chained through the
+    criterion's internal log_softmax), incl. marginalized decompositions."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    rng = np.random.RandomState(0)
+
+    def check(crit, C, targets, B, T):
+        x = rng.randn(B, T, C).astype(np.float32)
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(x), 2))
+        losses, grad = native.transducer_engine_batch(
+            lp, crit.lexicon, crit.tokens, targets
+        )
+        prep = crit.prepare(targets)
+        want = float(crit.loss({}, jnp.asarray(lp), prep))
+        np.testing.assert_allclose(losses.mean(), want, rtol=1e-5)
+        gx = np.asarray(
+            jax.grad(lambda y: crit.loss({}, y, prep) * B)(jnp.asarray(x))
+        )
+        sm = np.exp(lp)
+        chained = grad - sm * grad.sum(-1, keepdims=True)
+        np.testing.assert_allclose(chained, gx, rtol=1e-4, atol=1e-5)
+
+    # ngram-0 CTC-style: singleton tokens, optional blank
+    C0 = 7
+    crit = Transducer(
+        [(i,) for i in range(C0)], {i: i for i in range(C0)},
+        blank="optional", allow_repeats=False, reduction="none",
+    )
+    targets = [rng.randint(0, C0, size=rng.randint(1, 5)).tolist() for _ in range(3)]
+    check(crit, C0 + 1, targets, 3, 10)
+
+    # marginalized decompositions: multi-grapheme pieces
+    crit2 = Transducer(
+        ["a", "b", "ab", "ba"], {"a": 0, "b": 1},
+        blank="optional", allow_repeats=False, reduction="none",
+    )
+    check(crit2, 5, [[0, 1, 0], [1, 1]], 2, 8)
