@@ -211,17 +211,34 @@ Graph* compose(const Graph& g1, const Graph& g2, bool track) {
   auto f2 = g2.finals_map();
 
   Graph* out = new Graph();
+  // Composite-state dedup: a flat (s1, s2, filter) table when the product
+  // space is small (the common case — per-sample emission/target lattices),
+  // hashed fallback for huge graph pairs.  The flat path removes the hash
+  // from the innermost arc loop (~2x on the bench compositions).
+  int64_t n2 = g2.num_nodes();
+  int64_t product = g1.num_nodes() * n2 * 3;
+  bool flat_ok = product > 0 && product <= (int64_t)1 << 24;
+  std::vector<int64_t> flat;
+  if (flat_ok) flat.assign(product, -1);
   std::unordered_map<std::tuple<int64_t, int64_t, int>, int64_t, KeyHash>
       state_map;
   std::deque<std::tuple<int64_t, int64_t, int>> queue;
 
   auto get_state = [&](int64_t s1, int64_t s2, int f) -> int64_t {
-    auto key = std::make_tuple(s1, s2, f);
-    auto it = state_map.find(key);
-    if (it != state_map.end()) return it->second;
+    int64_t* slot = nullptr;
+    if (flat_ok) {
+      slot = &flat[(s1 * n2 + s2) * 3 + f];
+      if (*slot >= 0) return *slot;
+    } else {
+      auto it = state_map.find(std::make_tuple(s1, s2, f));
+      if (it != state_map.end()) return it->second;
+    }
     int64_t node = out->add_node(false);
-    state_map[key] = node;
-    queue.push_back(key);
+    if (slot)
+      *slot = node;
+    else
+      state_map[std::make_tuple(s1, s2, f)] = node;
+    queue.push_back(std::make_tuple(s1, s2, f));
     auto i1 = f1.find(s1);
     auto i2 = f2.find(s2);
     if (i1 != f1.end() && i2 != f2.end()) {
@@ -246,7 +263,7 @@ Graph* compose(const Graph& g1, const Graph& g2, bool track) {
     queue.pop_front();
     int64_t s1 = std::get<0>(key), s2 = std::get<1>(key);
     int f = std::get<2>(key);
-    int64_t src_node = state_map[key];
+    int64_t src_node = get_state(s1, s2, f);
 
     // g1-only epsilon-output moves (+ paired epsilons)
     auto e1 = g1_oeps.find(s1);
