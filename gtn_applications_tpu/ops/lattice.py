@@ -80,7 +80,13 @@ def ctc_forward_score(
     labels, skip_ok = ctc_state_tables(targets, blank)
 
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        # The one-level kernels keep the full [T, B, S] alpha trajectory as
+        # backward residuals; past a few thousand frames route to the
+        # checkpointed chunked scan (sqrt(T)-ish memory, same numerics).
+        if T > 4096:
+            impl = "chunked"
+        else:
+            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     if impl not in ("scan", "pallas", "assoc", "chunked"):
         raise ValueError(f"unknown CTC impl {impl!r}")
     if impl == "assoc":
