@@ -463,6 +463,42 @@ double logadd(double a, double b) {
   return m + std::log(std::exp(a - m) + std::exp(b - m));
 }
 
+// Flat CSR adjacency (arc ids grouped by source node) — avoids the
+// vector-of-vectors construction on multi-million-arc composed graphs.
+struct Csr {
+  std::vector<int64_t> off;  // [n + 1]
+  std::vector<int64_t> arc;  // [A], arc ids sorted by src
+};
+
+Csr out_csr(const Graph& g) {
+  Csr c;
+  int64_t n = g.num_nodes(), A = g.num_arcs();
+  c.off.assign(n + 1, 0);
+  for (auto s : g.src) c.off[s + 1]++;
+  for (int64_t i = 0; i < n; ++i) c.off[i + 1] += c.off[i];
+  c.arc.resize(A);
+  std::vector<int64_t> cur(c.off.begin(), c.off.end() - 1);
+  for (int64_t a = 0; a < A; ++a) c.arc[cur[g.src[a]]++] = a;
+  return c;
+}
+
+bool topo_order_csr(const Graph& g, const Csr& c,
+                    std::vector<int64_t>* order) {
+  int64_t n = g.num_nodes();
+  std::vector<int64_t> indeg(n, 0);
+  for (auto d : g.dst) indeg[d]++;
+  order->clear();
+  order->reserve(n);
+  for (int64_t i = 0; i < n; ++i)
+    if (indeg[i] == 0) order->push_back(i);
+  for (size_t h = 0; h < order->size(); ++h) {
+    int64_t s = (*order)[h];
+    for (int64_t k = c.off[s]; k < c.off[s + 1]; ++k)
+      if (--indeg[g.dst[c.arc[k]]] == 0) order->push_back(g.dst[c.arc[k]]);
+  }
+  return (int64_t)order->size() == n;
+}
+
 double score(const Graph& g, bool tropical) {
   std::vector<int64_t> order;
   if (!topo_order(g, &order)) return std::nan("");
@@ -503,17 +539,19 @@ double score(const Graph& g, bool tropical) {
 // alpha/beta over a DAG; *arc_grad = d(logZ)/d(weight) = arc posteriors.
 bool score_with_grad(const Graph& g, double* total_out,
                      std::vector<double>* arc_grad) {
+  Csr adj = out_csr(g);
   std::vector<int64_t> order;
-  if (!topo_order(g, &order)) return false;
+  if (!topo_order_csr(g, adj, &order)) return false;
   int64_t n = g.num_nodes();
   std::vector<double> alpha(n, kNeg), beta(n, kNeg);
   for (int64_t i = 0; i < n; ++i)
     if (g.start[i]) alpha[i] = 0.0;
-  auto adj = g.out_arcs();
   for (auto s : order) {
     if (alpha[s] <= kNeg / 2) continue;
-    for (auto a : adj[s])
+    for (int64_t k = adj.off[s]; k < adj.off[s + 1]; ++k) {
+      int64_t a = adj.arc[k];
       alpha[g.dst[a]] = logadd(alpha[g.dst[a]], alpha[s] + g.weight[a]);
+    }
   }
   double total = kNeg;
   for (size_t i = 0; i < g.final_node.size(); ++i) {
@@ -528,8 +566,10 @@ bool score_with_grad(const Graph& g, double* total_out,
         logadd(beta[g.final_node[i]], g.final_weight[i]);
   for (auto it = order.rbegin(); it != order.rend(); ++it) {
     int64_t s = *it;
-    for (auto a : adj[s])
+    for (int64_t k = adj.off[s]; k < adj.off[s + 1]; ++k) {
+      int64_t a = adj.arc[k];
       beta[s] = logadd(beta[s], g.weight[a] + beta[g.dst[a]]);
+    }
   }
   arc_grad->assign(g.num_arcs(), 0.0);
   for (int64_t a = 0; a < g.num_arcs(); ++a) {
