@@ -157,13 +157,88 @@ def run_chip_throughput(local_batch=8, iters=20):
     return out
 
 
+def run_host_scaling(local_batch=2, iters=5, nprocs=2, total_devices=8):
+    """Multi-HOST efficiency on shared cores: the same global batch over
+    the same ``total_devices`` virtual devices, measured with 1 process vs
+    ``nprocs`` jax.distributed processes — the ratio isolates what
+    multi-host adds (process-boundary collectives + global-array
+    assembly via global_batch_from_local).  BASELINE.md's ">=2 hosts"
+    scaling north star, measurable without multi-host hardware.
+    """
+    import json as json_mod
+    import os
+    import socket
+    import subprocess
+    import tempfile
+
+    import jax
+    from gtn_applications_tpu.parallel import mesh as pmesh
+
+    # single-process reference: global batch sharded over all devices
+    devs = jax.devices()
+    assert len(devs) >= total_devices
+    step, params, xg, prepg, Bg = _flagship_step(
+        local_batch, total_devices
+    )
+    mesh = pmesh.make_mesh(devs[:total_devices])
+    with mesh:
+        p = pmesh.replicate(params, mesh)
+        xs = pmesh.shard_batch(xg, mesh)
+        prep = pmesh.shard_pytree_batch(prepg, mesh)
+        t_one = _time_step(step, p, xs, prep, iters)
+
+    # nprocs processes x (total_devices / nprocs) devices each
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    outdir = tempfile.mkdtemp()
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scaling_hosts_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={total_devices // nprocs}"
+    )
+    env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    procs, outs = [], []
+    for pid in range(nprocs):
+        out = os.path.join(outdir, f"rank{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), str(nprocs), str(port), out,
+             str(local_batch), str(iters)],
+            env=env,
+        ))
+    for pr in procs:
+        assert pr.wait(timeout=600) == 0, "host-scaling worker failed"
+    ranks = [json_mod.load(open(o)) for o in outs]
+    t_multi = max(r["step_s"] for r in ranks)
+    return {
+        "step_s_1proc": t_one,
+        "step_s_nproc": t_multi,
+        "nprocs": nprocs,
+        "global_batch": Bg,
+        "host_scaling_efficiency": t_one / t_multi,
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--mesh", action="store_true",
                         help="force the virtual-mesh scaling measurement")
+    parser.add_argument("--hosts", action="store_true",
+                        help="multi-process host-scaling measurement (CPU)")
     parser.add_argument("--local_batch", type=int, default=2)
     parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args(argv)
+
+    if args.hosts:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        result = {"metric": "host_scaling"}
+        result.update(run_host_scaling(args.local_batch, args.iters))
+        print(json.dumps(result))
+        return result
 
     import jax
 
