@@ -75,8 +75,12 @@ def bench_tpu():
         jax.block_until_ready(grad)
 
     ms = _time(run)
-    log(f"tpu ctc fwd+bwd: {ms:.3f} ms/iter (loss={float(loss):.4f})")
-    return ms
+    # NOTE: do NOT read loss back here — the first device->host readback
+    # permanently degrades block_until_ready to ~28 ms/call on this stack,
+    # which would poison the ASG/transducer timing sections that follow.
+    # main() logs the loss after all device timing is done.
+    log(f"tpu ctc fwd+bwd: {ms:.3f} ms/iter")
+    return ms, loss
 
 
 def bench_asg_tpu():
@@ -242,9 +246,10 @@ def bench_torch_cpu():
 
 
 def main():
-    tpu_ms = bench_tpu()
+    tpu_ms, ctc_loss = bench_tpu()
     asg_ms = bench_asg_tpu()
     trans_ms = bench_transducer_tpu()
+    log(f"tpu ctc loss sanity: {float(ctc_loss):.4f}")  # first readback HERE
     engine_ms = bench_graph_engine_cpu()
     asg_engine_ms = bench_asg_graph_engine_cpu()
     trans_engine_ms = bench_transducer_graph_engine_cpu()
