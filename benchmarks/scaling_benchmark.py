@@ -138,10 +138,13 @@ def run_chip_throughput(local_batch=8, iters=20):
     import jax.numpy as jnp
 
     kind = jax.devices()[0].device_kind
-    peak = next(
-        (v for k, v in _PEAK_FLOPS.items() if k.lower() in kind.lower()), None
-    )
-    out = {"device_kind": kind}
+    # longest matching key wins ("TPU v5 lite" must not hit "TPU v5")
+    matches = [
+        (len(k), v) for k, v in _PEAK_FLOPS.items()
+        if k.lower() in kind.lower()
+    ]
+    peak = max(matches)[1] if matches else None
+    out = {"device_kind": kind, "peak_tflops_assumed": peak and peak / 1e12}
     for tag, dtype in (("", None), ("_bf16", jnp.bfloat16)):
         step, params, x, prepared, B = _flagship_step(
             local_batch, 1, dtype=dtype
@@ -153,7 +156,18 @@ def run_chip_throughput(local_batch=8, iters=20):
         out[f"samples_per_s_chip{tag}"] = B / t
         out[f"step_ms{tag}"] = t * 1e3
         out[f"flops_per_step{tag}"] = flops
+        out[f"achieved_tflops{tag}"] = flops and flops / t / 1e12
         out[f"mfu{tag}"] = mfu
+    if any(
+        out.get(f"mfu{t}") and out[f"mfu{t}"] > 1.0 for t in ("", "_bf16")
+    ):
+        out["mfu_note"] = (
+            "achieved flops exceed the public spec peak for this "
+            "device_kind string; the remote device differs from its "
+            "advertised kind — treat mfu as a lower-bound utilization "
+            "ratio against the ASSUMED peak, and read achieved_tflops "
+            "as the ground truth"
+        )
     return out
 
 
@@ -227,7 +241,8 @@ def main(argv=None):
                         help="force the virtual-mesh scaling measurement")
     parser.add_argument("--hosts", action="store_true",
                         help="multi-process host-scaling measurement (CPU)")
-    parser.add_argument("--local_batch", type=int, default=2)
+    parser.add_argument("--local_batch", type=int, default=None,
+                    help="per-device batch (default: 2 mesh / 8 chip)")
     parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args(argv)
 
@@ -236,7 +251,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
         result = {"metric": "host_scaling"}
-        result.update(run_host_scaling(args.local_batch, args.iters))
+        result.update(run_host_scaling(args.local_batch or 2, args.iters))
         print(json.dumps(result))
         return result
 
@@ -245,12 +260,14 @@ def main(argv=None):
     result = {"metric": "train_step_scaling"}
     on_tpu = jax.default_backend() == "tpu" and not args.mesh
     if on_tpu:
-        result.update(run_chip_throughput(iters=args.iters))
+        result.update(
+            run_chip_throughput(args.local_batch or 8, iters=args.iters)
+        )
     else:
         jax.config.update("jax_platforms", "cpu")
-        result.update(run_mesh_scaling(args.local_batch, args.iters))
+        result.update(run_mesh_scaling(args.local_batch or 2, args.iters))
         # MFU denominator is chip peak; on CPU report flops only
-        step, params, x, prepared, _ = _flagship_step(args.local_batch, 1)
+        step, params, x, prepared, _ = _flagship_step(args.local_batch or 2, 1)
         import jax.numpy as jnp
 
         result["flops_per_step_dev1"] = _step_flops(
