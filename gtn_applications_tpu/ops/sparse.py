@@ -114,12 +114,37 @@ def _as2d(x):
     return x[None] if x.ndim == 1 else x
 
 
+import os
+
+# "whole": the entire scan as one Pallas launch with MXU one-hot-projection
+# matmuls (ops.sparse_scan_pallas); "step": per-frame seg_lse kernels under
+# lax.scan; "auto": whole when the projection matrices fit the VMEM budget.
+_SCAN_IMPL = os.environ.get("GTN_SPARSE_SCAN", "auto")
+
+# the whole-scan kernel keeps its one-hot projections resident in VMEM;
+# beyond this footprint fall back to the per-step kernel (v5e: 128 MB/core,
+# leave headroom for emission/trajectory blocks and double buffering)
+_WHOLE_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _whole_scan_fits(B, S, A, E, per_sample, eps_per_sample, eps_depth):
+    pad = lambda n: n + (-n) % 128
+    S_pad, A_pad, E_pad = pad(S), pad(max(A, 1)), pad(max(E, 1))
+    proj = 2 * (B if per_sample else 1) * S_pad * A_pad
+    if eps_depth > 0:
+        proj += 2 * (B if eps_per_sample else 1) * S_pad * E_pad
+    resident = proj + B * (3 * A_pad + E_pad + 4 * S_pad)
+    return 4 * resident <= _WHOLE_VMEM_BUDGET
+
+
 def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
-    """Batched scan over [B, S] state vectors with the Pallas seg_lse step.
+    """Batched scan over [B, S] state vectors on Pallas kernels.
 
     Arc fields may be shared (leading dim 1 / 1-D) or per-sample ([B, ...]).
     XLA's segment ops lower to serial scatters on TPU (~0.1 ms per scan
-    step); this path replaces them with in-kernel one-hot masking.
+    step); in-kernel one-hot masking replaces them, and the whole scan runs
+    as a single launch (ops.sparse_scan_pallas) so the per-frame
+    kernel-dispatch overhead (~40-100 us) is paid once, not T times.
     """
     from .seglse_pallas import seg_lse
     from .semiring import gather_channels
@@ -137,6 +162,39 @@ def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
 
     label_b = jnp.broadcast_to(label, (B, label.shape[-1]))
     em_arc = gather_channels(em, label_b)  # [B, T, A]
+
+    use_whole = _SCAN_IMPL == "whole" or (
+        _SCAN_IMPL == "auto"
+        and _whole_scan_fits(
+            B, S, src.shape[-1], table.eps_src.shape[-1],
+            per_sample=src.shape[0] > 1,
+            eps_per_sample=_as2d(table.eps_src).shape[0] > 1,
+            eps_depth=table.eps_depth,
+        )
+    )
+    if use_whole:
+        from . import sparse_scan_pallas
+
+        eps_src = _as2d(table.eps_src)
+        eps_dst = _as2d(table.eps_dst)
+        eps_w = _as2d(table.eps_weight)
+        alpha0 = jnp.broadcast_to(start, (B, S))
+        if table.eps_depth > 0:
+            eps_zero = jnp.zeros_like(eps_w)
+
+            def closure0(alpha):
+                acc = cur = alpha
+                for _ in range(table.eps_depth):
+                    cur = seg_lse(cur, eps_src, eps_dst, eps_w, eps_zero)
+                    acc = logaddexp(acc, cur)
+                return acc
+
+            alpha0 = closure0(alpha0)
+        return sparse_scan_pallas.scan_scores(
+            em_arc, (src, dst, weight, eps_src, eps_dst, eps_w),
+            alpha0, accept, input_lengths, table.eps_depth,
+        )
+
     em_arc = em_arc.transpose(1, 0, 2)     # [T, B, A]
 
     if table.eps_depth > 0:

@@ -1,0 +1,414 @@
+"""Whole-scan MXU Pallas kernel for generic sparse-arc lattice scoring.
+
+The per-step ``seg_lse`` path (ops.seglse_pallas under ``lax.scan``) is
+compute-bound on VPU one-hot masking: every scan step materializes
+O(B*A*S) boolean masks to gather sources and combine destinations, which
+costs ~50-80 us per frame at recipe scale (ngram2 letters: 63 ms/iter
+fwd+bwd).  This module runs the *entire* scan as ONE kernel with the
+segment ops recast as MXU matmuls against precomputed one-hot projection
+matrices (the same max-shifted exp-matmul recipe as the ASG free-energy
+scan in ops/asg_scan.py):
+
+    c[b, a]   = (alpha @ P_src)[b, a] + w[b, a] + em[b, a]
+    m[b]      = max_a c[b, a]                      (global row shift)
+    new[b, s] = m[b] + log( (exp(c - m) @ P_dst^T)[b, s] )
+
+``P_src/P_dst`` are ``[S, A]`` (shared graph) or ``[B, S, A]``
+(per-sample graphs, batched dot_general) f32 one-hots built once on the
+host from the compiled arc tables.  The global row shift differs from the
+per-destination shift of the step kernel only in rounding: destinations
+whose total mass is more than ~80 nats below the row max underflow to the
+semiring zero, which is below fp32 resolution of the final score.  The
+time axis is the grid dimension (sequential on TPU), the state vector
+lives in a VMEM scratch carry, per-frame emission blocks stream in via
+double-buffered DMA, and the bounded epsilon (backoff) closure is
+unrolled inside the kernel.  Behavioral spec: reference
+criterions/transducer.py:260-296 (GTN compose + forward_score) without
+the per-step dispatch.
+
+The backward kernel replays the grid time-reversed: it recomputes each
+step's contributions from the saved alpha trajectory (O(T*S) residual
+memory, not O(T*A)), applies the exact softmax-posterior VJP through the
+unrolled closure chain as the transposed matmuls, streams per-frame
+emission grads out, and accumulates arc/epsilon weight grads in output
+blocks that persist across grid steps.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .semiring import NEG
+
+_FLOOR = 1e-30
+# states below this are unreachable (NEG-dominated); grads are masked
+_DEAD = -1e28
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _compiler_params():
+    # projection matrices + trajectory blocks exceed Mosaic's default 16 MB
+    # scoped VMEM budget at realistic (B, S, A); v5e has 128 MB per core
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _pad_axis(x, mult, fill, axis=-1):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+def _mm(x, p):
+    """x [B, S] x p ([S, A] shared | [B, S, A] per-sample) -> [B, A].
+
+    The batched form keeps a singleton non-contracting dim on the lhs
+    ([B, 1, S]): Mosaic's TPU dot attr rejects an empty
+    lhs_non_contracting_dims list."""
+    if p.ndim == 2:
+        return jax.lax.dot_general(
+            x, p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out = jax.lax.dot_general(
+        x[:, None, :], p, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, 0, :]
+
+
+def _mm_t(x, p):
+    """x [B, A] x p^T -> [B, S] (contract the arc axis)."""
+    if p.ndim == 2:
+        return jax.lax.dot_general(
+            x, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out = jax.lax.dot_general(
+        x[:, None, :], p, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, 0, :]
+
+
+def _seg_fwd(alpha, p_src, p_dst, w, em):
+    """One lse step.  alpha [B,S]; w/em [B,A] (em may be None).
+
+    Returns (out [B,S], c [B,A]) with the global-row-max shift."""
+    c = _mm(alpha, p_src) + w
+    if em is not None:
+        c = c + em
+    m = jnp.maximum(jnp.max(c, axis=1, keepdims=True), NEG)  # [B, 1]
+    e = jnp.exp(jnp.minimum(c - m, 0.0))
+    e = jnp.where(c > _DEAD, e, 0.0)
+    sums = _mm_t(e, p_dst)  # [B, S]
+    out = jnp.where(
+        (sums > 0.0) & (m > _DEAD),
+        m + jnp.log(jnp.maximum(sums, _FLOOR)),
+        NEG,
+    )
+    return out, c
+
+
+def _seg_vjp(p_src, p_dst, g_out, out, c):
+    """VJP of one lse step.  Returns (dalpha [B,S], dc [B,A]).
+
+    dc[a] = exp(c[a] - out[dst[a]]) * g_out[dst[a]] — the exact softmax
+    posterior weights; grads of unreachable (NEG) states are masked.
+    """
+    g_eff = jnp.where(out > _DEAD, g_out, 0.0)
+    out_dst = _mm(out, p_dst)   # out[dst[a]]
+    g_dst = _mm(g_eff, p_dst)   # g[dst[a]]
+    ratio = jnp.exp(jnp.minimum(c - out_dst, 0.0))
+    dc = jnp.where((c > _DEAD) & (out_dst > _DEAD), ratio * g_dst, 0.0)
+    dalpha = _mm_t(dc, p_src)
+    return dalpha, dc
+
+
+def _fwd_kernel(
+    depth,
+    # refs
+    alpha0_ref, em_ref, p_src_ref, p_dst_ref, w_ref,
+    p_esrc_ref, p_edst_ref, eps_w_ref, len_ref,
+    traj_ref, alpha_scr,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        alpha_scr[...] = alpha0_ref[...]
+
+    @pl.when(i > 0)
+    def _():
+        alpha = alpha_scr[...]
+        em = em_ref[0]
+        new, _ = _seg_fwd(alpha, p_src_ref[...], p_dst_ref[...],
+                          w_ref[...], em)
+        if depth > 0:
+            p_esrc = p_esrc_ref[...]
+            p_edst = p_edst_ref[...]
+            eps_w = eps_w_ref[...]
+            cur = new
+            for _d in range(depth):
+                cur, _ = _seg_fwd(cur, p_esrc, p_edst, eps_w, None)
+                new = _lae(new, cur)
+        t = i - 1
+        live = (t * jnp.ones_like(len_ref[...])) < len_ref[...]  # [B, 1]
+        alpha_scr[...] = jnp.where(live, new, alpha)
+
+    traj_ref[0] = alpha_scr[...]
+
+
+def _lae(a, b):
+    m = jnp.maximum(jnp.maximum(a, b), NEG)
+    r = jnp.exp(a - m) + jnp.exp(b - m)
+    return m + jnp.log(jnp.maximum(r, _FLOOR))
+
+
+def _bwd_kernel(
+    depth,
+    em_ref, ain_ref, p_src_ref, p_dst_ref, w_ref,
+    p_esrc_ref, p_edst_ref, eps_w_ref, len_ref, g_ref,
+    dem_ref, dw_ref, deps_ref, dalpha0_ref, gal_scr,
+):
+    T = pl.num_programs(0)
+    i = pl.program_id(0)
+    t = T - 1 - i
+
+    @pl.when(i == 0)
+    def _():
+        gal_scr[...] = g_ref[...]
+        dw_ref[...] = jnp.zeros(dw_ref.shape, jnp.float32)
+        if depth > 0:
+            deps_ref[...] = jnp.zeros(deps_ref.shape, jnp.float32)
+
+    alpha_in = ain_ref[0]
+    em = em_ref[0]
+    p_src = p_src_ref[...]
+    p_dst = p_dst_ref[...]
+
+    # recompute the forward chain of this step
+    y0, c0 = _seg_fwd(alpha_in, p_src, p_dst, w_ref[...], em)
+    if depth > 0:
+        p_esrc = p_esrc_ref[...]
+        p_edst = p_edst_ref[...]
+        eps_w = eps_w_ref[...]
+        curs = [y0]
+        accs = [y0]
+        eps_cs = []
+        for _d in range(depth):
+            cur, cc = _seg_fwd(curs[-1], p_esrc, p_edst, eps_w, None)
+            eps_cs.append(cc)
+            curs.append(cur)
+            accs.append(_lae(accs[-1], cur))
+
+    g = gal_scr[...]
+    live = (t * jnp.ones_like(len_ref[...])) < len_ref[...]  # [B, 1]
+    g_eff = jnp.where(live, g, 0.0)
+
+    if depth > 0:
+        # reverse through acc_d = lae(acc_{d-1}, cur_d), cur_d = eps(cur_{d-1})
+        g_cur = [jnp.zeros_like(y0) for _ in range(depth + 1)]
+        g_acc = g_eff
+        for d in range(depth, 0, -1):
+            out_d = accs[d]
+            g_acc_masked = jnp.where(out_d > _DEAD, g_acc, 0.0)
+            g_cur[d] = g_cur[d] + g_acc_masked * jnp.exp(
+                jnp.minimum(curs[d] - out_d, 0.0)
+            )
+            g_acc = g_acc_masked * jnp.exp(
+                jnp.minimum(accs[d - 1] - out_d, 0.0)
+            )
+            dprev, deps_c = _seg_vjp(
+                p_esrc, p_edst, g_cur[d], curs[d], eps_cs[d - 1]
+            )
+            g_cur[d - 1] = g_cur[d - 1] + dprev
+            deps_ref[...] = deps_ref[...] + deps_c
+        g_y0 = g_acc + g_cur[0]
+    else:
+        g_y0 = g_eff
+
+    dalpha_in, dc = _seg_vjp(p_src, p_dst, g_y0, y0, c0)
+    dem_ref[0] = dc
+    dw_ref[...] = dw_ref[...] + dc
+
+    gal_scr[...] = jnp.where(live, dalpha_in, g)
+    dalpha0_ref[...] = gal_scr[...]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def sparse_scan(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w,
+                lens, eps_depth):
+    """Final alpha [B, S] of the whole lattice scan as one Pallas launch.
+
+    Args (already padded/layouted by ``scan_scores``):
+      alpha0: [B, S_pad] f32 — start potentials after initial eps closure.
+      em_tba: [T, B, A_pad] f32 — per-arc emissions, time-major.
+      p_src/p_dst: [S_pad, A_pad] (shared) or [B, S_pad, A_pad] f32
+        one-hot projections; w: [B, A_pad] f32 (NEG on padding).
+      p_esrc/p_edst/eps_w: epsilon projections (ignored if eps_depth == 0).
+      lens: [B, 1] f32 — frames beyond a sample's length carry alpha through.
+      eps_depth: static closure unroll bound.
+    """
+    final, _ = _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst,
+                         eps_w, lens, eps_depth)
+    return final
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+
+def _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens,
+              eps_depth):
+    T, B, A_pad = em_tba.shape
+    S_pad = alpha0.shape[-1]
+
+    em_spec = pl.BlockSpec(
+        (1, B, A_pad), lambda i: (jnp.maximum(i, 1) - 1, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    traj_spec = pl.BlockSpec(
+        (1, B, S_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_fwd_kernel, eps_depth)
+    traj = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T + 1, B, S_pad), jnp.float32),
+        grid=(T + 1,),
+        in_specs=[
+            _full_spec((B, S_pad)), em_spec,
+            _full_spec(p_src.shape), _full_spec(p_dst.shape),
+            _full_spec((B, A_pad)),
+            _full_spec(p_esrc.shape), _full_spec(p_edst.shape),
+            _full_spec(eps_w.shape), _full_spec((B, 1)),
+        ],
+        out_specs=traj_spec,
+        scratch_shapes=[pltpu.VMEM((B, S_pad), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens)
+    final = traj[T]
+    res = (traj, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens)
+    return final, res
+
+
+def _scan_bwd(eps_depth, res, g):
+    traj, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens = res
+    T, B, A_pad = em_tba.shape
+    S_pad = traj.shape[-1]
+    E_pad = eps_w.shape[-1]
+
+    rev_em = pl.BlockSpec(
+        (1, B, A_pad), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # traj[t] is the alpha *entering* step t (traj[0] == alpha0)
+    rev_ain = pl.BlockSpec(
+        (1, B, S_pad), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_bwd_kernel, eps_depth)
+    dem, dw, deps, dalpha0 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, A_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, A_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, E_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, S_pad), jnp.float32),
+        ),
+        grid=(T,),
+        in_specs=[
+            rev_em, rev_ain,
+            _full_spec(p_src.shape), _full_spec(p_dst.shape),
+            _full_spec((B, A_pad)),
+            _full_spec(p_esrc.shape), _full_spec(p_edst.shape),
+            _full_spec(eps_w.shape), _full_spec((B, 1)),
+            _full_spec((B, S_pad)),
+        ],
+        out_specs=(rev_em, _full_spec((B, A_pad)), _full_spec((B, E_pad)),
+                   _full_spec((B, S_pad))),
+        scratch_shapes=[pltpu.VMEM((B, S_pad), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(em_tba, traj, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens, g)
+
+    if eps_depth == 0:
+        deps = jnp.zeros_like(eps_w)
+    return (dalpha0, dem, None, None, dw, None, None, deps, None)
+
+
+sparse_scan.defvjp(_scan_fwd, _scan_bwd)
+
+
+def _projections(idx, S_pad, A_mult=128):
+    """[Ba, A] int arc endpoints -> one-hot projection [S_pad, A_pad]
+    (shared, Ba == 1) or [Ba, S_pad, A_pad] (per-sample)."""
+    idx_p = _pad_axis(idx.astype(jnp.int32), A_mult, -1)
+    oh = jax.nn.one_hot(idx_p, S_pad, axis=1, dtype=jnp.float32)
+    return oh[0] if idx.shape[0] == 1 else oh
+
+
+def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
+                eps_depth):
+    """Convenience wrapper: build projections, pad + layout inputs, run the
+    whole-scan kernel, and reduce to per-sample scores.
+
+    Args:
+      em_arc: [B, T, A] per-arc emissions (post gather_channels).
+      table_fields: (src, dst, weight, eps_src, eps_dst, eps_weight),
+        each [Ba, ·] with Ba in {1, B}.
+      alpha0: [B, S] start potentials after the initial eps closure.
+      accept: [Ba, S] accepting potentials.
+      input_lengths: [B] int.
+      eps_depth: static closure bound.
+    """
+    from .semiring import logsumexp
+
+    src, dst, weight, eps_src, eps_dst, eps_w = table_fields
+    B, T, A = em_arc.shape
+    S = alpha0.shape[-1]
+    S_pad = S + (-S) % 128
+
+    # shared weights are materialized to [B, A] on the host: Mosaic rejects
+    # in-kernel [1, n] -> [B, n] broadcasts, and jnp.broadcast_to's AD
+    # transpose sums the per-sample dw back to the shared table for free
+    bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:])
+
+    alpha0_p = _pad_axis(alpha0, 128, NEG)
+    em_p = _pad_axis(em_arc, 128, 0.0).transpose(1, 0, 2)
+    p_src = _projections(src, S_pad)
+    p_dst = _projections(dst, S_pad)
+    w_p = bcast(_pad_axis(weight, 128, NEG))
+    if eps_depth > 0 and eps_src.shape[-1] > 0:
+        p_esrc = _projections(eps_src, S_pad)
+        p_edst = _projections(eps_dst, S_pad)
+        eps_w_p = bcast(_pad_axis(eps_w, 128, NEG))
+    else:
+        p_esrc = jnp.zeros((S_pad, 128), jnp.float32)
+        p_edst = jnp.zeros((S_pad, 128), jnp.float32)
+        eps_w_p = jnp.full((B, 128), NEG, jnp.float32)
+        eps_depth = 0
+
+    final = sparse_scan(
+        alpha0_p, em_p, p_src, p_dst, w_p, p_esrc, p_edst, eps_w_p,
+        input_lengths.astype(jnp.float32)[:, None], eps_depth,
+    )[:, :S]
+    return logsumexp(final + accept, axis=-1)
