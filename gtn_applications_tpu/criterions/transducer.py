@@ -435,9 +435,10 @@ class Transducer(Criterion):
         return out.labels_to_list()
 
 
-_viterbi_batch_jit = jax.jit(
-    sparse.viterbi_batch, static_argnames=()
-)
+# sparse.viterbi_batch self-jits and, when the decode table is concrete
+# (it is here: apply_decode_weights builds it host-side), routes shared
+# epsilon-free tables to the whole-scan bucket kernel
+_viterbi_batch_jit = sparse.viterbi_batch
 
 
 # ---------------------------------------------------------------------------

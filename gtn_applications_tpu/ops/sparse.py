@@ -363,7 +363,13 @@ def _viterbi_batched_pallas(em, table: ArcTable, input_lengths=None):
     return labels_rev.transpose(1, 0), score
 
 
-def viterbi_batch(em, table: ArcTable, input_lengths=None):
+# "whole": the entire tropical scan as one Pallas launch over a dense
+# in-degree bucket layout (ops.viterbi_scan_pallas); "step": per-frame
+# seg_max kernels; "auto": whole when the table is concrete and fits.
+_VIT_IMPL = os.environ.get("GTN_VITERBI_SCAN", "auto")
+
+
+def _viterbi_batch_impl(em, table: ArcTable, input_lengths=None):
     if (
         jax.default_backend() == "tpu"
         and table.eps_depth == 0
@@ -373,3 +379,34 @@ def viterbi_batch(em, table: ArcTable, input_lengths=None):
     if input_lengths is None:
         return jax.vmap(lambda e: viterbi(e, table))(em)
     return jax.vmap(lambda e, l: viterbi(e, table, l))(em, input_lengths)
+
+
+_viterbi_impl_jit = jax.jit(_viterbi_batch_impl)
+
+
+def viterbi_batch(em, table: ArcTable, input_lengths=None):
+    """Batched Viterbi dispatcher.  Self-jitting: call it with concrete
+    arrays (outside jit) and it routes shared epsilon-free tables to the
+    whole-scan bucket kernel, everything else to the jitted per-step path.
+    Under an enclosing jit (tracer table) it falls through to the per-step
+    implementation inline."""
+    concrete = not isinstance(table.src, jax.core.Tracer)
+    if (
+        table.eps_depth == 0
+        and concrete
+        and jnp.asarray(table.src).ndim == 1
+        and (
+            _VIT_IMPL == "whole"
+            or (_VIT_IMPL == "auto" and jax.default_backend() == "tpu")
+        )
+    ):
+        from . import viterbi_scan_pallas
+
+        plan = viterbi_scan_pallas.build_plan(table)
+        if plan is not None:
+            return viterbi_scan_pallas.viterbi_scan(em, plan, input_lengths)
+    if isinstance(table.src, jax.core.Tracer) or isinstance(
+        em, jax.core.Tracer
+    ):
+        return _viterbi_batch_impl(em, table, input_lengths)
+    return _viterbi_impl_jit(em, table, input_lengths)
