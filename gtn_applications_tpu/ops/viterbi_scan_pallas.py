@@ -27,6 +27,7 @@ gathers against the bucketed src/label tables.  Forward-only (decode).
 """
 
 import collections
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -184,6 +185,53 @@ def _vit_kernel(D, S_pad,
     final_ref[...] = alpha_scr[...]
 
 
+def _backtrace_kernel(D, S_pad,
+                      state0_ref, slots_ref, srcb_ref, labb_ref,
+                      lab_ref, state_scr):
+    """Reverse walk of the backpointer slots without host-visible gathers.
+
+    The current state is carried as a one-hot f32 row [B, S_pad]; the slot
+    lookup, the bucketed source/label selection, and the state update are
+    all one-hot reductions / a tiny [B, D] x [D, S_pad] matmul, which stay
+    on the VPU/MXU instead of XLA's serial scalar gather loops.  Grid step
+    ``i`` processes frame ``t = T - 1 - i`` and writes ``lab[t]`` directly.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        state_scr[...] = state0_ref[...]
+
+    state_oh = state_scr[...]                       # [B, S_pad] one-hot
+    slots = slots_ref[0].astype(jnp.float32)        # [B, S_pad]
+    d = jnp.sum(state_oh * slots, axis=1, keepdims=True)  # [B, 1]
+    valid = d < float(_DEAD)
+    d_iota = jax.lax.broadcasted_iota(
+        jnp.float32, (state_oh.shape[0], D), 1)
+    d_oh = jnp.where(d_iota == d, 1.0, 0.0)         # [B, D]
+    # rows of the [D, S_pad] bucket tables for each sample's winning slot
+    src_rows = jax.lax.dot_general(
+        d_oh, srcb_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    lab_rows = jax.lax.dot_general(
+        d_oh, labb_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    prev = jnp.sum(state_oh * src_rows, axis=1, keepdims=True)  # [B, 1]
+    lab = jnp.sum(state_oh * lab_rows, axis=1, keepdims=True)
+    lab = jnp.where(valid, lab, -1.0)
+    s_iota = jax.lax.broadcasted_iota(
+        jnp.float32, state_oh.shape, 1)
+    prev_oh = jnp.where(s_iota == prev, 1.0, 0.0)
+    state_scr[...] = jnp.where(valid, prev_oh, state_oh)
+    lab_ref[0] = jnp.broadcast_to(
+        lab.astype(jnp.int32), lab_ref.shape[1:]
+    )
+
+
 def _viterbi_whole(em, src_bucket, label_bucket, w_bucket, start_p,
                    accept_p, lens):
     """Jittable whole-scan Viterbi.  Shapes carry the static plan params:
@@ -211,7 +259,6 @@ def _viterbi_whole(em, src_bucket, label_bucket, w_bucket, start_p,
         memory_space=pltpu.VMEM,
     )
 
-    import functools
     kernel = functools.partial(_vit_kernel, D, S_pad)
     slots, final = pl.pallas_call(
         kernel,
@@ -234,16 +281,29 @@ def _viterbi_whole(em, src_bucket, label_bucket, w_bucket, start_p,
     state = jnp.argmax(scored, axis=-1).astype(jnp.int32)
     score = jnp.max(scored, axis=-1)
 
-    def backstep(state, slots_t):
-        d = jnp.take_along_axis(slots_t, state[:, None], axis=1)[:, 0]
-        valid = d < _DEAD
-        bucket = jnp.minimum(d, D - 1) * S_pad + state
-        lab = jnp.where(valid, label_bucket[bucket], -1)
-        prev = jnp.where(valid, src_bucket[bucket], state)
-        return prev, lab
-
-    _, labels_rev = jax.lax.scan(backstep, state, slots, reverse=True)
-    return labels_rev.transpose(1, 0), score
+    state0_oh = jax.nn.one_hot(state, S_pad, dtype=jnp.float32)
+    srcb2d = src_bucket.reshape(D, S_pad).astype(jnp.float32)
+    labb2d = label_bucket.reshape(D, S_pad).astype(jnp.float32)
+    rev_slot = pl.BlockSpec(
+        (1, B, S_pad), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    lab_spec = pl.BlockSpec(
+        (1, B, 128), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bt_kernel = functools.partial(_backtrace_kernel, D, S_pad)
+    labels = pl.pallas_call(
+        bt_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B, 128), jnp.int32),
+        grid=(T,),
+        in_specs=[
+            full((B, S_pad)), rev_slot, full((D, S_pad)), full((D, S_pad)),
+        ],
+        out_specs=lab_spec,
+        scratch_shapes=[pltpu.VMEM((B, S_pad), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(state0_oh, slots, srcb2d, labb2d)
+    return labels[:, :, 0].transpose(1, 0), score
 
 
 _viterbi_whole_jit = jax.jit(_viterbi_whole)
