@@ -567,10 +567,9 @@ def asg_viterbi(outputs, transitions, input_lengths=None):
     last = jnp.argmax(alpha, axis=1)
     score = jnp.max(alpha, axis=1)
 
-    def backstep(state, bp_t):
-        prev = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0]
-        return prev, state
+    # the per-frame take_along_axis walk lowers to serial scalar gathers
+    # on TPU; the Pallas kernel carries the state as a one-hot row instead
+    from .viterbi_scan_pallas import dense_backtrace
 
-    first, path_rev = jax.lax.scan(backstep, last, backptrs, reverse=True)
-    path = jnp.concatenate([first[None, :], path_rev], axis=0).transpose(1, 0)
+    path = dense_backtrace(backptrs.astype(jnp.int32), last.astype(jnp.int32), C)
     return path, score

@@ -232,6 +232,75 @@ def _backtrace_kernel(D, S_pad,
     )
 
 
+def _dense_bt_kernel(state0_ref, bp_ref, path_ref, first_ref, state_scr):
+    """Dense backpointer walk (ASG-style [T-1, B, C] prev-state tables).
+
+    Grid step ``i`` consumes bp[T-2-i] and writes path[T-1-i]; the final
+    carry (the frame-0 state) lands in ``first_ref``.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        state_scr[...] = state0_ref[...]
+
+    state_oh = state_scr[...]  # [B, C_pad] one-hot f32
+    iota = jax.lax.broadcasted_iota(jnp.float32, state_oh.shape, 1)
+    s_idx = jnp.sum(state_oh * iota, axis=1, keepdims=True)  # [B, 1]
+    path_ref[0] = jnp.broadcast_to(
+        s_idx.astype(jnp.int32), path_ref.shape[1:]
+    )
+    bp = bp_ref[0].astype(jnp.float32)
+    prev = jnp.sum(state_oh * bp, axis=1, keepdims=True)
+    state_scr[...] = jnp.where(iota == prev, 1.0, 0.0)
+    first_ref[...] = jnp.broadcast_to(
+        prev.astype(jnp.int32), first_ref.shape
+    )
+
+
+def dense_backtrace(backptrs, last_state, num_classes):
+    """Walk dense prev-state backpointers without serial scalar gathers.
+
+    Args:
+      backptrs: [T-1, B, C] int32 — prev state entering each frame.
+      last_state: [B] int32 — argmax state at the final frame.
+      num_classes: C (static).
+    Returns path [B, T] int32.
+    """
+    Tm1, B, C = backptrs.shape
+    T = Tm1 + 1
+    if Tm1 == 0:
+        return last_state[:, None]
+    C_pad = C + (-C) % 128
+    bp_p = jnp.pad(backptrs, ((0, 0), (0, 0), (0, C_pad - C)))
+    state0_oh = jax.nn.one_hot(last_state, C_pad, dtype=jnp.float32)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    bp_spec = pl.BlockSpec(
+        (1, B, C_pad), lambda i: (Tm1 - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    path_spec = pl.BlockSpec(
+        (1, B, 128), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    path, first = pl.pallas_call(
+        _dense_bt_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        ),
+        grid=(Tm1,),
+        in_specs=[full((B, C_pad)), bp_spec],
+        out_specs=(path_spec, full((B, 128))),
+        scratch_shapes=[pltpu.VMEM((B, C_pad), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(state0_oh, bp_p)
+    path = path[:, :, 0].transpose(1, 0)  # [B, T]; column 0 is garbage
+    return jnp.concatenate([first[:, :1], path[:, 1:]], axis=1)
+
+
 def _viterbi_whole(em, src_bucket, label_bucket, w_bucket, start_p,
                    accept_p, lens):
     """Jittable whole-scan Viterbi.  Shapes carry the static plan params:

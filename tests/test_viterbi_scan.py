@@ -99,6 +99,27 @@ def test_plan_cache_identity():
     ))) < 1e-6
 
 
+def test_dense_backtrace_matches_take_along_axis():
+    rng = np.random.default_rng(5)
+    T, B, C = 13, 4, 7
+    bp = rng.integers(0, C, size=(T - 1, B, C)).astype(np.int32)
+    last = rng.integers(0, C, size=(B,)).astype(np.int32)
+
+    path = np.asarray(viterbi_scan_pallas.dense_backtrace(
+        jnp.asarray(bp), jnp.asarray(last), C))
+
+    ref = np.empty((B, T), np.int32)
+    ref[:, T - 1] = last
+    for t in range(T - 2, -1, -1):
+        ref[:, t] = bp[t][np.arange(B), ref[:, t + 1]]
+    np.testing.assert_array_equal(path, ref)
+
+    # T == 1: no backpointers, path is just the final state
+    one = np.asarray(viterbi_scan_pallas.dense_backtrace(
+        jnp.zeros((0, B, C), jnp.int32), jnp.asarray(last), C))
+    np.testing.assert_array_equal(one, last[:, None])
+
+
 def test_plan_rejects_blowup():
     # one destination with huge in-degree makes the dense layout explode
     n = 400
