@@ -21,6 +21,15 @@ import jax.numpy as jnp
 # NEG + NEG does not overflow to -inf, keeping gradients NaN-free.
 NEG = -1e30
 
+# Entries at or below this are semiring zero.  Reductions mask them with
+# exact 0 weights: without the mask, a row whose entries are ALL dead has
+# its max clamped to NEG, every exp(x - m) evaluates to exp(0) = 1, and
+# the derived softmax gradient spreads uniform garbage weights over dead
+# paths (e.g. an infeasible sample in a training batch would push real
+# gradients into learned transition weights).  Live lattice scores are
+# bounded by T * max|w + em| << 1e20, so the threshold is unambiguous.
+DEAD = -1e28
+
 
 def _stable_shift(m):
     # Keep the shift finite even when every input is NEG.
@@ -36,24 +45,29 @@ _FLOOR = 1e-30
 
 
 def logaddexp(a, b):
-    """Numerically stable log(exp(a) + exp(b)) safe at NEG."""
+    """Numerically stable log(exp(a) + exp(b)) safe at NEG (dead-masked)."""
     m = _stable_shift(jnp.maximum(a, b))
-    return m + jnp.log(jnp.maximum(jnp.exp(a - m) + jnp.exp(b - m), _FLOOR))
+    s = jnp.where(a > DEAD, jnp.exp(a - m), 0.0) + jnp.where(
+        b > DEAD, jnp.exp(b - m), 0.0
+    )
+    return jnp.where(s > 0.0, m + jnp.log(jnp.maximum(s, _FLOOR)), NEG)
 
 
 def logsumexp_stack(xs):
     """Stable logsumexp over a list of same-shaped arrays (stacked axis 0)."""
     x = jnp.stack(xs, axis=0)
     m = _stable_shift(jnp.max(x, axis=0))
-    return m + jnp.log(jnp.maximum(jnp.sum(jnp.exp(x - m), axis=0), _FLOOR))
+    s = jnp.sum(jnp.where(x > DEAD, jnp.exp(x - m), 0.0), axis=0)
+    return jnp.where(s > 0.0, m + jnp.log(jnp.maximum(s, _FLOOR)), NEG)
 
 
 def logsumexp(x, axis=-1, keepdims=False):
     """Stable logsumexp along ``axis`` safe when all entries are NEG."""
     m = _stable_shift(jnp.max(x, axis=axis, keepdims=True))
-    out = m + jnp.log(
-        jnp.maximum(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True), _FLOOR)
+    s = jnp.sum(
+        jnp.where(x > DEAD, jnp.exp(x - m), 0.0), axis=axis, keepdims=True
     )
+    out = jnp.where(s > 0.0, m + jnp.log(jnp.maximum(s, _FLOOR)), NEG)
     if not keepdims:
         out = jnp.squeeze(out, axis=axis)
     return out
@@ -70,14 +84,18 @@ def segment_logsumexp(values, segment_ids, num_segments, indices_are_sorted=Fals
         values, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
     )
     seg_max = _stable_shift(jnp.maximum(seg_max, NEG))
-    shifted = jnp.exp(values - seg_max[segment_ids])
+    shifted = jnp.where(
+        values > DEAD, jnp.exp(values - seg_max[segment_ids]), 0.0
+    )
     sums = jax.ops.segment_sum(
         shifted, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
     )
     # Floor must stay a NORMAL fp32 number: subnormals (e.g. 1e-38) are
     # flushed to zero by XLA, turning the log into -inf and its gradient
     # into NaN for empty segments.
-    return seg_max + jnp.log(jnp.maximum(sums, 1e-30))
+    return jnp.where(
+        sums > 0.0, seg_max + jnp.log(jnp.maximum(sums, 1e-30)), NEG
+    )
 
 
 def gather_channels(x, idx, batched=True):

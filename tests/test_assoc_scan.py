@@ -183,4 +183,6 @@ def test_chunked_assoc_peak_memory_bounded():
         )(lp)
 
     bd, bc = temp_bytes(dense), temp_bytes(chunked)
-    assert bc * 4 <= bd, (bc, bd)
+    # chunked residuals must stay several-x below the dense trajectory
+    # (3x margin: the dead-masked logsumexp adds one boolean temp per lse)
+    assert bc * 3 <= bd, (bc, bd)
