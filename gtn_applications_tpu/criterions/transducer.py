@@ -15,6 +15,7 @@ transition arc weights stay differentiable across the host composition via
 arc provenance maps: device arc weight = static weight + params[widx].
 """
 
+import os
 from typing import Dict
 
 import jax
@@ -27,6 +28,11 @@ from ..wfst import graph as wgraph
 from ..wfst import ops as wops
 from ..wfst.graph import EPSILON, Graph
 from .base import Criterion
+
+# "on"/"auto": full n-gram (ngram in {1, 2}) transducers score through the
+# transition-factored dense path (ops/factored.py); "off": always compose
+# transitions into the per-sample tables on the host (the generic path).
+_FACTORED_IMPL = os.environ.get("GTN_TRANSDUCER_FACTORED", "auto")
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +190,11 @@ class Transducer(Criterion):
         else:
             self.transitions = None
             self.num_transition_arcs = 0
+        # Full n-gram models factorize: the transition weight between two
+        # alignment arcs depends only on their labels, and alignment-graph
+        # states have unique in-labels, so the transitions x alignments
+        # product is never composed on the host — see ops/factored.py.
+        self._factored_ngram = ngram if ngram in (1, 2) else 0
         self._align_cache: Dict[tuple, tuple] = {}
 
     # -- parameters -----------------------------------------------------
@@ -212,15 +223,17 @@ class Transducer(Criterion):
             )
         return self._nh
 
-    def _compile_target(self, target: tuple):
-        cached = self._align_cache.get(target)
+    def _compile_target(self, target: tuple, compose_transitions=True):
+        key = target if compose_transitions else (target, "plain")
+        cached = self._align_cache.get(key)
         if cached is not None:
             return cached
         handles = self._native_handles()
         if handles is not None:
             from ..wfst import native
 
-            t = native.compile_alignment(handles[0], handles[1], handles[2], target)
+            trans_h = handles[2] if compose_transitions else None
+            t = native.compile_alignment(handles[0], handles[1], trans_h, target)
             cg = wcompile.CompiledGraph(
                 src=t["src"], dst=t["dst"], label=t["label"], weight=t["weight"],
                 arc_id=np.arange(len(t["src"]), dtype=np.int32),
@@ -233,7 +246,7 @@ class Transducer(Criterion):
             result = (cg, t["widx"], t["eps_widx"])
             if len(self._align_cache) > 100000:
                 self._align_cache.clear()
-            self._align_cache[target] = result
+            self._align_cache[key] = result
             return result
         target_chain = make_chain_graph(target)
         # All wordpiece decompositions of the target (marginalization):
@@ -244,7 +257,7 @@ class Transducer(Criterion):
         alignments = wops.project_input(
             wops.remove(wops.compose(self.tokens, tokens_target))
         )
-        if self.transitions is not None:
+        if self.transitions is not None and compose_transitions:
             composed, prov = wops.compose(
                 self.transitions, alignments, return_arc_map=True
             )
@@ -259,15 +272,22 @@ class Transducer(Criterion):
         result = (cg, widx, eps_widx)
         if len(self._align_cache) > 100000:
             self._align_cache.clear()
-        self._align_cache[target] = result
+        self._align_cache[key] = result
         return result
 
     def prepare(self, targets):
         """Compile + stack per-sample alignment tables (host, cached).
 
         Cache misses compile in parallel on a thread pool — the native
-        pipeline releases the GIL, so cold batches scale with cores."""
+        pipeline releases the GIL, so cold batches scale with cores.
+        Full n-gram models take the factored path (plain alignment
+        lattices + dense transition rows, ops/factored.py) unless a
+        sample violates its structural preconditions."""
         keys = [tuple(int(t) for t in np.asarray(tgt)) for tgt in targets]
+        if self._factored_ngram and _FACTORED_IMPL != "off":
+            prepared = self._prepare_factored(keys, targets)
+            if prepared is not None:
+                return prepared
         missing = [k for k in dict.fromkeys(keys) if k not in self._align_cache]
         if len(missing) > 1 and self._native_handles() is not None:
             from multiprocessing.pool import ThreadPool
@@ -293,6 +313,71 @@ class Transducer(Criterion):
             "target_lengths": jnp.asarray(lengths),
         }
 
+    def _prepare_factored(self, keys, targets):
+        """Plain alignment lattices as dense adjacency + in-label tables.
+
+        Returns None (caller falls back to the composed path) if any
+        sample's lattice has epsilon arcs, a state with mixed in-labels,
+        or arc weights too large for the exp-space adjacency."""
+        missing = [
+            k for k in dict.fromkeys(keys)
+            if (k, "plain") not in self._align_cache
+        ]
+        if len(missing) > 1 and self._native_handles() is not None:
+            from functools import partial
+            from multiprocessing.pool import ThreadPool
+
+            with ThreadPool(min(8, len(missing))) as pool:
+                pool.map(
+                    partial(self._compile_target, compose_transitions=False),
+                    missing,
+                )
+        cgs = []
+        for k in keys:
+            cg, _, _ = self._compile_target(k, compose_transitions=False)
+            cgs.append(cg)
+
+        N = self._num_tokens + int(self.blank != "none")
+        S = max(len(cg.start) for cg in cgs)
+        B = len(cgs)
+        adj_exp = np.zeros((B, S, S), np.float32)
+        lab_oh = np.zeros((B, S, N), np.float32)
+        start = np.full((B, S), wcompile.NEG, np.float32)
+        accept = np.full((B, S), wcompile.NEG, np.float32)
+        for b, cg in enumerate(cgs):
+            if cg.eps_depth != 0 or len(cg.eps_src) > 0:
+                return None
+            real = cg.weight > wcompile.NEG / 2
+            src, dst = cg.src[real], cg.dst[real]
+            lab, w = cg.label[real], cg.weight[real]
+            if w.size and (np.abs(w).max() > 30.0 or lab.max() >= N):
+                return None
+            # unique in-label per state
+            lo = np.full((len(cg.start),), 2**31, np.int64)
+            np.minimum.at(lo, dst, lab.astype(np.int64))
+            hi = np.full((len(cg.start),), -1, np.int64)
+            np.maximum.at(hi, dst, lab.astype(np.int64))
+            entered = hi >= 0
+            if np.any(lo[entered] != hi[entered]):
+                return None
+            np.add.at(adj_exp[b], (dst, src), np.exp(w))
+            states = np.nonzero(entered)[0]
+            lab_oh[b, states, hi[states]] = 1.0
+            start[b, : len(cg.start)] = cg.start
+            accept[b, : len(cg.accept)] = cg.accept
+        lengths = np.asarray(
+            [len(np.asarray(t)) for t in targets], dtype=np.int32
+        )
+        return {
+            "factored": {
+                "adj_exp": jnp.asarray(adj_exp),
+                "lab_oh": jnp.asarray(lab_oh),
+                "start": jnp.asarray(start),
+                "accept": jnp.asarray(accept),
+            },
+            "target_lengths": jnp.asarray(lengths),
+        }
+
     # -- loss -----------------------------------------------------------
     @staticmethod
     def _apply_params(table, widx, eps_widx, params):
@@ -305,6 +390,21 @@ class Transducer(Criterion):
         return table._replace(weight=weight, eps_weight=eps_weight)
 
     def loss(self, params, inputs, prepared, input_lengths=None):
+        if "factored" in prepared:
+            from ..ops import factored as _fact
+
+            N = self._num_tokens + int(self.blank != "none")
+            ws, W, we = _fact.ngram_rows(
+                params["transitions"], self._factored_ngram, N
+            )
+            f = prepared["factored"]
+            score = _fact.factored_lattice_score(
+                inputs, f["adj_exp"], f["lab_oh"], f["start"], f["accept"],
+                ws, W, we, input_lengths,
+            )
+            norm = _fact.dense_ngram_norm(inputs, ws, W, we, input_lengths)
+            losses = -(score - norm)
+            return self._reduce(losses, prepared)
         table = prepared["table"]
         if self.transitions is None:
             inputs = jax.nn.log_softmax(inputs, axis=2)
@@ -326,6 +426,9 @@ class Transducer(Criterion):
             )
             norm = sparse.forward_score_batch(inputs, norm_table, input_lengths)
             losses = -(score - norm)
+        return self._reduce(losses, prepared)
+
+    def _reduce(self, losses, prepared):
         if self.reduction == "mean":
             lens = prepared["target_lengths"]
             losses = losses * jnp.where(lens > 0, 1.0 / jnp.maximum(lens, 1), 1.0)

@@ -1,0 +1,159 @@
+"""Transition-factored transducer scoring for full n-gram models.
+
+The generic transducer path composes the n-gram transition WFST into each
+per-sample alignment graph on the host (reference transducer.py:260-280),
+multiplying states by the context count and arcs by the token count, then
+scores the product with the sparse scan.  On TPU this is wasteful: the
+product graph is *structured*.  Every alignment-graph state has a unique
+in-label (each token state of the token graph only receives arcs carrying
+its own token — verified at prepare time), so a bigram transition factor
+w(l_prev, l_cur) depends only on (source state, destination state) of each
+alignment arc, and the composed forward recursion factorizes as
+
+    v[b, s, l']  = alpha[b, s] + (lab_oh[b, s] @ W)[l']          (MXU)
+    M[b, s', l'] = lse over predecessors s of v[b, s, l']
+                 = shift + log(adj_exp[b] @ exp(v - shift))      (MXU)
+    alpha'[b,s'] = em[b, t, L(s')] + M[b, s', L(s')]         (one-hot pick)
+
+with ``adj_exp[b, s', s] = sum over arcs s->s' of exp(arc weight)``
+(lse-merging parallel arcs exactly) and ``lab_oh`` the one-hot in-label
+table.  All contractions are batched matmuls against host-built opaque
+0/1 matrices — nothing lowers to XLA's serial gather loops.  The start
+row ws(l) and the end row we(l) absorb the n-gram graph's root arcs and
+final-epsilon arcs.  The normalizer over the transitions alone is the
+same recursion on the dense label lattice (``dense_ngram_norm``).
+
+Numerics: the same max-shifted exp-matmul recipe as the ASG free-energy
+scan (ops/lattice.py asg_fcc_score); shifts are stop-gradiented, exact
+selections (one-hot rows) carry no rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .semiring import NEG
+
+_FLOOR = 1e-37
+# states/samples below this are unreachable; their grads are masked (an
+# all-NEG final row would otherwise weight every state uniformly in the
+# closing logsumexp and leak garbage gradients into the transition rows)
+_DEAD = -1e28
+
+
+def _masked_lse(final):
+    """Row logsumexp with exact zero weights on dead entries."""
+    mx = jax.lax.stop_gradient(jnp.maximum(jnp.max(final, axis=1), NEG))
+    e = jnp.where(final > _DEAD, jnp.exp(final - mx[:, None]), 0.0)
+    s = jnp.sum(e, axis=1)
+    return jnp.where(s > 0.0, mx + jnp.log(jnp.maximum(s, _FLOOR)), NEG)
+
+
+def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
+                           input_lengths=None):
+    """Forward score of per-sample alignment lattices under a bigram
+    transition factor.
+
+    Args:
+      em: [B, T, N] emissions (N = alignment channels incl. blank).
+      adj_exp: [B, S, S] f32 — adj_exp[b, s', s] = sum_{arcs s->s'} e^w.
+      lab_oh: [B, S, N] f32 — one-hot of each state's unique in-label
+        (zero rows for padding / pure-start states).
+      start, accept: [B, S] f32 potentials (0 / NEG).
+      ws, W, we: [N], [N, N] (W[l_prev, l_cur]), [N] transition rows.
+      input_lengths: [B] int or None.
+    Returns [B] scores.
+    """
+    B, T, N = em.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    # per-state emission/transition rows via exact one-hot contraction
+    em_state = jnp.einsum("btn,bsn->bts", em, lab_oh)         # [B, T, S]
+    ws_state = jnp.einsum("n,bsn->bs", ws, lab_oh)
+    we_state = jnp.einsum("n,bsn->bs", we, lab_oh)
+    wsel = jnp.einsum("bsn,nl->bsl", lab_oh, W)               # [B, S, N]
+    has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S]
+
+    # frame 1: enter via an arc from a start state, paying ws(l)
+    z1 = jnp.einsum("bus,bs->bu", adj_exp, jnp.exp(
+        jnp.minimum(start, 0.0)) * (start > NEG / 2))
+    alpha = jnp.where(
+        (z1 > 0.0) & has_lab,
+        em_state[:, 0] + ws_state + jnp.log(jnp.maximum(z1, _FLOOR)),
+        NEG,
+    )
+
+    def step(alpha, xs):
+        em_s_t, t = xs
+        v = alpha[:, :, None] + wsel                          # [B, S, N]
+        shift = jax.lax.stop_gradient(
+            jnp.max(v, axis=1, keepdims=True))                # [B, 1, N]
+        shift = jnp.maximum(shift, NEG)
+        z = jnp.einsum(
+            "bus,bsl->bul", adj_exp, jnp.exp(v - shift))      # [B, S, N]
+        m = jnp.where(
+            z > 0.0,
+            shift + jnp.log(jnp.maximum(z, _FLOOR)),
+            NEG,
+        )
+        pick = jnp.sum(m * lab_oh, axis=-1)                   # [B, S]
+        new = jnp.where(has_lab, em_s_t + pick, NEG)
+        live = (t < input_lengths)[:, None]
+        return jnp.where(live, new, alpha), None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha,
+        (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+    )
+    final = alpha + accept + we_state
+    return _masked_lse(final)
+
+
+def dense_ngram_norm(em, ws, W, we, input_lengths=None):
+    """Normalizer: forward score of emissions through the full n-gram
+    transition lattice alone (dense over label contexts).
+
+    alpha_1[l] = ws[l] + em[0, l];  alpha_t[l'] = em[t, l'] +
+    lse_l(alpha[l] + W[l, l']);  score = lse_l(alpha_T[l] + we[l]).
+    """
+    B, T, N = em.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    alpha = ws[None, :] + em[:, 0]
+    mt = jax.lax.stop_gradient(jnp.max(W, axis=0))            # [N]
+    exp_W = jnp.exp(W - mt[None, :])
+
+    def step(alpha, xs):
+        em_t, t = xs
+        ma = jax.lax.stop_gradient(jnp.max(alpha, axis=1, keepdims=True))
+        z = jnp.exp(alpha - ma) @ exp_W                       # MXU
+        new = em_t + ma + mt[None, :] + jnp.log(jnp.maximum(z, _FLOOR))
+        return jnp.where((t < input_lengths)[:, None], new, alpha), None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha, (em.transpose(1, 0, 2)[1:], jnp.arange(1, T))
+    )
+    final = alpha + we[None, :]
+    return _masked_lse(final)
+
+
+def ngram_rows(params, ngram, num_channels):
+    """Split the flat learnable arc-weight vector of
+    ``make_transitions_graph(ngram, num_channels)`` into (ws, W, we) rows
+    following its arc creation order (criterions/transducer.py:42-68):
+    root arcs [0, N), full-order arcs [N, N + N^2) context-major, then one
+    epsilon arc per state (root first) for ngram > 1."""
+    N = num_channels
+    p = jnp.asarray(params)
+    if ngram == 1:
+        ws = p[:N]
+        W = jnp.broadcast_to(p[None, :N], (N, N))
+        we = jnp.zeros((N,), p.dtype)
+        return ws, W, we
+    if ngram == 2:
+        ws = p[:N]
+        W = p[N:N + N * N].reshape(N, N)
+        we = p[N + N * N + 1:N + N * N + 1 + N]
+        return ws, W, we
+    raise ValueError(f"factored path supports ngram in (1, 2), got {ngram}")

@@ -1,0 +1,133 @@
+"""Differential tests: transition-factored n-gram transducer scoring
+(ops/factored.py) vs the generic host-composed path.
+
+The factored path never composes transitions into the per-sample tables;
+these tests pin its losses and all gradients (transition params and
+emissions) against a twin criterion built with an explicit transitions
+graph, which takes the generic sparse-table path.  Behavioral spec:
+reference transducer.py:239-309 (compose + forward_score with
+transitions present).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gtn_applications_tpu.criterions import transducer as tmod
+from gtn_applications_tpu.criterions.transducer import (
+    Transducer,
+    make_transitions_graph,
+)
+
+TOKS = ["a", "b", "c"]
+G2I = {c: i for i, c in enumerate("abc")}
+
+
+def _pair(ngram, blank, allow_repeats=True):
+    n_chan = len(TOKS) + int(blank != "none")
+    fact = Transducer(TOKS, G2I, ngram=ngram, blank=blank,
+                      allow_repeats=allow_repeats)
+    twin = Transducer(TOKS, G2I,
+                      transitions=make_transitions_graph(ngram, n_chan, True),
+                      blank=blank, allow_repeats=allow_repeats)
+    return fact, twin, n_chan
+
+
+@pytest.mark.parametrize(
+    "ngram,blank,allow_repeats",
+    [(1, "optional", True), (2, "optional", True), (2, "none", True),
+     (2, "forced", True), (2, "optional", False)],
+)
+def test_factored_matches_generic(ngram, blank, allow_repeats):
+    rng = np.random.default_rng(ngram * 10 + len(blank))
+    fact, twin, C = _pair(ngram, blank, allow_repeats)
+    B, T = 3, 8
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    targets = [[0, 1], [2, 0, 1], [1]]
+    lens = jnp.asarray([T, T - 2, 5], jnp.int32)
+
+    prep_f = fact.prepare(targets)
+    assert "factored" in prep_f, "factored path must engage for full ngrams"
+    prep_g = twin.prepare(targets)
+    assert "factored" not in prep_g
+
+    p0 = jnp.asarray(
+        rng.normal(size=(fact.num_transition_arcs,)) * 0.4, jnp.float32
+    )
+
+    vf, gf = jax.value_and_grad(
+        lambda p, x: fact.loss({"transitions": p}, x, prep_f, lens),
+        argnums=(0, 1),
+    )(p0, inputs)
+    vg, gg = jax.value_and_grad(
+        lambda p, x: twin.loss({"transitions": p}, x, prep_g, lens),
+        argnums=(0, 1),
+    )(p0, inputs)
+
+    assert abs(float(vf - vg)) < 2e-4
+    assert float(jnp.max(jnp.abs(gf[0] - gg[0]))) < 2e-4
+    assert float(jnp.max(jnp.abs(gf[1] - gg[1]))) < 2e-4
+
+
+def test_infeasible_sample_has_zero_param_grads():
+    """An infeasible sample (forced blank needs 2L+1 > len frames) must
+    contribute NO gradient to the learned transitions through the score
+    term — only the (feasible) normalizer term.  Both the factored and the
+    generic composed path are pinned; the generic path used to leak
+    uniform softmax weights over dead states through logsumexp."""
+    rng = np.random.default_rng(9)
+    fact, twin, C = _pair(2, "forced")
+    T = 6
+    inputs = jnp.asarray(rng.normal(size=(1, T, C)), jnp.float32)
+    targets = [[2, 0, 1]]  # needs 2*3+1 = 7 frames > 6
+    p0 = jnp.asarray(
+        rng.normal(size=(fact.num_transition_arcs,)) * 0.4, jnp.float32
+    )
+
+    from gtn_applications_tpu.ops import factored as F
+    from gtn_applications_tpu.ops import sparse
+
+    prep_f = fact.prepare(targets)
+    prep_g = twin.prepare(targets)
+
+    def score_f(p):
+        ws, W, we = F.ngram_rows(p, 2, C)
+        f = prep_f["factored"]
+        return jnp.sum(F.factored_lattice_score(
+            inputs, f["adj_exp"], f["lab_oh"], f["start"], f["accept"],
+            ws, W, we))
+
+    def score_g(p):
+        table = twin._apply_params(
+            prep_g["table"],
+            prep_g["widx"], prep_g["eps_widx"], p,
+        )
+        return jnp.sum(sparse.forward_score_batch_tables(inputs, table))
+
+    for name, fn in (("factored", score_f), ("generic", score_g)):
+        v, g = jax.value_and_grad(fn)(p0)
+        assert float(v) < -1e28, name
+        assert float(jnp.max(jnp.abs(g))) == 0.0, (
+            name, np.nonzero(np.abs(np.asarray(g)) > 0))
+
+
+def test_factored_off_switch(monkeypatch):
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "off")
+    crit = Transducer(TOKS, G2I, ngram=2, blank="optional")
+    prep = crit.prepare([[0, 1]])
+    assert "factored" not in prep
+
+
+def test_factored_viterbi_unchanged():
+    # decode goes through the transitions decode template either way
+    rng = np.random.default_rng(3)
+    crit = Transducer(TOKS, G2I, ngram=2, blank="optional")
+    C = 4
+    inputs = jnp.asarray(rng.normal(size=(2, 10, C)), jnp.float32)
+    p = {"transitions": jnp.asarray(
+        rng.normal(size=(crit.num_transition_arcs,)) * 0.3, jnp.float32)}
+    out = crit.viterbi(inputs, p)
+    assert len(out) == 2
+    for o in out:
+        assert o.dtype == np.int32
