@@ -147,6 +147,42 @@ def bench_transducer_tpu():
     return ms
 
 
+def bench_transducer_ngram2_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    # ngram-2 ASG-style protocol (reference transducer_benchmark.py:56-119
+    # shapes): full bigram transitions with learnable arc weights.  Scores
+    # through the transition-factored dense path (ops/factored.py): the
+    # alignment lattice never composes with the transition graph.
+    tokens = [(i,) for i in range(N)]
+    crit = Transducer(
+        tokens, {i: i for i in range(N)}, ngram=2, reduction="mean",
+    )
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(B, T, N).astype(np.float32))
+    prepared = crit.prepare(
+        [rng.randint(0, N, size=L).tolist() for _ in range(B)]
+    )
+    params = crit.init_params()
+
+    @jax.jit
+    def fwd_bwd(p, x, prep):
+        return jax.value_and_grad(
+            lambda p, x: crit.loss(p, x, prep), argnums=(0, 1)
+        )(p, x)
+
+    def run():
+        _, grads = fwd_bwd(params, inputs, prepared)
+        jax.block_until_ready(grads[1])
+
+    ms = _time(run)
+    log(f"tpu transducer ngram2 fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
 def bench_graph_engine_cpu():
     """The honest denominator: the reference's own algorithm, natively."""
     import jax
@@ -249,6 +285,7 @@ def main():
     tpu_ms, ctc_loss = bench_tpu()
     asg_ms = bench_asg_tpu()
     trans_ms = bench_transducer_tpu()
+    trans2_ms = bench_transducer_ngram2_tpu()
     log(f"tpu ctc loss sanity: {float(ctc_loss):.4f}")  # first readback HERE
     engine_ms = bench_graph_engine_cpu()
     asg_engine_ms = bench_asg_graph_engine_cpu()
@@ -280,6 +317,7 @@ def main():
         "transducer_vs_baseline": (
             round(trans_engine_ms / trans_ms, 3) if trans_engine_ms else None
         ),
+        "transducer_ngram2_fwd_bwd_ms": round(trans2_ms, 3),
     }
     print(json.dumps(out))
 
