@@ -338,7 +338,9 @@ class Transducer(Criterion):
             cgs.append(cg)
 
         N = self._num_tokens + int(self.blank != "none")
-        S = max(len(cg.start) for cg in cgs)
+        # same shape bucketing as stack_arc_tables: round the state count
+        # up to a multiple of 8 so width-sorted batches reuse compiles
+        S = -(-max(len(cg.start) for cg in cgs) // 8) * 8
         B = len(cgs)
         adj_exp = np.zeros((B, S, S), np.float32)
         lab_oh = np.zeros((B, S, N), np.float32)
