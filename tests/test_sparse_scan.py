@@ -116,6 +116,34 @@ def test_whole_scan_matches_oracle_per_sample_tables(force_whole):
         assert d < 2e-4, (name, d)
 
 
+@pytest.mark.parametrize("T,S", [(1, 6), (4, 140)])
+def test_whole_scan_edge_shapes(force_whole, T, S):
+    # T=1 exercises the grid=(2,) block-revisit trick; S=140 exercises a
+    # state vector spanning multiple 128-lane tiles (S_pad = 256)
+    rng = np.random.default_rng(T * 100 + S)
+    B, A, C = 3, 2 * S + 4, 5
+    table = _random_table(S, A, 0, 0, rng)
+    em = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    lens = jnp.asarray([T] * B, jnp.int32)
+
+    def loss_new(em, w):
+        t = table._replace(weight=w)
+        return jnp.sum(sparse._forward_batched_pallas(em, t, lens))
+
+    def loss_ref(em, w):
+        t = table._replace(weight=w)
+        return jnp.sum(jax.vmap(
+            lambda e, l: forward_score(e, t, l))(em, lens))
+
+    v_new, g_new = jax.value_and_grad(loss_new, argnums=(0, 1))(
+        em, table.weight)
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        em, table.weight)
+    assert abs(float(v_new - v_ref)) < 2e-4
+    for a, b in zip(g_new, g_ref):
+        assert float(jnp.max(jnp.abs(a - b))) < 2e-4
+
+
 def test_auto_gate_budget():
     # small graphs fit; a per-sample monster graph must fall back
     assert sparse._whole_scan_fits(
