@@ -396,15 +396,17 @@ class Transducer(Criterion):
             from ..ops import factored as _fact
 
             N = self._num_tokens + int(self.blank != "none")
-            ws, W, we = _fact.ngram_rows(
+            ws, W, we, we0 = _fact.ngram_rows(
                 params["transitions"], self._factored_ngram, N
             )
             f = prepared["factored"]
             score = _fact.factored_lattice_score(
                 inputs, f["adj_exp"], f["lab_oh"], f["start"], f["accept"],
-                ws, W, we, input_lengths,
+                ws, W, we, input_lengths, we0,
             )
-            norm = _fact.dense_ngram_norm(inputs, ws, W, we, input_lengths)
+            norm = _fact.dense_ngram_norm(
+                inputs, ws, W, we, input_lengths, we0
+            )
             losses = -(score - norm)
             return self._reduce(losses, prepared)
         table = prepared["table"]

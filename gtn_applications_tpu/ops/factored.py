@@ -49,7 +49,7 @@ def _masked_lse(final):
 
 
 def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
-                           input_lengths=None):
+                           input_lengths=None, we0=0.0):
     """Forward score of per-sample alignment lattices under a bigram
     transition factor.
 
@@ -61,6 +61,8 @@ def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
       start, accept: [B, S] f32 potentials (0 / NEG).
       ws, W, we: [N], [N, N] (W[l_prev, l_cur]), [N] transition rows.
       input_lengths: [B] int or None.
+      we0: scalar end weight of the empty path (the n-gram root's final
+        epsilon); only reachable when a sample's input_length is 0.
     Returns [B] scores.
     """
     B, T, N = em.shape
@@ -106,15 +108,22 @@ def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
         (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
     )
     final = alpha + accept + we_state
-    return _masked_lse(final)
+    score = _masked_lse(final)
+    # zero-frame samples: only paths that consume nothing (start ∩ accept
+    # in the alignment lattice, the root's final epsilon in the n-gram);
+    # we0 joins only when the empty path exists, else its grad would leak
+    base0 = _masked_lse(start + accept)
+    score0 = jnp.where(base0 > _DEAD, base0 + we0, NEG)
+    return jnp.where(input_lengths > 0, score, score0)
 
 
-def dense_ngram_norm(em, ws, W, we, input_lengths=None):
+def dense_ngram_norm(em, ws, W, we, input_lengths=None, we0=0.0):
     """Normalizer: forward score of emissions through the full n-gram
     transition lattice alone (dense over label contexts).
 
     alpha_1[l] = ws[l] + em[0, l];  alpha_t[l'] = em[t, l'] +
     lse_l(alpha[l] + W[l, l']);  score = lse_l(alpha_T[l] + we[l]).
+    Zero-frame samples score the empty path: ``we0``.
     """
     B, T, N = em.shape
     if input_lengths is None:
@@ -135,25 +144,28 @@ def dense_ngram_norm(em, ws, W, we, input_lengths=None):
         step, alpha, (em.transpose(1, 0, 2)[1:], jnp.arange(1, T))
     )
     final = alpha + we[None, :]
-    return _masked_lse(final)
+    return jnp.where(
+        input_lengths > 0, _masked_lse(final), jnp.asarray(we0, em.dtype)
+    )
 
 
 def ngram_rows(params, ngram, num_channels):
     """Split the flat learnable arc-weight vector of
-    ``make_transitions_graph(ngram, num_channels)`` into (ws, W, we) rows
+    ``make_transitions_graph(ngram, num_channels)`` into (ws, W, we, we0)
     following its arc creation order (criterions/transducer.py:42-68):
     root arcs [0, N), full-order arcs [N, N + N^2) context-major, then one
-    epsilon arc per state (root first) for ngram > 1."""
+    epsilon arc per state (root first) for ngram > 1.  ``we0`` is the
+    root's final-epsilon weight (empty-path end weight)."""
     N = num_channels
     p = jnp.asarray(params)
     if ngram == 1:
         ws = p[:N]
         W = jnp.broadcast_to(p[None, :N], (N, N))
         we = jnp.zeros((N,), p.dtype)
-        return ws, W, we
+        return ws, W, we, jnp.zeros((), p.dtype)
     if ngram == 2:
         ws = p[:N]
         W = p[N:N + N * N].reshape(N, N)
         we = p[N + N * N + 1:N + N * N + 1 + N]
-        return ws, W, we
+        return ws, W, we, p[N + N * N]
     raise ValueError(f"factored path supports ngram in (1, 2), got {ngram}")

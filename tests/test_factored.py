@@ -92,7 +92,7 @@ def test_infeasible_sample_has_zero_param_grads():
     prep_g = twin.prepare(targets)
 
     def score_f(p):
-        ws, W, we = F.ngram_rows(p, 2, C)
+        ws, W, we, _we0 = F.ngram_rows(p, 2, C)
         f = prep_f["factored"]
         return jnp.sum(F.factored_lattice_score(
             inputs, f["adj_exp"], f["lab_oh"], f["start"], f["accept"],
@@ -110,6 +110,30 @@ def test_infeasible_sample_has_zero_param_grads():
         assert float(v) < -1e28, name
         assert float(jnp.max(jnp.abs(g))) == 0.0, (
             name, np.nonzero(np.abs(np.asarray(g)) > 0))
+
+
+def test_factored_zero_length_sample():
+    # a zero-frame sample only admits the empty path (start∩accept in the
+    # alignment, the root's final epsilon in the n-gram)
+    rng = np.random.default_rng(4)
+    fact, twin, C = _pair(2, "optional")
+    T = 6
+    inputs = jnp.asarray(rng.normal(size=(2, T, C)), jnp.float32)
+    targets = [[0, 1], [2]]
+    lens = jnp.asarray([0, T], jnp.int32)
+    prep_f = fact.prepare(targets)
+    prep_g = twin.prepare(targets)
+    p0 = jnp.asarray(
+        rng.normal(size=(fact.num_transition_arcs,)) * 0.4, jnp.float32
+    )
+    vf, gf = jax.value_and_grad(
+        lambda p: fact.loss({"transitions": p}, inputs, prep_f, lens)
+    )(p0)
+    vg, gg = jax.value_and_grad(
+        lambda p: twin.loss({"transitions": p}, inputs, prep_g, lens)
+    )(p0)
+    assert abs(float(vf - vg)) < 2e-4
+    assert float(jnp.max(jnp.abs(gf - gg))) < 2e-4
 
 
 def test_factored_off_switch(monkeypatch):
