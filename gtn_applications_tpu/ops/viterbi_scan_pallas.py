@@ -22,8 +22,10 @@ original-arc-id order, so this matches the per-step path's lowest-arc-id
 tie-break (ops/sparse.py viterbi, reference transducer.py:199-234 via
 ``gtn.viterbi_path``).
 
-The backtrace runs outside the kernel as the usual reverse scan of [B]
-gathers against the bucketed src/label tables.  Forward-only (decode).
+The backtrace is a second reverse-grid launch that carries the state as
+a one-hot row (``_backtrace_kernel``) — no serial scalar gathers anywhere
+in the decode.  ``dense_backtrace`` exposes the same walk for dense
+prev-state tables (ASG).  Forward-only (decode path).
 """
 
 import collections
