@@ -121,7 +121,10 @@ def make_train_step(model, criterion, lr_model, lr_crit, max_grad_norm):
         )
         return {"model": new_model, "criterion": new_crit}, loss, outputs
 
-    return jax.jit(step)
+    # donate the params pytree: the SGD update writes in place instead of
+    # allocating a fresh copy of every weight each step (the train loop
+    # rebinds `params` to the returned pytree, never reusing the old one)
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_eval_step(model, criterion):
