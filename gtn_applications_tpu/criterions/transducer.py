@@ -30,9 +30,10 @@ from ..wfst.graph import EPSILON, Graph
 from .base import Criterion
 
 # "on"/"auto": full n-gram (ngram in {1, 2}) transducers score through the
-# transition-factored dense path (ops/factored.py); "off": always compose
-# transitions into the per-sample tables on the host (the generic path).
+# transition-factored dense path (ops/factored.py); "off" (alias "step"):
+# always compose transitions into the per-sample tables (generic path).
 _FACTORED_IMPL = os.environ.get("GTN_TRANSDUCER_FACTORED", "auto")
+_FACTORED_DISABLED = ("off", "step")
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +285,7 @@ class Transducer(Criterion):
         lattices + dense transition rows, ops/factored.py) unless a
         sample violates its structural preconditions."""
         keys = [tuple(int(t) for t in np.asarray(tgt)) for tgt in targets]
-        if self._factored_ngram and _FACTORED_IMPL != "off":
+        if self._factored_ngram and _FACTORED_IMPL not in _FACTORED_DISABLED:
             prepared = self._prepare_factored(keys, targets)
             if prepared is not None:
                 return prepared

@@ -31,21 +31,9 @@ selections (one-hot rows) carry no rounding.
 import jax
 import jax.numpy as jnp
 
-from .semiring import NEG
+from .semiring import DEAD, NEG, logsumexp
 
 _FLOOR = 1e-37
-# states/samples below this are unreachable; their grads are masked (an
-# all-NEG final row would otherwise weight every state uniformly in the
-# closing logsumexp and leak garbage gradients into the transition rows)
-_DEAD = -1e28
-
-
-def _masked_lse(final):
-    """Row logsumexp with exact zero weights on dead entries."""
-    mx = jax.lax.stop_gradient(jnp.maximum(jnp.max(final, axis=1), NEG))
-    e = jnp.where(final > _DEAD, jnp.exp(final - mx[:, None]), 0.0)
-    s = jnp.sum(e, axis=1)
-    return jnp.where(s > 0.0, mx + jnp.log(jnp.maximum(s, _FLOOR)), NEG)
 
 
 def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
@@ -108,12 +96,12 @@ def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
         (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
     )
     final = alpha + accept + we_state
-    score = _masked_lse(final)
+    score = logsumexp(final, axis=1)
     # zero-frame samples: only paths that consume nothing (start ∩ accept
     # in the alignment lattice, the root's final epsilon in the n-gram);
     # we0 joins only when the empty path exists, else its grad would leak
-    base0 = _masked_lse(start + accept)
-    score0 = jnp.where(base0 > _DEAD, base0 + we0, NEG)
+    base0 = logsumexp(start + accept, axis=1)
+    score0 = jnp.where(base0 > DEAD, base0 + we0, NEG)
     return jnp.where(input_lengths > 0, score, score0)
 
 
@@ -145,7 +133,7 @@ def dense_ngram_norm(em, ws, W, we, input_lengths=None, we0=0.0):
     )
     final = alpha + we[None, :]
     return jnp.where(
-        input_lengths > 0, _masked_lse(final), jnp.asarray(we0, em.dtype)
+        input_lengths > 0, logsumexp(final, axis=1), jnp.asarray(we0, em.dtype)
     )
 
 

@@ -116,10 +116,15 @@ def _as2d(x):
 
 import os
 
+def _norm_impl(value):
+    # accept on/off as aliases for the canonical whole/step
+    return {"on": "whole", "off": "step"}.get(value, value)
+
+
 # "whole": the entire scan as one Pallas launch with MXU one-hot-projection
 # matmuls (ops.sparse_scan_pallas); "step": per-frame seg_lse kernels under
 # lax.scan; "auto": whole when the projection matrices fit the VMEM budget.
-_SCAN_IMPL = os.environ.get("GTN_SPARSE_SCAN", "auto")
+_SCAN_IMPL = _norm_impl(os.environ.get("GTN_SPARSE_SCAN", "auto"))
 
 # the whole-scan kernel keeps its one-hot projections resident in VMEM;
 # beyond this footprint fall back to the per-step kernel (v5e: 128 MB/core,
@@ -163,8 +168,9 @@ def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
     label_b = jnp.broadcast_to(label, (B, label.shape[-1]))
     em_arc = gather_channels(em, label_b)  # [B, T, A]
 
-    use_whole = _SCAN_IMPL == "whole" or (
-        _SCAN_IMPL == "auto"
+    impl = _norm_impl(_SCAN_IMPL)
+    use_whole = impl == "whole" or (
+        impl == "auto"
         and _whole_scan_fits(
             B, S, src.shape[-1], table.eps_src.shape[-1],
             per_sample=src.shape[0] > 1,
@@ -366,7 +372,8 @@ def _viterbi_batched_pallas(em, table: ArcTable, input_lengths=None):
 # "whole": the entire tropical scan as one Pallas launch over a dense
 # in-degree bucket layout (ops.viterbi_scan_pallas); "step": per-frame
 # seg_max kernels; "auto": whole when the table is concrete and fits.
-_VIT_IMPL = os.environ.get("GTN_VITERBI_SCAN", "auto")
+# on/off alias whole/step.
+_VIT_IMPL = _norm_impl(os.environ.get("GTN_VITERBI_SCAN", "auto"))
 
 
 def _viterbi_batch_impl(em, table: ArcTable, input_lengths=None):
@@ -391,13 +398,14 @@ def viterbi_batch(em, table: ArcTable, input_lengths=None):
     Under an enclosing jit (tracer table) it falls through to the per-step
     implementation inline."""
     concrete = not isinstance(table.src, jax.core.Tracer)
+    vit_impl = _norm_impl(_VIT_IMPL)
     if (
         table.eps_depth == 0
         and concrete
         and jnp.asarray(table.src).ndim == 1
         and (
-            _VIT_IMPL == "whole"
-            or (_VIT_IMPL == "auto" and jax.default_backend() == "tpu")
+            vit_impl == "whole"
+            or (vit_impl == "auto" and jax.default_backend() == "tpu")
         )
     ):
         from . import viterbi_scan_pallas

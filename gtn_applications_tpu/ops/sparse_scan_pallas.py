@@ -41,11 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .semiring import NEG
+from .semiring import DEAD, NEG
 
 _FLOOR = 1e-30
 # states below this are unreachable (NEG-dominated); grads are masked
-_DEAD = -1e28
+_DEAD = DEAD  # single source: semiring.DEAD
 
 
 def _interpret():

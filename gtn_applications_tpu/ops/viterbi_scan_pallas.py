@@ -61,7 +61,7 @@ class _Plan:
 
     __slots__ = (
         "src_bucket", "label_bucket", "w_bucket", "start_p", "accept_p",
-        "S_pad", "D", "table_src", "table_weight",
+        "S_pad", "D", "table_ref",
     )
 
 
@@ -75,12 +75,14 @@ def build_plan(table):
     Returns a cached ``_Plan`` (keyed by table array identity) or ``None``
     when the dense layout does not fit the VMEM/blow-up budget.
     """
+    # the plan derives from six table fields; a cache hit requires ALL of
+    # them to be the same array objects (a _replace of any one field must
+    # miss), so compare identity field by field against the cached table
+    fields = ("src", "dst", "label", "weight", "start", "accept")
     key = id(table.src)
     hit = _PLAN_CACHE.get(key)
-    if (
-        hit is not None
-        and hit.table_src is table.src
-        and hit.table_weight is table.weight
+    if hit is not None and all(
+        getattr(hit.table_ref, f) is getattr(table, f) for f in fields
     ):
         _PLAN_CACHE.move_to_end(key)
         return hit
@@ -141,8 +143,7 @@ def build_plan(table):
     plan.accept_p = jnp.asarray(accept_p)
     plan.S_pad = S_pad
     plan.D = D
-    plan.table_src = table.src
-    plan.table_weight = table.weight
+    plan.table_ref = table
     _PLAN_CACHE[key] = plan
     if len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
         _PLAN_CACHE.popitem(last=False)

@@ -65,8 +65,15 @@ def shard_pytree_batch(tree, mesh, axis_name="data"):
 
 
 def replicate(tree, mesh):
-    return jax.device_put(
-        tree, NamedSharding(mesh, P())
+    """Replicate a pytree onto the mesh with FRESH buffers.
+
+    device_put to an equivalent sharding is zero-copy — the result aliases
+    the input, so a donated train step (make_train_step donates params)
+    would delete the caller's arrays with it.  Copy first; replicate runs
+    once per training run, so the extra copy is free."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.array(a, copy=True), sharding), tree
     )
 
 

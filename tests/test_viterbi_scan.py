@@ -93,6 +93,11 @@ def test_plan_cache_identity():
     t2 = table._replace(weight=table.weight + 1.0)
     p3 = viterbi_scan_pallas.build_plan(t2)
     assert p3 is not p1
+    # replacing ANY plan-relevant field must miss (same src identity)
+    for f in ("dst", "label", "start", "accept"):
+        t4 = table._replace(**{f: getattr(table, f) + 0})
+        assert viterbi_scan_pallas.build_plan(t4) is not (
+            viterbi_scan_pallas.build_plan(table)), f
     assert float(jnp.max(jnp.abs(
         jnp.sort(p3.w_bucket) - jnp.sort(
             jnp.where(p1.w_bucket > NEG / 2, p1.w_bucket + 1.0, NEG))
