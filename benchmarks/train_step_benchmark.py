@@ -31,10 +31,20 @@ def main():
         ],
         kernel_size=[5, 7], dropout=0.1, dtype=dtype,
     )
-    criterion = CTC(blank=79)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(B, H, W).astype(np.float32))
     targets = [rng.randint(0, 79, size=rng.randint(20, 60)).tolist() for _ in range(B)]
+    if "--ngram2" in sys.argv:
+        # diff-wfst recipe shape: letter transducer with learned full
+        # bigram transitions (scores through ops/factored.py)
+        from gtn_applications_tpu.criterions import Transducer
+
+        criterion = Transducer(
+            [(i,) for i in range(79)], {i: i for i in range(79)},
+            ngram=2, blank="optional", reduction="mean",
+        )
+    else:
+        criterion = CTC(blank=79)
+    x = jnp.asarray(rng.randn(B, H, W).astype(np.float32))
     prepared = criterion.prepare(targets)
 
     params = {
@@ -53,6 +63,7 @@ def main():
     jax.block_until_ready(loss)
     ms = (time.perf_counter() - start) / iters * 1000
     tag = " bf16" if dtype is not None else ""
+    tag += " ngram2-transducer" if "--ngram2" in sys.argv else ""
     print(f"train step B={B} H={H} W={W}{tag}: {ms:.2f} ms/step, "
           f"{B / ms * 1000:.1f} images/s")
 
