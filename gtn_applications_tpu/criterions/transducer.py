@@ -196,6 +196,22 @@ class Transducer(Criterion):
         # states have unique in-labels, so the transitions x alignments
         # product is never composed on the host — see ops/factored.py.
         self._factored_ngram = ngram if ngram in (1, 2) else 0
+        # Loaded (pruned/backoff) transition graphs factorize too, with a
+        # dense context axis and per-label transition matrices, when the
+        # dense [N, S_c, S_c] materialization stays small.
+        self._factored_backoff = False
+        if self.transitions is not None and not self._factored_ngram:
+            nt = self._norm_table
+            S_c = len(nt.start)
+            N_chan = self._num_tokens + int(blank != "none")
+            labels = np.asarray(nt.label)
+            real = np.asarray(nt.weight) > wcompile.NEG / 2
+            self._factored_backoff = bool(
+                nt.eps_depth <= 4
+                and N_chan * S_c * S_c <= 4_000_000
+                and (labels[real] < N_chan).all()
+                and (labels[real] >= 0).all()
+            )
         self._align_cache: Dict[tuple, tuple] = {}
 
     # -- parameters -----------------------------------------------------
@@ -285,7 +301,9 @@ class Transducer(Criterion):
         lattices + dense transition rows, ops/factored.py) unless a
         sample violates its structural preconditions."""
         keys = [tuple(int(t) for t in np.asarray(tgt)) for tgt in targets]
-        if self._factored_ngram and _FACTORED_IMPL not in _FACTORED_DISABLED:
+        if (
+            self._factored_ngram or self._factored_backoff
+        ) and _FACTORED_IMPL not in _FACTORED_DISABLED:
             prepared = self._prepare_factored(keys, targets)
             if prepared is not None:
                 return prepared
@@ -368,6 +386,11 @@ class Transducer(Criterion):
             lab_oh[b, states, hi[states]] = 1.0
             start[b, : len(cg.start)] = cg.start
             accept[b, : len(cg.accept)] = cg.accept
+        if self._factored_backoff and not self._factored_ngram:
+            # per-step [B, S_a, N, S_c] einsum working set must stay sane
+            S_c = len(self._norm_table.start)
+            if B * S * N * S_c > 48_000_000:
+                return None
         lengths = np.asarray(
             [len(np.asarray(t)) for t in targets], dtype=np.int32
         )
@@ -380,6 +403,49 @@ class Transducer(Criterion):
             },
             "target_lengths": jnp.asarray(lengths),
         }
+
+    def _transition_matrices(self, params, N):
+        """Dense per-label transition matrices of the loaded backoff graph
+        for ops.factored.backoff_factored_score.
+
+        Built from the compiled transitions table + learnable arc weights
+        each call (cheap: a few-hundred-element scatter-add); exp-space
+        with a global stop-gradient shift so learned weights cannot
+        overflow.  The integer index arrays are host numpy — baked into
+        the jitted executable, never device-gathered."""
+        nt = self._norm_table
+        S_c = len(nt.start)
+        p = jnp.asarray(params)
+        w_ext = jnp.concatenate([p, jnp.zeros((1,), p.dtype)])
+        n_p = p.shape[0]
+        widx = self._norm_widx
+        w_eff = jnp.asarray(nt.weight) + w_ext[np.where(widx >= 0, widx, n_p)]
+        t_shift = jax.lax.stop_gradient(jnp.maximum(jnp.max(w_eff), 0.0))
+        label = np.asarray(nt.label)
+        src = np.asarray(nt.src)
+        dst = np.asarray(nt.dst)
+        # padding arcs carry weight NEG: exp underflows to an exact 0 add
+        T_exp = jnp.zeros((N, S_c, S_c), jnp.float32).at[
+            np.clip(label, 0, N - 1), src, dst
+        ].add(jnp.exp(w_eff - t_shift))
+        E = len(np.asarray(nt.eps_src))
+        if E:
+            ew_eff = jnp.asarray(nt.eps_weight) + w_ext[
+                np.where(self._norm_eps_widx >= 0, self._norm_eps_widx, n_p)
+            ]
+            e_shift = jax.lax.stop_gradient(
+                jnp.maximum(jnp.max(ew_eff), 0.0)
+            )
+            E_exp = jnp.zeros((S_c, S_c), jnp.float32).at[
+                np.asarray(nt.eps_src), np.asarray(nt.eps_dst)
+            ].add(jnp.exp(ew_eff - e_shift))
+        else:
+            e_shift = jnp.zeros(())
+            E_exp = jnp.zeros((S_c, S_c), jnp.float32)
+        return (
+            jnp.asarray(nt.start), jnp.asarray(nt.accept),
+            T_exp, t_shift, E_exp, e_shift, nt.eps_depth,
+        )
 
     # -- loss -----------------------------------------------------------
     @staticmethod
@@ -397,17 +463,31 @@ class Transducer(Criterion):
             from ..ops import factored as _fact
 
             N = self._num_tokens + int(self.blank != "none")
-            ws, W, we, we0 = _fact.ngram_rows(
-                params["transitions"], self._factored_ngram, N
-            )
             f = prepared["factored"]
-            score = _fact.factored_lattice_score(
-                inputs, f["adj_exp"], f["lab_oh"], f["start"], f["accept"],
-                ws, W, we, input_lengths, we0,
-            )
-            norm = _fact.dense_ngram_norm(
-                inputs, ws, W, we, input_lengths, we0
-            )
+            if self._factored_ngram:
+                ws, W, we, we0 = _fact.ngram_rows(
+                    params["transitions"], self._factored_ngram, N
+                )
+                score = _fact.factored_lattice_score(
+                    inputs, f["adj_exp"], f["lab_oh"], f["start"],
+                    f["accept"], ws, W, we, input_lengths, we0,
+                )
+                norm = _fact.dense_ngram_norm(
+                    inputs, ws, W, we, input_lengths, we0
+                )
+            else:
+                tmats = self._transition_matrices(params["transitions"], N)
+                score = _fact.backoff_factored_score(
+                    inputs, f["adj_exp"], f["lab_oh"], f["start"],
+                    f["accept"], *tmats, input_lengths,
+                )
+                norm_table = self._apply_params(
+                    self._norm_table, self._norm_widx,
+                    self._norm_eps_widx, params["transitions"],
+                )
+                norm = sparse.forward_score_batch(
+                    inputs, norm_table, input_lengths
+                )
             losses = -(score - norm)
             return self._reduce(losses, prepared)
         table = prepared["table"]

@@ -31,7 +31,7 @@ selections (one-hot rows) carry no rounding.
 import jax
 import jax.numpy as jnp
 
-from .semiring import DEAD, NEG, logsumexp
+from .semiring import DEAD, NEG, logaddexp, logsumexp
 
 _FLOOR = 1e-37
 
@@ -135,6 +135,101 @@ def dense_ngram_norm(em, ws, W, we, input_lengths=None, we0=0.0):
     return jnp.where(
         input_lengths > 0, logsumexp(final, axis=1), jnp.asarray(we0, em.dtype)
     )
+
+
+def _ctx_closure(x, E_exp, e_shift, depth):
+    """Bounded epsilon (backoff) closure along the trailing context axis.
+
+    ``x [..., S_c]`` in log space; ``E_exp[c, c'] = sum_{eps arcs c->c'}
+    e^(w - e_shift)``.  Mirrors sparse._eps_closure's acc/cur recursion."""
+    acc = x
+    cur = x
+    for _ in range(depth):
+        m = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(cur, axis=-1, keepdims=True), NEG)
+        )
+        z = jnp.einsum("...c,cd->...d", jnp.exp(cur - m), E_exp)
+        cur = jnp.where(
+            z > 0.0, m + e_shift + jnp.log(jnp.maximum(z, _FLOOR)), NEG
+        )
+        acc = logaddexp(acc, cur)
+    return acc
+
+
+def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
+                           ctx_start, ctx_accept, T_exp, t_shift,
+                           E_exp, e_shift, eps_depth, input_lengths=None):
+    """Forward score of alignment lattices composed with an arbitrary
+    (pruned / backoff) transition WFST over contexts — WITHOUT composing.
+
+    The product state is (alignment state, context state); because every
+    alignment state has a unique in-label, one frame factorizes into
+      U[b, a, c]  = lse over align preds s of alpha[b, s, c]   (adjacency)
+      V[b, a, d]  = lse over contexts c of U + w_real[c, d, L(a)]
+                    (per-label exp-matrices, one einsum + one-hot pick)
+      alpha'      = em[t, L(a)] + V, then backoff closure on the context
+                    axis (depth-bounded, matching the composed table's
+                    epsilon closure).
+    Behavioral spec: reference transducer.py:260-296 with a loaded
+    transition graph (scripts/build_transitions.py output).
+
+    Args:
+      em: [B, T, N] emissions.
+      adj_exp / lab_oh / a_start / a_accept: alignment-side tables as in
+        ``factored_lattice_score``.
+      ctx_start, ctx_accept: [S_c] transition-state potentials (0 / NEG).
+      T_exp: [N, S_c, S_c] — T_exp[l, c, d] = sum over real transition
+        arcs c->d labeled l of e^(w - t_shift); t_shift a scalar.
+      E_exp: [S_c, S_c] backoff epsilon matrix (shifted by e_shift).
+      eps_depth: static closure bound of the transition graph.
+    Returns [B] scores.
+    """
+    B, T, N = em.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    em_state = jnp.einsum("btn,bsn->bts", em, lab_oh)         # [B, T, S_a]
+    has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S_a]
+
+    ctx0 = _ctx_closure(ctx_start[None], E_exp, e_shift, eps_depth)[0]
+    alpha0 = a_start[:, :, None] + ctx0[None, None, :]        # [B,S_a,S_c]
+
+    def step(alpha, xs):
+        em_s_t, t = xs
+        # alignment adjacency contraction (shift constant over sources)
+        sh1 = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
+        )
+        z1 = jnp.einsum("bus,bsc->buc", adj_exp, jnp.exp(alpha - sh1))
+        U = jnp.where(
+            z1 > 0.0, sh1 + jnp.log(jnp.maximum(z1, _FLOOR)), NEG
+        )
+        # transition application per destination label, picked by L(a)
+        sh2 = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(U, axis=2, keepdims=True), NEG)
+        )
+        Z = jnp.einsum("bac,lcd->bald", jnp.exp(U - sh2), T_exp)
+        Y = jnp.einsum("bald,bal->bad", Z, lab_oh)
+        V = jnp.where(
+            Y > 0.0, sh2 + t_shift + jnp.log(jnp.maximum(Y, _FLOOR)), NEG
+        )
+        new = em_s_t[:, :, None] + V
+        new = jnp.where(has_lab[:, :, None], new, NEG)
+        new = _ctx_closure(new, E_exp, e_shift, eps_depth)
+        live = (t < input_lengths)[:, None, None]
+        return jnp.where(live, new, alpha), None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha0,
+        (em_state.transpose(1, 0, 2), jnp.arange(T)),
+    )
+    final = alpha + a_accept[:, :, None] + ctx_accept[None, None, :]
+    score = logsumexp(final.reshape(B, -1), axis=1)
+    # zero-frame samples: separable empty-path score
+    score0 = logsumexp(a_start + a_accept, axis=1) + logsumexp(
+        ctx0 + ctx_accept, axis=0
+    )
+    return jnp.where(input_lengths > 0, score, score0)
 
 
 def ngram_rows(params, ngram, num_channels):

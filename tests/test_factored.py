@@ -34,6 +34,18 @@ def _pair(ngram, blank, allow_repeats=True):
     return fact, twin, n_chan
 
 
+def _prepare_generic(crit, targets):
+    """Force the host-composed generic path regardless of the factored
+    gates (explicit transitions graphs qualify for the backoff-factored
+    path too)."""
+    saved = tmod._FACTORED_IMPL
+    tmod._FACTORED_IMPL = "off"
+    try:
+        return crit.prepare(targets)
+    finally:
+        tmod._FACTORED_IMPL = saved
+
+
 @pytest.mark.parametrize(
     "ngram,blank,allow_repeats",
     [(1, "optional", True), (2, "optional", True), (2, "none", True),
@@ -49,7 +61,7 @@ def test_factored_matches_generic(ngram, blank, allow_repeats):
 
     prep_f = fact.prepare(targets)
     assert "factored" in prep_f, "factored path must engage for full ngrams"
-    prep_g = twin.prepare(targets)
+    prep_g = _prepare_generic(twin, targets)
     assert "factored" not in prep_g
 
     p0 = jnp.asarray(
@@ -89,7 +101,7 @@ def test_infeasible_sample_has_zero_param_grads():
     from gtn_applications_tpu.ops import sparse
 
     prep_f = fact.prepare(targets)
-    prep_g = twin.prepare(targets)
+    prep_g = _prepare_generic(twin, targets)
 
     def score_f(p):
         ws, W, we, _we0 = F.ngram_rows(p, 2, C)
@@ -112,6 +124,64 @@ def test_infeasible_sample_has_zero_param_grads():
             name, np.nonzero(np.abs(np.asarray(g)) > 0))
 
 
+def _backoff_graph(C, rng):
+    """Pruned bigram with unigram backoff: unigram hub, per-label bigram
+    states, epsilon backoff arcs, and random direct bigram arcs."""
+    from gtn_applications_tpu.wfst import EPSILON, Graph
+
+    g = Graph()
+    uni = g.add_node(True, True)
+    for lbl in range(C):
+        g.add_node(False, True)
+    for lbl in range(C):
+        g.add_arc(uni, lbl + 1, lbl)
+        g.add_arc(lbl + 1, uni, EPSILON)
+    for _ in range(2 * C):
+        a = int(rng.integers(0, C))
+        b = int(rng.integers(0, C))
+        g.add_arc(a + 1, b + 1, b)
+    return g
+
+
+@pytest.mark.parametrize("seed,blank", [(0, "optional"), (1, "none"),
+                                        (2, "optional")])
+def test_backoff_factored_matches_generic(monkeypatch, seed, blank):
+    rng = np.random.default_rng(seed)
+    C = len(TOKS) + int(blank != "none")
+    g = _backoff_graph(C, rng)
+
+    fact = Transducer(TOKS, G2I, transitions=g, blank=blank)
+    assert fact._factored_backoff
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "off")
+    twin = Transducer(TOKS, G2I, transitions=g.copy(), blank=blank)
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "auto")
+
+    B, T = 3, 8
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    targets = [[0, 1], [2, 0, 1], [1]]
+    lens = jnp.asarray([T, T - 2, 4], jnp.int32)
+    prep_f = fact.prepare(targets)
+    assert "factored" in prep_f
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "off")
+    prep_g = _prepare_generic(twin, targets)
+    assert "factored" not in prep_g
+
+    p0 = jnp.asarray(
+        rng.normal(size=(fact.num_transition_arcs,)) * 0.5, jnp.float32
+    )
+    vf, gf = jax.value_and_grad(
+        lambda p, x: fact.loss({"transitions": p}, x, prep_f, lens),
+        argnums=(0, 1),
+    )(p0, inputs)
+    vg, gg = jax.value_and_grad(
+        lambda p, x: twin.loss({"transitions": p}, x, prep_g, lens),
+        argnums=(0, 1),
+    )(p0, inputs)
+    assert abs(float(vf - vg)) < 5e-4, (float(vf), float(vg))
+    assert float(jnp.max(jnp.abs(gf[0] - gg[0]))) < 5e-4
+    assert float(jnp.max(jnp.abs(gf[1] - gg[1]))) < 5e-4
+
+
 def test_factored_zero_length_sample():
     # a zero-frame sample only admits the empty path (start∩accept in the
     # alignment, the root's final epsilon in the n-gram)
@@ -122,7 +192,7 @@ def test_factored_zero_length_sample():
     targets = [[0, 1], [2]]
     lens = jnp.asarray([0, T], jnp.int32)
     prep_f = fact.prepare(targets)
-    prep_g = twin.prepare(targets)
+    prep_g = _prepare_generic(twin, targets)
     p0 = jnp.asarray(
         rng.normal(size=(fact.num_transition_arcs,)) * 0.4, jnp.float32
     )

@@ -113,8 +113,18 @@ def test_factored_agrees_random(seed):
     ]
     lens = jnp.asarray(rng.integers(max(1, T - 4), T + 1, size=B), jnp.int32)
     prep_f = fact.prepare(targets)
-    prep_g = twin.prepare(targets)
     assert "factored" in prep_f
+    # force the host-composed generic oracle for the twin (an explicit
+    # transitions graph qualifies for the backoff-factored path too)
+    from gtn_applications_tpu.criterions import transducer as tmod
+
+    saved = tmod._FACTORED_IMPL
+    tmod._FACTORED_IMPL = "off"
+    try:
+        prep_g = twin.prepare(targets)
+    finally:
+        tmod._FACTORED_IMPL = saved
+    assert "factored" not in prep_g
     p0 = jnp.asarray(
         rng.normal(size=(fact.num_transition_arcs,)) * 0.5, jnp.float32
     )
