@@ -301,9 +301,21 @@ class Transducer(Criterion):
         lattices + dense transition rows, ops/factored.py) unless a
         sample violates its structural preconditions."""
         keys = [tuple(int(t) for t in np.asarray(tgt)) for tgt in targets]
-        if (
-            self._factored_ngram or self._factored_backoff
-        ) and _FACTORED_IMPL not in _FACTORED_DISABLED:
+        # full-ngram factoring wins everywhere; backoff factoring trades
+        # segment ops for dense einsums, a win only where segment ops are
+        # pathological (TPU) — measured 36x SLOWER on CPU — so under
+        # "auto" it requires the TPU backend ("on" forces it anywhere)
+        use_factored = _FACTORED_IMPL not in _FACTORED_DISABLED and (
+            self._factored_ngram
+            or (
+                self._factored_backoff
+                and (
+                    _FACTORED_IMPL == "on"
+                    or jax.default_backend() == "tpu"
+                )
+            )
+        )
+        if use_factored:
             prepared = self._prepare_factored(keys, targets)
             if prepared is not None:
                 return prepared
