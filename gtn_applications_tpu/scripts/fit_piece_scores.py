@@ -18,7 +18,6 @@ Usage:
 """
 
 import argparse
-import math
 
 import numpy as np
 
