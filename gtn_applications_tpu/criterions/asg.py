@@ -13,6 +13,8 @@ GTN graph intersections collapse into two batched lattice scans
 falls out of JAX AD.
 """
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,7 +142,19 @@ class ASG(Criterion):
         )
 
     def viterbi_device(self, outputs, transitions, input_lengths=None):
-        return _asg_viterbi_jit(outputs, transitions, input_lengths)
+        global _VIT_BACKTRACE
+        if _VIT_BACKTRACE == "kernel":
+            try:
+                return _asg_viterbi_jit(
+                    outputs, transitions, input_lengths, "kernel"
+                )
+            except Exception:  # pragma: no cover - compile-failure escape
+                logging.warning(
+                    "ASG Pallas backtrace kernel failed; falling back to "
+                    "the XLA backtrace for this process", exc_info=True
+                )
+                _VIT_BACKTRACE = "xla"
+        return _asg_viterbi_jit(outputs, transitions, input_lengths, "xla")
 
     def viterbi_dispatch(self, outputs, params=None, input_lengths=None):
         params = params if params is not None else self.params
@@ -184,4 +198,7 @@ class ASG(Criterion):
         return out
 
 
-_asg_viterbi_jit = jax.jit(lattice.asg_viterbi)
+_VIT_BACKTRACE = "kernel"
+_asg_viterbi_jit = jax.jit(
+    lattice.asg_viterbi, static_argnames=("backtrace",)
+)

@@ -536,12 +536,15 @@ def asg_loss(
     return jnp.mean(losses)
 
 
-def asg_viterbi(outputs, transitions, input_lengths=None):
+def asg_viterbi(outputs, transitions, input_lengths=None,
+                backtrace="kernel"):
     """Tropical (Viterbi) decode through the dense ASG transition graph.
 
     Returns (paths [B, T] int32, scores [B]).  Frames at t >= input_length
     repeat the previous state.  Host code collapses repeats / garbage /
-    replabels (asg.py:211-237).
+    replabels (asg.py:211-237).  ``backtrace`` selects the Pallas one-hot
+    walk ("kernel") or the plain take_along_axis scan ("xla", a fallback
+    dispatchers can retry with if the kernel fails to compile).
     """
     B, T, C = outputs.shape
     if input_lengths is None:
@@ -567,9 +570,20 @@ def asg_viterbi(outputs, transitions, input_lengths=None):
     last = jnp.argmax(alpha, axis=1)
     score = jnp.max(alpha, axis=1)
 
-    # the per-frame take_along_axis walk lowers to serial scalar gathers
-    # on TPU; the Pallas kernel carries the state as a one-hot row instead
-    from .viterbi_scan_pallas import dense_backtrace
+    if backtrace == "kernel":
+        # the per-frame take_along_axis walk lowers to serial scalar
+        # gathers on TPU; the Pallas kernel carries a one-hot row instead
+        from .viterbi_scan_pallas import dense_backtrace
 
-    path = dense_backtrace(backptrs.astype(jnp.int32), last.astype(jnp.int32), C)
+        path = dense_backtrace(
+            backptrs.astype(jnp.int32), last.astype(jnp.int32), C
+        )
+        return path, score
+
+    def backstep(state, bp_t):
+        prev = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0]
+        return prev, state
+
+    first, path_rev = jax.lax.scan(backstep, last, backptrs, reverse=True)
+    path = jnp.concatenate([first[None, :], path_rev], axis=0).transpose(1, 0)
     return path, score

@@ -397,6 +397,7 @@ def viterbi_batch(em, table: ArcTable, input_lengths=None):
     whole-scan bucket kernel, everything else to the jitted per-step path.
     Under an enclosing jit (tracer table) it falls through to the per-step
     implementation inline."""
+    global _VIT_IMPL
     concrete = not isinstance(table.src, jax.core.Tracer)
     vit_impl = _norm_impl(_VIT_IMPL)
     if (
@@ -412,7 +413,18 @@ def viterbi_batch(em, table: ArcTable, input_lengths=None):
 
         plan = viterbi_scan_pallas.build_plan(table)
         if plan is not None:
-            return viterbi_scan_pallas.viterbi_scan(em, plan, input_lengths)
+            try:
+                return viterbi_scan_pallas.viterbi_scan(
+                    em, plan, input_lengths
+                )
+            except Exception:  # pragma: no cover - compile-failure escape
+                import logging
+
+                logging.warning(
+                    "whole-scan Viterbi kernel failed; using the per-step "
+                    "path for this process", exc_info=True
+                )
+                _VIT_IMPL = "step"
     if isinstance(table.src, jax.core.Tracer) or isinstance(
         em, jax.core.Tracer
     ):
