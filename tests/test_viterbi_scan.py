@@ -125,6 +125,22 @@ def test_dense_backtrace_matches_take_along_axis():
     np.testing.assert_array_equal(one, last[:, None])
 
 
+def test_asg_backtrace_variants_agree():
+    # the "xla" take_along_axis walk is the compile-failure fallback of
+    # the Pallas one-hot walk; both must produce identical paths
+    from gtn_applications_tpu.ops import lattice
+
+    rng = np.random.default_rng(8)
+    B, T, C = 3, 9, 6
+    outputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(C + 1, C)) * 0.3, jnp.float32)
+    lens = jnp.asarray([T, T - 3, 2], jnp.int32)
+    pk, sk = lattice.asg_viterbi(outputs, trans, lens, backtrace="kernel")
+    px, sx = lattice.asg_viterbi(outputs, trans, lens, backtrace="xla")
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(px))
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx), rtol=1e-6)
+
+
 def test_plan_rejects_blowup():
     # one destination with huge in-degree makes the dense layout explode
     n = 400
