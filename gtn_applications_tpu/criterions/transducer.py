@@ -373,6 +373,12 @@ class Transducer(Criterion):
         # up to a multiple of 8 so width-sorted batches reuse compiles
         S = -(-max(len(cg.start) for cg in cgs) // 8) * 8
         B = len(cgs)
+        if self._factored_backoff and not self._factored_ngram:
+            # per-step [B, S_a, N, S_c] einsum working set must stay sane;
+            # check BEFORE the O(B*S^2) packing below
+            S_c = len(self._norm_table.start)
+            if B * S * N * S_c > 48_000_000:
+                return None
         adj_exp = np.zeros((B, S, S), np.float32)
         lab_oh = np.zeros((B, S, N), np.float32)
         start = np.full((B, S), wcompile.NEG, np.float32)
@@ -398,11 +404,6 @@ class Transducer(Criterion):
             lab_oh[b, states, hi[states]] = 1.0
             start[b, : len(cg.start)] = cg.start
             accept[b, : len(cg.accept)] = cg.accept
-        if self._factored_backoff and not self._factored_ngram:
-            # per-step [B, S_a, N, S_c] einsum working set must stay sane
-            S_c = len(self._norm_table.start)
-            if B * S * N * S_c > 48_000_000:
-                return None
         lengths = np.asarray(
             [len(np.asarray(t)) for t in targets], dtype=np.int32
         )

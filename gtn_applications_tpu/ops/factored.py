@@ -225,9 +225,12 @@ def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
     )
     final = alpha + a_accept[:, :, None] + ctx_accept[None, None, :]
     score = logsumexp(final.reshape(B, -1), axis=1)
-    # zero-frame samples: separable empty-path score
-    score0 = logsumexp(a_start + a_accept, axis=1) + logsumexp(
-        ctx0 + ctx_accept, axis=0
+    # zero-frame samples: separable empty-path score; the context half
+    # joins only when the alignment admits the empty path, else its
+    # gradient (through learned eps/accept weights) would leak
+    base0 = logsumexp(a_start + a_accept, axis=1)
+    score0 = jnp.where(
+        base0 > DEAD, base0 + logsumexp(ctx0 + ctx_accept, axis=0), NEG
     )
     return jnp.where(input_lengths > 0, score, score0)
 

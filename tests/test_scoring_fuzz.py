@@ -116,14 +116,9 @@ def test_factored_agrees_random(seed):
     assert "factored" in prep_f
     # force the host-composed generic oracle for the twin (an explicit
     # transitions graph qualifies for the backoff-factored path too)
-    from gtn_applications_tpu.criterions import transducer as tmod
+    from tests.test_factored import _prepare_generic
 
-    saved = tmod._FACTORED_IMPL
-    tmod._FACTORED_IMPL = "off"
-    try:
-        prep_g = twin.prepare(targets)
-    finally:
-        tmod._FACTORED_IMPL = saved
+    prep_g = _prepare_generic(twin, targets)
     assert "factored" not in prep_g
     p0 = jnp.asarray(
         rng.normal(size=(fact.num_transition_arcs,)) * 0.5, jnp.float32
