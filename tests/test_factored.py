@@ -183,6 +183,37 @@ def test_backoff_factored_matches_generic(monkeypatch, seed, blank):
     assert float(jnp.max(jnp.abs(gf[1] - gg[1]))) < 5e-4
 
 
+def test_backoff_zero_length_sample(monkeypatch):
+    # zero-frame sample with a nonempty target against a backoff graph
+    # whose start state has outgoing epsilon arcs: the composed oracle
+    # gives ZERO grads for it (empty path infeasible); the factored path
+    # must too
+    rng = np.random.default_rng(6)
+    C = len(TOKS) + 1
+    g = _backoff_graph(C, rng)
+    fact = Transducer(TOKS, G2I, transitions=g, blank="optional")
+    twin = Transducer(TOKS, G2I, transitions=g.copy(), blank="optional")
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "on")
+    T = 6
+    inputs = jnp.asarray(rng.normal(size=(2, T, C)), jnp.float32)
+    targets = [[0, 1], [2]]
+    lens = jnp.asarray([0, T], jnp.int32)
+    prep_f = fact.prepare(targets)
+    assert "factored" in prep_f
+    prep_g = _prepare_generic(twin, targets)
+    p0 = jnp.asarray(
+        rng.normal(size=(fact.num_transition_arcs,)) * 0.4, jnp.float32
+    )
+    vf, gf = jax.value_and_grad(
+        lambda p: fact.loss({"transitions": p}, inputs, prep_f, lens)
+    )(p0)
+    vg, gg = jax.value_and_grad(
+        lambda p: twin.loss({"transitions": p}, inputs, prep_g, lens)
+    )(p0)
+    assert abs(float(vf - vg)) < 2e-4
+    assert float(jnp.max(jnp.abs(gf - gg))) < 2e-4
+
+
 def test_factored_zero_length_sample():
     # a zero-frame sample only admits the empty path (start∩accept in the
     # alignment, the root's final epsilon in the n-gram)
