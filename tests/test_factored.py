@@ -245,6 +245,36 @@ def test_factored_off_switch(monkeypatch):
     assert "factored" not in prep
 
 
+def test_backoff_factored_learns(monkeypatch):
+    """SGD through the backoff-factored loss must reduce it (end-to-end
+    gradient sanity beyond pointwise parity)."""
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "on")
+    rng = np.random.default_rng(12)
+    C = len(TOKS) + 1
+    crit = Transducer(TOKS, G2I, transitions=_backoff_graph(C, rng),
+                      blank="optional", reduction="mean")
+    B, T = 4, 12
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    targets = [[0, 1], [2], [1, 1], [0, 2, 1]]
+    prep = crit.prepare(targets)
+    assert "factored" in prep
+    p = crit.init_params()["transitions"]
+    x = inputs
+
+    def loss_fn(p, x):
+        return crit.loss({"transitions": p}, x, prep)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    v0 = None
+    for _ in range(30):
+        v, (gp, gx) = grad_fn(p, x)
+        if v0 is None:
+            v0 = float(v)
+        p = p - 0.5 * gp
+        x = x - 0.5 * gx
+    assert float(v) < v0 - 0.5, (v0, float(v))
+
+
 def test_factored_viterbi_unchanged():
     # decode goes through the transitions decode template either way
     rng = np.random.default_rng(3)
