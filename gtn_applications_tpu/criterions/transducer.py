@@ -588,6 +588,15 @@ class Transducer(Criterion):
             return [
                 labels[b, keep[b]].astype(np.int32) for b in range(Bn)
             ]
+        # blank == 'forced': one native batched call does the run collapse
+        # + feasibility check (the graph transduction below is the oracle
+        # it is differential-tested against in tests/test_native.py)
+        from ..wfst import native
+
+        res = native.forced_collapse(labels, self._num_tokens, input_lengths)
+        if res is not None:
+            return res
+
         def one(b):
             seq = [int(l) for l in labels[b] if l >= 0]
             if input_lengths is not None:

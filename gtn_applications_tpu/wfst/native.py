@@ -634,6 +634,54 @@ def _bind_asg(lib):
     lib._asg_bound = True
 
 
+def _bind_forced(lib):
+    if getattr(lib, "_forced_bound", False):
+        return
+    lib.tw_forced_collapse.restype = ctypes.c_int64
+    lib.tw_forced_collapse.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._forced_bound = True
+
+
+def forced_collapse(paths, blank_idx, lengths=None):
+    """Batched forced-blank transducer decode cleanup in one native call:
+    run-collapse + feasibility check against the forced token graph
+    (infeasible alignments decode to empty).  paths: int32 [B, T].
+    Returns a list of int32 arrays, or None when the native library is
+    unavailable."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "tw_forced_collapse"):
+        return None
+    _bind_forced(lib)
+    paths = np.ascontiguousarray(paths, dtype=np.int32)
+    B, T = paths.shape
+    cap = max(B * T, 1)
+    out = np.zeros(cap, dtype=np.int32)
+    counts = np.zeros(B, dtype=np.int64)
+    lens = (
+        None if lengths is None
+        else np.ascontiguousarray(lengths, dtype=np.int32)
+    )
+    n = lib.tw_forced_collapse(
+        _ptr(paths, ctypes.c_int32), B, T,
+        None if lens is None else _ptr(lens, ctypes.c_int32),
+        int(blank_idx), _ptr(out, ctypes.c_int32), cap,
+        _ptr(counts, ctypes.c_int64),
+    )
+    if n < 0:
+        return None
+    res = []
+    pos = 0
+    for b in range(B):
+        res.append(out[pos : pos + counts[b]].copy())
+        pos += counts[b]
+    return res
+
+
 def asg_collapse(paths, lengths=None, garbage_idx=None, num_replabels=0):
     """Batched ASG decode cleanup (collapse runs, drop garbage, unpack
     replabels) in one native call.  paths: int32 [B, T].  Returns a list of

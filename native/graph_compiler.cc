@@ -1191,6 +1191,49 @@ int64_t tw_asg_collapse(const int32_t* paths, int64_t B, int64_t T,
   return total;
 }
 
+// Batched forced-blank transducer decode cleanup (criterions/transducer.py
+// _alignment_to_tokens for blank='forced'; behavioral spec: reference
+// criterions/transducer.py:199-234 compose with the forced token graph).
+// The forced token graph accepts an alignment iff it is empty or begins
+// and ends with a blank run with no two token runs adjacent; a feasible
+// alignment transduces to one token per token run, an infeasible one to
+// the empty output (empty composition).  paths [B*T], negative labels are
+// dead frames and skipped; lengths may be null (use T).  Returns total
+// tokens written, or -1 on overflow.
+int64_t tw_forced_collapse(const int32_t* paths, int64_t B, int64_t T,
+                           const int32_t* lengths, int32_t blank_idx,
+                           int32_t* out, int64_t out_cap,
+                           int64_t* out_counts) {
+  int64_t total = 0;
+  for (int64_t b = 0; b < B; ++b) {
+    int64_t len = lengths ? lengths[b] : T;
+    if (len > T) len = T;
+    int64_t start = total;
+    int32_t prev = INT32_MIN;
+    bool feasible = true, seen_any = false, prev_is_tok = false;
+    for (int64_t t = 0; t < len && feasible; ++t) {
+      int32_t p = paths[b * T + t];
+      if (p < 0 || p == prev) continue;
+      prev = p;
+      bool is_tok = (p != blank_idx);
+      if (is_tok && (!seen_any || prev_is_tok)) {
+        feasible = false;  // token before any blank, or adjacent token runs
+        break;
+      }
+      seen_any = true;
+      prev_is_tok = is_tok;
+      if (is_tok) {
+        if (total >= out_cap) return -1;
+        out[total++] = p;
+      }
+    }
+    if (prev_is_tok) feasible = false;  // must end on a blank run
+    if (!feasible) total = start;
+    out_counts[b] = total - start;
+  }
+  return total;
+}
+
 void tw_tables_free(void* h) { delete (CompiledTables*)h; }
 
 void tw_tables_sizes(void* h, int64_t* sizes) {

@@ -230,6 +230,42 @@ def test_asg_collapse_matches_python():
             np.testing.assert_array_equal(g, np.asarray(w, np.int32))
 
 
+def test_forced_collapse_matches_graph_oracle():
+    """Native batched forced-blank decode cleanup == the per-sample graph
+    transduction (chain ∘ forced token graph → viterbi → project)."""
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    tok = ["a", "b", "c"]
+    g2i = {c: i for i, c in enumerate("abc")}
+    crit = Transducer(tok, g2i, blank="forced")
+    blank = len(tok)
+
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        B, T = 8, 19
+        paths = rng.randint(0, blank + 1, (B, T)).astype(np.int32)
+        lengths = rng.randint(0, T + 1, B).astype(np.int32)
+        for b in range(B):
+            paths[b, lengths[b] :] = -1  # dead frames
+        got = native.forced_collapse(paths, blank, lengths)
+        assert got is not None
+        for b in range(B):
+            seq = [int(l) for l in paths[b, : lengths[b]] if l >= 0]
+            want = crit._alignment_to_tokens(seq)
+            np.testing.assert_array_equal(got[b], np.asarray(want, np.int32))
+    # hand-picked feasibility edges: empty, token-first, token-last,
+    # adjacent token runs, blank-only, repeated token via blank gap
+    cases = np.full((6, 9), -1, np.int32)
+    seqs = [[], [0, 3], [3, 0], [3, 0, 1, 3], [3, 3], [3, 0, 3, 0, 3]]
+    lens = np.asarray([len(s) for s in seqs], np.int32)
+    for i, s in enumerate(seqs):
+        cases[i, : len(s)] = s
+    got = native.forced_collapse(cases, blank, lens)
+    expect = [[], [], [], [], [], [0, 0]]
+    for g, w in zip(got, expect):
+        np.testing.assert_array_equal(g, np.asarray(w, np.int32))
+
+
 def test_ctc_engine_matches_lattice():
     """Graph-engine CTC (C++ compose + log-semiring autodiff, the honest
     bench.py denominator) == the JAX lattice path, losses and grads."""
