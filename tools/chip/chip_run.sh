@@ -1,0 +1,38 @@
+#!/bin/bash
+# One-window chip session: correctness gate first, then headline bench,
+# then protocol tables. Each phase has its own timeout so a mid-run
+# tunnel stall can't eat the session. Logs to /tmp/chip_*.log.
+set -x
+cd /root/repo
+
+echo "=== phase 1: whole-scan kernel verify + timing ==="
+timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
+  python tools/chip/chip_sparse_verify.py 2>&1 | tee /tmp/chip_verify.log
+v=$?
+if [ $v -ne 0 ]; then echo "VERIFY FAILED/STALLED rc=$v"; exit $v; fi
+
+echo "=== phase 1b: factored paths + decode kernels verify ==="
+timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
+  python tools/chip/chip_factored_verify.py 2>&1 | tee /tmp/chip_factored.log
+
+echo "=== phase 2: headline bench ==="
+timeout 1800 python bench.py > /tmp/chip_bench.json 2> /tmp/chip_bench.log
+cat /tmp/chip_bench.json
+
+echo "=== phase 3: transducer protocol table ==="
+(cd benchmarks && timeout 2400 python transducer_benchmark.py 8) \
+  2>&1 | tee /tmp/chip_transducer.log
+
+echo "=== phase 4: stc + asg protocols ==="
+(cd benchmarks && timeout 1200 python stc_benchmark.py 32) \
+  2>&1 | tee /tmp/chip_stc.log
+(cd benchmarks && timeout 1200 python asg_benchmark.py 32) \
+  2>&1 | tee /tmp/chip_asg.log
+echo "=== phase 5: chip throughput / MFU refresh ==="
+(cd benchmarks && timeout 1800 python scaling_benchmark.py) \
+  2>&1 | tee /tmp/chip_scaling.log
+
+echo "=== phase 6: ngram2 train step ==="
+(cd benchmarks && timeout 1800 python train_step_benchmark.py 32 --ngram2) \
+  2>&1 | tee /tmp/chip_trainstep_ngram2.log
+echo "=== chip session done ==="
