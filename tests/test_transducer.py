@@ -367,6 +367,50 @@ def test_backoff_transitions_numeric_grad():
     np.testing.assert_allclose(analytic, numeric, rtol=1e-2, atol=1e-3)
 
 
+def test_backoff_fixture_numeric_grad():
+    """The reference's exact backoff-transitions regression
+    (transducer_test.py:534-566 with tests/trans_backoff_test.txt): load
+    the same fixture graph, same shapes/labels, and check analytic vs
+    numerical transition grads."""
+    import os
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "goldens", "trans_backoff_test.txt"
+    )
+    transitions = wfst.loadtxt(fixture)
+    T, N = 4, 5
+    rng = np.random.RandomState(13)
+    inputs = jnp.asarray(rng.randn(1, T, N).astype(np.float32))
+    labels = [[0, 1, 0]]
+    crit = Transducer(
+        tokens=[(n,) for n in range(N)],
+        graphemes_to_idx={n: n for n in range(N)},
+        blank="optional",
+        allow_repeats=False,
+        transitions=transitions,
+    )
+    prepared = crit.prepare(labels)
+    params = crit.init_params()
+
+    def loss_fn(p):
+        return crit.loss(p, inputs, prepared)
+
+    analytic = np.asarray(jax.grad(loss_fn)(params)["transitions"])
+    eps = 1e-3
+    base = jnp.asarray(params["transitions"])
+    A = base.shape[0]
+    # central differences for every arc in two vmapped evals (the loss is
+    # pure and jittable, so the whole sweep is one compile)
+    probes = jnp.eye(A, dtype=base.dtype) * eps
+    batched = jax.jit(
+        jax.vmap(lambda p: loss_fn({"transitions": p}))
+    )
+    lu = batched(base[None, :] + probes)
+    ld = batched(base[None, :] - probes)
+    numeric = np.asarray((lu - ld) / (2 * eps))
+    np.testing.assert_allclose(analytic, numeric, rtol=1e-2, atol=1e-3)
+
+
 def test_forced_blank_decode_batch():
     """blank='forced' decode runs the general graph transduction per
     sample (threaded); outputs must drop blanks and collapse runs exactly
