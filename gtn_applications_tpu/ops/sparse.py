@@ -312,6 +312,9 @@ def viterbi(em, table: ArcTable, input_length=None):
         return prev, lab
 
     _, labels_rev = jax.lax.scan(backstep, state, backarcs, reverse=True)
+    # infeasible lattice (no accepting path): emit the empty path, matching
+    # the whole-scan kernel and gtn.viterbi_path on an empty composition
+    labels_rev = jnp.where(score > NEG / 2, labels_rev, -1)
     return labels_rev, score
 
 
@@ -366,7 +369,11 @@ def _viterbi_batched_pallas(em, table: ArcTable, input_lengths=None):
         return prev, lab
 
     _, labels_rev = jax.lax.scan(backstep, state, backarcs, reverse=True)
-    return labels_rev.transpose(1, 0), score
+    labels = labels_rev.transpose(1, 0)
+    # infeasible samples decode to the empty path (parity with the
+    # whole-scan kernel's DEAD-slot masking)
+    labels = jnp.where((score > NEG / 2)[:, None], labels, -1)
+    return labels, score
 
 
 # "whole": the entire tropical scan as one Pallas launch over a dense

@@ -387,7 +387,11 @@ def viterbi_scan(em, plan: _Plan, input_lengths=None):
     B, T, _ = em.shape
     if input_lengths is None:
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
-    return _viterbi_whole_jit(
+    labels, score = _viterbi_whole_jit(
         em, plan.src_bucket, plan.label_bucket, plan.w_bucket,
         plan.start_p, plan.accept_p, jnp.asarray(input_lengths),
     )
+    # infeasible samples (no accepting path) decode to the empty path —
+    # the backtrace from an arbitrary argmax state is meaningless there
+    labels = jnp.where((score > NEG / 2)[:, None], labels, -1)
+    return labels, score

@@ -64,6 +64,33 @@ def test_whole_viterbi_matches_oracle(force_whole, skew):
         )
 
 
+@pytest.mark.parametrize("impl", ["step", "whole"])
+def test_infeasible_decode_is_empty(monkeypatch, impl):
+    """A sample whose lattice has no accepting path (score == NEG) must
+    decode to the empty path (-1 everywhere) on EVERY implementation —
+    not a backtrace from an arbitrary argmax state."""
+    monkeypatch.setattr(sparse, "_VIT_IMPL", impl)
+    # a 3-state chain needing exactly 2 frames to accept; len=1 samples
+    # are infeasible
+    z = np.zeros((0,), np.int32)
+    start = np.asarray([0.0, NEG, NEG], np.float32)
+    accept = np.asarray([NEG, NEG, 0.0], np.float32)
+    table = ArcTable(
+        jnp.asarray([0, 1], jnp.int32), jnp.asarray([1, 2], jnp.int32),
+        jnp.asarray([0, 1], jnp.int32), jnp.zeros(2, jnp.float32),
+        jnp.asarray(start), jnp.asarray(accept), jnp.asarray(z),
+        jnp.asarray(z), jnp.zeros(0, jnp.float32), eps_depth=0,
+    )
+    rng = np.random.default_rng(0)
+    em = jnp.asarray(rng.normal(size=(3, 2, 3)), jnp.float32)
+    lens = jnp.asarray([2, 1, 2], jnp.int32)  # sample 1 infeasible
+    labels, scores = sparse.viterbi_batch(em, table, lens)
+    assert float(scores[1]) < NEG / 2
+    np.testing.assert_array_equal(np.asarray(labels[1]), [-1, -1])
+    np.testing.assert_array_equal(np.asarray(labels[0]), [0, 1])
+    np.testing.assert_array_equal(np.asarray(labels[2]), [0, 1])
+
+
 def test_whole_viterbi_tie_break(force_whole):
     # two identical-score paths: lowest arc id must win (segment_min parity)
     src = jnp.asarray([0, 0, 1, 2], jnp.int32)
