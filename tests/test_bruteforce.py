@@ -1,0 +1,187 @@
+"""Independent brute-force oracles: enumerate EVERY label sequence at tiny
+shapes and logsumexp the accepted paths' scores.
+
+Unlike the differential tests (which pin implementations against each
+other) these share no scoring code with the library at all — acceptance
+is defined straight from the criterion semantics:
+
+  * CTC: sequences whose blank-strip + run-collapse equals the target
+    (reference criterions/ctc.py:14-28 graph semantics).
+  * ASG free score: all sequences, with start row transitions[0, s0] and
+    steps transitions[cur+1, prev]; forced score: sequences that are a
+    concatenation of non-empty runs of the target labels in order
+    (reference criterions/asg.py:53-115).
+  * Transducer (ngram 0, singleton tokens, optional blank, no repeats):
+    sequences whose run-collapse + blank-drop equals the target — the
+    token-graph transduction is deterministic in this configuration
+    (reference criterions/transducer.py:78-123).
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtn_applications_tpu.criterions.common import pad_targets
+from gtn_applications_tpu.ops import lattice
+
+
+def _lse(xs):
+    if not xs:
+        return -np.inf
+    m = max(xs)
+    return m + np.log(sum(np.exp(x - m) for x in xs))
+
+
+def _collapse_ctc(seq, blank):
+    out = []
+    prev = None
+    for s in seq:
+        if s != prev:
+            if s != blank:
+                out.append(s)
+            prev = s
+    return out
+
+
+def _asg_parse_count(seq, target):
+    """Number of ways to parse seq as L non-empty runs of the target
+    labels in order.  Adjacent equal target labels make parses ambiguous;
+    the force-align GRAPH counts every parse as a distinct path (one state
+    per target position with a self-loop), so the oracle must too."""
+    L = len(target)
+    # counts[i] = number of parses of the consumed prefix ending inside
+    # run i-1 (i target positions fully entered)
+    counts = [0] * (L + 1)
+    counts[0] = 1
+    for s in seq:
+        nxt = [0] * (L + 1)
+        for i in range(L + 1):
+            if not counts[i]:
+                continue
+            if i < L and target[i] == s:
+                nxt[i + 1] += counts[i]  # start run i
+            if i > 0 and target[i - 1] == s:
+                nxt[i] += counts[i]  # extend run i-1
+        counts = nxt
+        if not any(counts):
+            return 0
+    return counts[L]
+
+
+def test_ctc_matches_bruteforce():
+    T, C = 5, 4
+    blank = C - 1
+    rng = np.random.RandomState(0)
+    logits = rng.randn(1, T, C).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))[0]
+
+    for target in ([], [0], [0, 1], [1, 1], [2, 0, 2], [0, 1, 2, 0, 1]):
+        scores = [
+            lp[np.arange(T), list(seq)].sum()
+            for seq in itertools.product(range(C), repeat=T)
+            if _collapse_ctc(seq, blank) == list(target)
+        ]
+        want = _lse(scores)
+        tg, ln = pad_targets([list(target)])
+        got = float(
+            lattice.ctc_forward_score(
+                jnp.asarray(lp)[None], tg, ln, blank, impl="scan"
+            )[0]
+        )
+        if not scores:  # infeasible (target longer than T allows)
+            assert got < -1e20, target
+        else:
+            assert abs(got - want) < 1e-4, (target, got, want)
+
+
+def test_ctc_bruteforce_ragged_length():
+    T, C = 6, 3
+    blank = C - 1
+    rng = np.random.RandomState(1)
+    lp = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(rng.randn(1, T, C)), axis=-1),
+        np.float32,
+    )[0]
+    for length in (2, 4, 6):
+        scores = [
+            lp[np.arange(length), list(seq)].sum()
+            for seq in itertools.product(range(C), repeat=length)
+            if _collapse_ctc(seq, blank) == [0, 1]
+        ]
+        tg, ln = pad_targets([[0, 1]])
+        got = float(
+            lattice.ctc_forward_score(
+                jnp.asarray(lp)[None], tg, ln, blank,
+                input_lengths=jnp.asarray([length], jnp.int32), impl="scan",
+            )[0]
+        )
+        assert abs(got - _lse(scores)) < 1e-4, length
+
+
+def test_asg_matches_bruteforce():
+    T, N = 4, 3
+    rng = np.random.RandomState(2)
+    em = rng.randn(1, T, N).astype(np.float32)
+    trans = (rng.randn(N + 1, N) * 0.5).astype(np.float32)
+
+    def path_score(seq):
+        s = trans[0, seq[0]] + em[0, 0, seq[0]]
+        for t in range(1, T):
+            s += trans[seq[t] + 1, seq[t - 1]] + em[0, t, seq[t]]
+        return s
+
+    all_seqs = list(itertools.product(range(N), repeat=T))
+    fcc_bf = _lse([path_score(s) for s in all_seqs])
+    fcc = float(
+        lattice.asg_fcc_score(jnp.asarray(em), jnp.asarray(trans))[0]
+    )
+    assert abs(fcc - fcc_bf) < 1e-4
+
+    for target in ([0], [0, 1], [1, 1], [2, 0, 2], [0, 1, 2, 1]):
+        fal_bf = _lse(
+            [
+                path_score(s) + np.log(k)
+                for s in all_seqs
+                for k in [_asg_parse_count(s, list(target))]
+                if k > 0
+            ]
+        )
+        tg, ln = pad_targets([list(target)])
+        fal = float(
+            lattice.asg_fal_score(
+                jnp.asarray(em), jnp.asarray(trans), tg, ln
+            )[0]
+        )
+        assert abs(fal - fal_bf) < 1e-4, (target, fal, fal_bf)
+
+
+def test_transducer_ngram0_matches_bruteforce():
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    T, ntok = 4, 3
+    C = ntok + 1  # + optional blank (last channel)
+    blank = ntok
+    rng = np.random.RandomState(3)
+    em = rng.randn(1, T, C).astype(np.float32)
+    # without transitions the criterion log_softmaxes the emissions
+    # (reference transducer.py:187) — the oracle scores the normalized rows
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(em), axis=-1))
+    crit = Transducer(
+        tokens=[(i,) for i in range(ntok)],
+        graphemes_to_idx={i: i for i in range(ntok)},
+        blank="optional",
+        allow_repeats=False,
+        reduction="none",
+    )
+    for target in ([0], [0, 1], [2, 0], [0, 1, 2]):
+        scores = [
+            lp[0, np.arange(T), list(seq)].sum()
+            for seq in itertools.product(range(C), repeat=T)
+            if _collapse_ctc(seq, blank) == list(target)
+        ]
+        want = -_lse(scores)
+        prepared = crit.prepare([list(target)])
+        got = float(crit.loss({}, jnp.asarray(em), prepared))
+        assert abs(got - want) < 1e-4, (target, got, want)
