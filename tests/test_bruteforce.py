@@ -157,6 +157,126 @@ def test_asg_matches_bruteforce():
         assert abs(fal - fal_bf) < 1e-4, (target, fal, fal_bf)
 
 
+def test_transducer_ngram_matches_bruteforce():
+    """Full-bigram transducer with learnable arc weights: loss =
+    -(score - norm) where both terms walk the transitions trie per frame
+    label. The oracle walks the actual transitions Graph arc-by-arc (so
+    the parameter indexing is validated too) and weights each accepted
+    sequence by its run-split parse count (allow_repeats=True lets a run
+    of k identical labels emit 1..k tokens).  Checked against BOTH the
+    transition-factored dense path and the host-composed generic path."""
+    from gtn_applications_tpu.criterions.transducer import (
+        Transducer,
+        EPSILON,
+    )
+
+    T, ntok = 4, 3
+    rng = np.random.RandomState(5)
+    em = rng.randn(1, T, ntok).astype(np.float32)
+    crit = Transducer(
+        tokens=[(i,) for i in range(ntok)],
+        graphemes_to_idx={i: i for i in range(ntok)},
+        ngram=2,
+        reduction="none",
+    )
+    params = (rng.randn(crit.num_transition_arcs) * 0.5).astype(np.float32)
+
+    # deterministic walk table straight off the transitions Graph
+    g = crit.transitions
+    step = {}
+    eps_out = {}
+    for a in range(g.num_arcs()):
+        s, d, il = g.arc_src[a], g.arc_dst[a], g.arc_ilabel[a]
+        if il == EPSILON:
+            eps_out[s] = params[a]
+        else:
+            step[(s, il)] = (d, params[a])
+    starts = [s for s in range(g.num_nodes()) if g.start[s]]
+    assert len(starts) == 1
+
+    def trans_score(seq):
+        s = starts[0]
+        tot = 0.0
+        for l in seq:
+            s, w = step[(s, l)]
+            tot += w
+        return tot + eps_out[s]
+
+    all_seqs = list(itertools.product(range(ntok), repeat=T))
+    norm_bf = _lse([em[0, np.arange(T), list(s)].sum() + trans_score(s)
+                    for s in all_seqs])
+    for target in ([0, 1], [1, 1], [2, 0, 2], [0, 0, 1, 1]):
+        num = _lse(
+            [
+                em[0, np.arange(T), list(s)].sum()
+                + trans_score(s)
+                + np.log(k)
+                for s in all_seqs
+                for k in [_asg_parse_count(s, list(target))]
+                if k > 0
+            ]
+        )
+        want = -(num - norm_bf)
+
+        prep_f = crit.prepare([list(target)])
+        assert "factored" in prep_f
+        got_f = float(
+            crit.loss({"transitions": jnp.asarray(params)},
+                      jnp.asarray(em), prep_f)
+        )
+        assert abs(got_f - want) < 1e-3, ("factored", target, got_f, want)
+
+        from tests.test_factored import _prepare_generic
+
+        prep_g = _prepare_generic(crit, [list(target)])
+        got_g = float(
+            crit.loss({"transitions": jnp.asarray(params)},
+                      jnp.asarray(em), prep_g)
+        )
+        assert abs(got_g - want) < 1e-3, ("generic", target, got_g, want)
+
+
+def test_transducer_marginalized_matches_bruteforce():
+    """Marginalized decompositions: with multi-grapheme tokens the loss
+    sums over every token sequence whose graphemes spell the target
+    (reference transducer.py:239-309 compose(target, lexicon) pipeline).
+    The oracle accepts a label sequence iff the graphemes of its collapsed
+    token sequence spell the target."""
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    tokens = ["a", "b", "ab", "ba"]
+    g2i = {"a": 0, "b": 1}
+    piece_of = [tuple(g2i[c] for c in t) for t in tokens]
+    T = 4
+    C = len(tokens) + 1  # + optional blank (last channel)
+    blank = len(tokens)
+    rng = np.random.RandomState(4)
+    em = rng.randn(1, T, C).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(em), axis=-1))
+    crit = Transducer(
+        tokens=tokens,
+        graphemes_to_idx=g2i,
+        blank="optional",
+        allow_repeats=False,
+        reduction="none",
+    )
+    for word in ("ab", "aab", "abba", "a"):
+        target = [g2i[c] for c in word]
+        scores = [
+            lp[0, np.arange(T), list(seq)].sum()
+            for seq in itertools.product(range(C), repeat=T)
+            if list(
+                g
+                for tok in _collapse_ctc(seq, blank)
+                for g in piece_of[tok]
+            ) == target
+        ]
+        want = -_lse(scores)
+        prepared = crit.prepare([target])
+        got = float(crit.loss({}, jnp.asarray(em), prepared))
+        assert abs(got - want) < 1e-4, (word, got, want)
+
+
 def test_transducer_ngram0_matches_bruteforce():
     from gtn_applications_tpu.criterions.transducer import Transducer
 
