@@ -45,6 +45,13 @@ CONFIG = {
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # escape hatch for hosts whose TPU attachment is flaky: the axon
+        # stack pins JAX_PLATFORMS, so this must be a config update, not
+        # an env var
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     workdir = tempfile.mkdtemp(prefix="quickstart_")
     config_path = os.path.join(workdir, "config.json")
     with open(config_path, "w") as fid:

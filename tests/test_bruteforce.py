@@ -157,6 +157,38 @@ def test_asg_matches_bruteforce():
         assert abs(fal - fal_bf) < 1e-4, (target, fal, fal_bf)
 
 
+def test_asg_viterbi_matches_bruteforce():
+    """The tropical decode's best path must be the argmax over ALL label
+    sequences of emissions + transitions, for both backtrace impls."""
+    T, N = 5, 3
+    rng = np.random.RandomState(6)
+    em = rng.randn(2, T, N).astype(np.float32)
+    trans = (rng.randn(N + 1, N) * 0.5).astype(np.float32)
+
+    def path_score(b, seq, length):
+        s = trans[0, seq[0]] + em[b, 0, seq[0]]
+        for t in range(1, length):
+            s += trans[seq[t] + 1, seq[t - 1]] + em[b, t, seq[t]]
+        return s
+
+    lens = np.asarray([T, 3], np.int32)
+    best = []
+    for b in range(2):
+        seqs = list(itertools.product(range(N), repeat=int(lens[b])))
+        scores = [path_score(b, s, int(lens[b])) for s in seqs]
+        best.append((list(seqs[int(np.argmax(scores))]), max(scores)))
+
+    for backtrace in ("xla", "kernel"):
+        paths, scores = lattice.asg_viterbi(
+            jnp.asarray(em), jnp.asarray(trans),
+            jnp.asarray(lens), backtrace,
+        )
+        for b in range(2):
+            got = list(np.asarray(paths)[b][: lens[b]])
+            assert got == best[b][0], (backtrace, b, got, best[b][0])
+            assert abs(float(scores[b]) - best[b][1]) < 1e-4, (backtrace, b)
+
+
 def test_transducer_ngram_matches_bruteforce():
     """Full-bigram transducer with learnable arc weights: loss =
     -(score - norm) where both terms walk the transitions trie per frame
