@@ -70,6 +70,62 @@ def _asg_parse_count(seq, target):
     return counts[L]
 
 
+def test_graph_scores_match_path_enumeration():
+    """Host (Python and C++) forward/viterbi scores vs DFS enumeration of
+    every start→accept path on random acyclic graphs (incl. eps arcs,
+    parallel arcs, multiple starts/accepts, and final weights)."""
+    from gtn_applications_tpu import wfst
+    from gtn_applications_tpu.wfst import native
+    from gtn_applications_tpu.wfst.graph import EPSILON, Graph
+
+    rng = np.random.RandomState(9)
+    for trial in range(30):
+        S = rng.randint(3, 9)
+        g = Graph()
+        for s in range(S):
+            g.add_node(s == 0 or rng.rand() < 0.25, False)
+        for s in range(S):
+            if s == S - 1 or rng.rand() < 0.3:
+                g.add_final(s, float(rng.randn() * 0.3))
+        arcs = []
+        for _ in range(rng.randint(S, 4 * S)):
+            a = rng.randint(0, S - 1)
+            b = rng.randint(a + 1, S)  # forward arcs only: acyclic
+            lbl = EPSILON if rng.rand() < 0.2 else int(rng.randint(0, 4))
+            w = float(rng.randn() * 0.7)
+            g.add_arc(a, b, lbl, lbl, w)
+            arcs.append((a, b, w))
+
+        # DFS path enumeration
+        out_arcs = {}
+        for a, b, w in arcs:
+            out_arcs.setdefault(a, []).append((b, w))
+        scores = []
+
+        def walk(node, acc):
+            for fw in g.finals.get(node, []):
+                scores.append(acc + fw)
+            for b, w in out_arcs.get(node, []):
+                walk(b, acc + w)
+
+        for s in range(S):
+            if g.start[s]:
+                walk(s, 0.0)
+
+        want_fwd = _lse(scores)
+        want_vit = max(scores) if scores else -np.inf
+        got_fwd = wfst.forward_score(g)
+        got_vit = wfst.viterbi_score(g)
+        if not scores:
+            assert got_fwd < -1e20 and got_vit < -1e20, trial
+            continue
+        assert abs(got_fwd - want_fwd) < 1e-4, (trial, got_fwd, want_fwd)
+        assert abs(got_vit - want_vit) < 1e-4, (trial, got_vit, want_vit)
+        if native.available():
+            assert abs(native.forward_score(g) - want_fwd) < 1e-4, trial
+            assert abs(native.viterbi_score(g) - want_vit) < 1e-4, trial
+
+
 def test_ctc_matches_bruteforce():
     T, C = 5, 4
     blank = C - 1
