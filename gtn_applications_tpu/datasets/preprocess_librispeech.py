@@ -1,39 +1,24 @@
-"""Build LibriSpeech JSONL manifests (parity:
+"""Build LibriSpeech JSONL manifests (behavioral spec:
 /root/reference/datasets/preprocess_librispeech.py, torchaudio-free).
+
+LibriSpeech lays out ``<root>/<split>/<speaker>/<chapter>/`` directories,
+each holding ``<speaker>-<chapter>.trans.txt`` plus one FLAC per
+utterance id named in that file.  The manifest is one JSON object per
+line: ``{"text": ..., "duration": seconds, "audio": flac path}`` —
+the schema datasets/audio.py consumes.
 
 Durations come from soundfile when available, else from FLAC STREAMINFO
 headers parsed directly (stdlib-only).
 """
 
 import argparse
-import glob
 import json
-import os
 import struct
+from pathlib import Path
 
 SPLITS = [
     "train-clean-100", "dev-clean", "dev-other", "test-clean", "test-other",
 ]
-
-
-def load_transcripts(path):
-    pattern = os.path.join(path, "*/*/*.trans.txt")
-    data = {}
-    for f in glob.glob(pattern):
-        with open(f) as fid:
-            lines = (l.strip().split() for l in fid)
-            data.update((l[0], " ".join(l[1:])) for l in lines)
-    return data
-
-
-def path_from_key(key, prefix, ext):
-    dirs = key.split("-")
-    dirs[-1] = key
-    return os.path.join(prefix, *dirs) + os.path.extsep + ext
-
-
-def clean_text(text):
-    return text.strip().lower()
 
 
 def flac_duration(path):
@@ -48,7 +33,7 @@ def flac_duration(path):
     with open(path, "rb") as fid:
         if fid.read(4) != b"fLaC":
             raise ValueError(f"{path} is not a FLAC file")
-        header = fid.read(4)
+        fid.read(4)  # metadata block header
         # first metadata block must be STREAMINFO (34 bytes)
         block = fid.read(34)
         sample_rate = (block[10] << 12) | (block[11] << 4) | (block[12] >> 4)
@@ -56,27 +41,38 @@ def flac_duration(path):
         return total / sample_rate
 
 
-def build_json(data_path, save_path, split):
-    split_path = os.path.join(data_path, split)
-    transcripts = load_transcripts(split_path)
-    save_file = os.path.join(save_path, f"{split}.json")
-    with open(save_file, "w") as fid:
-        for k, t in transcripts.items():
-            flac_file = path_from_key(k, split_path, ext="flac")
-            datum = {
-                "text": clean_text(t),
-                "duration": flac_duration(flac_file),
-                "audio": flac_file,
+def iter_utterances(split_dir):
+    """Yield (flac_path, raw_transcript) by walking each chapter's
+    ``*.trans.txt``; the FLAC for an utterance id sits beside it."""
+    for trans in sorted(Path(split_dir).glob("*/*/*.trans.txt")):
+        chapter_dir = trans.parent
+        for line in trans.read_text().splitlines():
+            utt_id, _, words = line.strip().partition(" ")
+            if utt_id:
+                yield chapter_dir / (utt_id + ".flac"), words
+
+
+def write_manifest(data_path, save_path, split):
+    out_file = Path(save_path) / (split + ".json")
+    with open(out_file, "w") as fid:
+        for flac, words in iter_utterances(Path(data_path) / split):
+            entry = {
+                "text": words.strip().lower(),
+                "duration": flac_duration(flac),
+                "audio": str(flac),
             }
-            json.dump(datum, fid)
-            fid.write("\n")
+            fid.write(json.dumps(entry) + "\n")
 
 
-if __name__ == "__main__":
+def main():
     parser = argparse.ArgumentParser(description="Preprocess librispeech dataset.")
     parser.add_argument("--data_path", type=str)
     parser.add_argument("--save_path", type=str)
     args = parser.parse_args()
     for split in SPLITS:
         print(f"Preprocessing {split}")
-        build_json(args.data_path, args.save_path, split)
+        write_manifest(args.data_path, args.save_path, split)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,10 @@ LibriSpeech and emit ``{prefix}_tokens_{N}.txt`` (the N pieces) and
 ``{prefix}_lex_{N}.txt`` (word -> piece decomposition).  The reference
 shells out to SentencePiece; here the native unigram trainer
 (scripts.wordpiece) is used.
+
+Each dataset contributes a corpus builder returning (training sentences,
+lexicon vocabulary or None, extra user symbols); everything downstream is
+shared.
 """
 
 import argparse
@@ -14,59 +18,64 @@ import os
 from . import wordpiece
 
 
-def iamdb_pieces(args):
+def _iam_corpus(data_dir):
+    """IAM keeps transcripts in forms metadata; the training sentences are
+    the forms whose keys appear in no eval split list."""
     from ..datasets import iamdb
 
-    forms = iamdb.load_metadata(args.data_dir, "▁")
-    ds_keys = set()
-    for _, v in iamdb.SPLITS.items():
-        for ds in v:
-            with open(os.path.join(args.data_dir, f"{ds}.txt"), "r") as fid:
-                ds_keys.update(l.strip() for l in fid)
-
-    # train only on the training set (keys absent from the split lists)
-    text = [
-        l["text"]
-        for _, lines in forms.items()
-        for l in lines
-        if l["key"] not in ds_keys
+    eval_keys = set()
+    for split_files in iamdb.SPLITS.values():
+        for name in split_files:
+            with open(os.path.join(data_dir, name + ".txt")) as fid:
+                eval_keys.update(line.strip() for line in fid)
+    sentences = [
+        line["text"]
+        for lines in iamdb.load_metadata(data_dir, "▁").values()
+        for line in lines
+        if line["key"] not in eval_keys
     ]
-    vocab = sorted(set(w for t in text for w in t.split("▁") if w))
-    model = wordpiece.train_unigram(
-        text, args.num_pieces, user_symbols=["/"]
-    )
-    save_pieces(model, args.num_pieces, args.output_prefix, vocab)
+    # IAM lexica include the "/" symbol
+    return sentences, None, ["/"]
 
 
-def librispeech_pieces(args):
-    from ..datasets import librispeech
+def _jsonl_corpus(module):
+    """WSJ/LibriSpeech read training text from the JSONL manifests."""
 
-    json_set_pieces(args, librispeech)
+    def build(data_dir):
+        sentences = []
+        for name in module.SPLITS["train"]:
+            sentences.extend(
+                entry["text"]
+                for entry in module.load_data_split(data_dir, name)
+            )
+        return sentences, None, []
+
+    return build
 
 
-def wsj_pieces(args):
+def _wsj_corpus(data_dir):
     from ..datasets import wsj
 
-    vocab_file = os.path.join(args.data_dir, "vocab20ko.txt")
-    with open(vocab_file, "r") as fid:
-        vocab = [l.strip().lower() for l in fid if l[0] != "#"]
-    json_set_pieces(args, wsj, vocab)
+    sentences, _, syms = _jsonl_corpus(wsj)(data_dir)
+    # WSJ uses the published 20k open vocabulary for the lexicon
+    with open(os.path.join(data_dir, "vocab20ko.txt")) as fid:
+        vocab = [
+            line.strip().lower() for line in fid if not line.startswith("#")
+        ]
+    return sentences, vocab, syms
 
 
-def json_set_pieces(args, dataset, vocab=None):
-    train_text = []
-    for subset in dataset.SPLITS["train"]:
-        ds = dataset.load_data_split(args.data_dir, subset)
-        train_text.extend(l["text"] for l in ds)
-    if args.text_file is not None:
-        with open(args.text_file, "r") as fid:
-            spm_text = [l.strip() for l in fid]
-    else:
-        spm_text = train_text
-    model = wordpiece.train_unigram(spm_text, args.num_pieces)
-    if vocab is None:
-        vocab = sorted(set(w for t in train_text for w in t.split("▁") if w))
-    save_pieces(model, args.num_pieces, args.output_prefix, vocab)
+def _librispeech_corpus(data_dir):
+    from ..datasets import librispeech
+
+    return _jsonl_corpus(librispeech)(data_dir)
+
+
+CORPUS_BUILDERS = {
+    "iamdb": _iam_corpus,
+    "wsj": _wsj_corpus,
+    "librispeech": _librispeech_corpus,
+}
 
 
 def save_pieces(model, num_pieces, output_prefix, vocab):
@@ -88,6 +97,22 @@ def save_pieces(model, num_pieces, output_prefix, vocab):
             fid.write("{} {}\n".format(v, " ".join(p)))
 
 
+def build_pieces(dataset, data_dir, num_pieces, output_prefix, text_file=None):
+    sentences, vocab, user_symbols = CORPUS_BUILDERS[dataset](data_dir)
+    if vocab is None:
+        vocab = sorted(
+            {w for text in sentences for w in text.split("▁") if w}
+        )
+    training_text = sentences
+    if text_file is not None:
+        with open(text_file) as fid:
+            training_text = [line.strip() for line in fid]
+    model = wordpiece.train_unigram(
+        training_text, num_pieces, user_symbols=user_symbols
+    )
+    save_pieces(model, num_pieces, output_prefix, vocab)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Make the word piece list for a dataset."
@@ -96,7 +121,7 @@ def main(argv=None):
         "--dataset",
         default="iamdb",
         type=str,
-        choices=["iamdb", "librispeech", "wsj"],
+        choices=sorted(CORPUS_BUILDERS),
     )
     parser.add_argument("--data_dir", default="<data_path>", type=str)
     parser.add_argument("--text_file", default=None, type=str)
@@ -104,7 +129,10 @@ def main(argv=None):
     parser.add_argument("--num_pieces", default=1000, type=int)
     args = parser.parse_args(argv)
     print(f"Building word pieces for {args.dataset}")
-    globals()[args.dataset + "_pieces"](args)
+    build_pieces(
+        args.dataset, args.data_dir, args.num_pieces,
+        args.output_prefix, args.text_file,
+    )
 
 
 if __name__ == "__main__":

@@ -128,3 +128,40 @@ def test_specaugment_masks():
     y = tm(fm(x, rng), rng)
     assert (y == 0).any()
     assert y.shape == x.shape
+
+
+def test_preprocess_librispeech_manifest(tmp_path):
+    """write_manifest walks the chapter layout and emits the JSONL schema
+    datasets/audio.py consumes, with STREAMINFO-derived durations."""
+    import json
+
+    import numpy as np
+
+    from gtn_applications_tpu.datasets import preprocess_librispeech as pls
+    from tests.flac_fixture import encode_flac
+
+    split = "dev-clean"
+    chapter = tmp_path / split / "19" / "198"
+    chapter.mkdir(parents=True)
+    sr = 16000
+    rng = np.random.RandomState(0)
+    for utt, frames in [("19-198-0000", 1600), ("19-198-0001", 8000)]:
+        data = encode_flac(
+            (rng.randn(frames) * 1000).astype(np.int64), sr
+        )
+        (chapter / f"{utt}.flac").write_bytes(bytes(data))
+    (chapter / "19-198.trans.txt").write_text(
+        "19-198-0000 HELLO WORLD\n19-198-0001 GOOD DAY\n"
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    pls.write_manifest(tmp_path, out, split)
+    entries = [
+        json.loads(l) for l in (out / f"{split}.json").read_text().splitlines()
+    ]
+    assert len(entries) == 2
+    assert entries[0]["text"] == "hello world"
+    assert entries[1]["text"] == "good day"
+    assert abs(entries[0]["duration"] - 1600 / sr) < 1e-6
+    assert abs(entries[1]["duration"] - 8000 / sr) < 1e-6
+    assert entries[0]["audio"].endswith("19-198-0000.flac")
