@@ -25,16 +25,41 @@ def load_data_split(data_path, split, wordsep=WORDSEP):
     return examples
 
 
+def specaugment_stack():
+    """The SpecAugment recipe both audio wrappers train with: two 27-bin
+    frequency masks + two 100-frame time masks (reference
+    librispeech.py:26-31 / wsj.py:26-31)."""
+    from .audio import FrequencyMasking, TimeMasking
+
+    return [
+        FrequencyMasking(27),
+        FrequencyMasking(27),
+        TimeMasking(100),
+        TimeMasking(100),
+    ]
+
+
 class Dataset:
+    # subclasses (wsj/librispeech) pin these and use the short ctor form
+    splits = None
+    sample_rate = 16000
+
     def __init__(
         self,
         data_path,
         preprocessor,
         split,
-        splits,
+        splits=None,
         augmentation=None,
-        sample_rate=16000,
+        sample_rate=None,
+        augment=False,
     ):
+        splits = splits if splits is not None else self.splits
+        sample_rate = (
+            sample_rate if sample_rate is not None else self.sample_rate
+        )
+        if augmentation is None and augment:
+            augmentation = specaugment_stack()
         data = []
         for sp in splits[split]:
             data.extend(load_data_split(data_path, sp, preprocessor.wordsep))
@@ -100,3 +125,30 @@ class Preprocessor(TextPreprocessor):
     @property
     def use_words(self):
         return False
+
+
+def stats_cli(dataset_cls, preprocessor_cls):
+    """Shared ``__main__`` for the audio wrappers: token/split counts plus
+    optional text/token dumps (the reference repeats this block per
+    dataset module)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Compute data stats.")
+    parser.add_argument("--data_path", type=str, help="Path to dataset JSONs.")
+    parser.add_argument("--save_text", type=str, default=None)
+    parser.add_argument("--save_tokens", type=str, default=None)
+    args = parser.parse_args()
+
+    pre = preprocessor_cls(args.data_path, 80)
+    print(f"Number of tokens: {pre.num_tokens}")
+    trainset = dataset_cls(args.data_path, pre, split="train")
+    if args.save_text is not None:
+        with open(args.save_text, "w") as fid:
+            fid.write("\n".join(t for _, t, _ in trainset.dataset))
+    if args.save_tokens is not None:
+        with open(args.save_tokens, "w") as fid:
+            fid.write("\n".join(pre.tokens))
+    print(f"Training: {len(trainset)}")
+    for split in ("validation", "test"):
+        n = len(dataset_cls(args.data_path, pre, split=split))
+        print(f"{split.capitalize()}: {n}")
