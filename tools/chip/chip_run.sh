@@ -37,4 +37,8 @@ echo "=== phase 5: chip throughput / MFU refresh ==="
 echo "=== phase 6: ngram2 train step ==="
 (cd benchmarks && timeout 1800 python train_step_benchmark.py 32 --ngram2) \
   2>&1 | tee /tmp/chip_trainstep_ngram2.log
+
+echo "=== phase 7: timing-methodology sanity (runs LAST: readback) ==="
+timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
+  python tools/chip/chip_timing_sanity.py 2>&1 | tee /tmp/chip_timing.log
 echo "=== chip session done ==="
