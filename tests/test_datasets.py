@@ -165,3 +165,32 @@ def test_preprocess_librispeech_manifest(tmp_path):
     assert abs(entries[0]["duration"] - 1600 / sr) < 1e-6
     assert abs(entries[1]["duration"] - 8000 / sr) < 1e-6
     assert entries[0]["audio"].endswith("19-198-0000.flac")
+
+
+def test_wrapper_short_ctor_and_augment(tmp_path):
+    """The wsj/librispeech wrappers use subclass-pinned splits and the
+    shared augment flag (specaugment_stack) through the short ctor."""
+    import wave
+
+    from gtn_applications_tpu.datasets import librispeech
+
+    sr = 16000
+    wav_path = str(tmp_path / "a.wav")
+    with wave.open(wav_path, "w") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        samples = (np.sin(np.arange(sr) * 0.05) * 20000).astype(np.int16)
+        w.writeframes(samples.tobytes())
+    entry = {"text": "ab ba", "duration": 1.0, "audio": wav_path}
+    for name in ("train-clean-100", "dev-clean", "test-clean", "test-other"):
+        with open(tmp_path / f"{name}.json", "w") as fid:
+            fid.write(json.dumps(entry) + "\n")
+
+    pre = librispeech.Preprocessor(str(tmp_path), num_features=40)
+    ds = librispeech.Dataset(str(tmp_path), pre, split="train", augment=True)
+    assert len(ds.augmentation) == 4  # 2 freq + 2 time masks
+    feats, tgt = ds[0]
+    assert feats.shape[0] == 40 and len(tgt) == 5
+    plain = librispeech.Dataset(str(tmp_path), pre, split="validation")
+    assert plain.augmentation == []
