@@ -213,6 +213,92 @@ def test_asg_matches_bruteforce():
         assert abs(fal - fal_bf) < 1e-4, (target, fal, fal_bf)
 
 
+def test_stc_matches_reference_spec_forward():
+    """STC vs an independent NFA forward built VERBATIM from the
+    reference's graph construction (reference criterions/stc.py:23-64):
+    nodes, arcs, star penalties, and the appended star channels are all
+    recomputed test-locally in numpy, sharing no code with the library."""
+    import math
+
+    from gtn_applications_tpu.criterions.stc import STC
+
+    def ref_stc_arcs(target, star_idx, log_p):
+        """(starts, accepts, arcs) exactly as reference create_stc_graph."""
+        L = len(target)
+        S = 2 * L + 1
+        starts, accepts, arcs = set(), set(), []
+        node_count = S
+        for l in range(S):
+            idx = (l - 1) // 2
+            if l == 0:
+                starts.add(l)
+            if l == S - 1 or l == S - 2:
+                accepts.add(l)
+            label = target[idx] if l % 2 else 0
+            if label == 0:
+                arcs.append((l, l, label, 0.0))
+            if l > 0:
+                arcs.append((l - 1, l, label, 0.0))
+            if l % 2 and l > 1:
+                arcs.append((l - 2, l, label, 0.0))
+        for l in range(L + 1):
+            p1, p2 = 2 * l - 1, 2 * l
+            c1 = node_count
+            node_count += 1
+            if l == L:
+                accepts.add(c1)
+            idx = star_idx if l == L else (star_idx + target[l])
+            if p1 >= 0:
+                arcs.append((p1, c1, idx, log_p))
+            arcs.append((p2, c1, idx, log_p))
+            arcs.append((c1, c1, idx, log_p))
+            if l < L:
+                arcs.append((c1, 2 * l + 1, target[l], 0.0))
+            arcs.append((c1, p2, 0, 0.0))
+        return starts, accepts, arcs, node_count
+
+    def oracle_loss(logits, target, prob, select_multiple=8):
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+        T, C = lp.shape
+        # token subsetting + remap (part of the criterion's semantics)
+        select = [0] + sorted(set(target))
+        remap = {t: i for i, t in enumerate(select)}
+        Csel = -(-len(select) // select_multiple) * select_multiple
+        select = select + [0] * (Csel - len(select))
+        star_idx = Csel
+        tgt = [remap[t] for t in target]
+        # star channels: star = lse over ORIGINAL non-blank channels;
+        # star\tok = log(exp(star) - exp(tok)) for each selected token
+        star = np.logaddexp.reduce(lp[:, 1:], axis=1)
+        em = np.full((T, 2 * Csel), -np.inf)
+        em[:, :Csel] = lp[:, select]
+        em[:, Csel] = star
+        for m in range(1, Csel):
+            diff = np.exp(star) - np.exp(lp[:, select[m]])
+            em[:, Csel + m] = np.log(np.maximum(diff, 1e-37))
+        starts, accepts, arcs, S = ref_stc_arcs(tgt, star_idx, math.log(prob))
+        alpha = np.full(S, -np.inf)
+        for s in starts:
+            alpha[s] = 0.0
+        for t in range(T):
+            new = np.full(S, -np.inf)
+            for src, dst, lab, w in arcs:
+                new[dst] = np.logaddexp(new[dst], alpha[src] + w + em[t, lab])
+            alpha = new
+        return -np.logaddexp.reduce([alpha[a] for a in accepts])
+
+    rng = np.random.RandomState(8)
+    prob = 0.4
+    crit = STC(blank_idx=0, p0=prob, plast=prob, thalf=1.0, reduction="none")
+    T, C = 6, 5
+    for target in ([1], [1, 2], [3, 1, 4], [2, 2], [1, 2, 3, 4]):
+        logits = rng.randn(1, T, C).astype(np.float32)
+        prepared = crit.prepare([list(target)])
+        got = float(crit.loss({}, jnp.asarray(logits), prepared))
+        want = oracle_loss(logits[0], list(target), prob)
+        assert abs(got - want) < 1e-3, (target, got, want)
+
+
 def test_asg_viterbi_matches_bruteforce():
     """The tropical decode's best path must be the argmax over ALL label
     sequences of emissions + transitions, for both backtrace impls."""
