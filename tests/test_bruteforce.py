@@ -410,6 +410,58 @@ def test_transducer_ngram_matches_bruteforce():
         assert abs(got_g - want) < 1e-3, ("generic", target, got_g, want)
 
 
+def test_transducer_ngram_viterbi_matches_bruteforce():
+    """Decode through a full-bigram transition graph: the best alignment
+    must be the argmax over all label sequences of emissions + the
+    transitions-trie walk (incl. the epsilon exit weight), and the decode
+    output its run-collapse (shortest ambiguous transduction)."""
+    from gtn_applications_tpu.criterions.transducer import (
+        Transducer,
+        EPSILON,
+    )
+
+    T, ntok = 5, 3
+    rng = np.random.RandomState(7)
+    em = rng.randn(2, T, ntok).astype(np.float32)
+    crit = Transducer(
+        tokens=[(i,) for i in range(ntok)],
+        graphemes_to_idx={i: i for i in range(ntok)},
+        ngram=2,
+        reduction="none",
+    )
+    params = (rng.randn(crit.num_transition_arcs) * 0.7).astype(np.float32)
+
+    g = crit.transitions
+    step = {}
+    eps_out = {}
+    for a in range(g.num_arcs()):
+        s, d, il = g.arc_src[a], g.arc_dst[a], g.arc_ilabel[a]
+        if il == EPSILON:
+            eps_out[s] = params[a]
+        else:
+            step[(s, il)] = (d, params[a])
+    start = [s for s in range(g.num_nodes()) if g.start[s]][0]
+
+    def trans_score(seq):
+        s, tot = start, 0.0
+        for l in seq:
+            s, w = step[(s, l)]
+            tot += w
+        return tot + eps_out[s]
+
+    preds = crit.viterbi(
+        jnp.asarray(em), {"transitions": jnp.asarray(params)}
+    )
+    for b in range(2):
+        seqs = list(itertools.product(range(ntok), repeat=T))
+        scores = [
+            em[b, np.arange(T), list(s)].sum() + trans_score(s) for s in seqs
+        ]
+        best = seqs[int(np.argmax(scores))]
+        want = [l for i, l in enumerate(best) if i == 0 or l != best[i - 1]]
+        assert list(preds[b]) == want, (b, list(preds[b]), want, best)
+
+
 def test_transducer_marginalized_matches_bruteforce():
     """Marginalized decompositions: with multi-grapheme tokens the loss
     sums over every token sequence whose graphemes spell the target
