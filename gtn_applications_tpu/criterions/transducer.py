@@ -200,18 +200,46 @@ class Transducer(Criterion):
         # dense context axis and per-label transition matrices, when the
         # dense [N, S_c, S_c] materialization stays small.
         self._factored_backoff = False
+        self._factored_backoff_dst = False
         if self.transitions is not None and not self._factored_ngram:
             nt = self._norm_table
             S_c = len(nt.start)
             N_chan = self._num_tokens + int(blank != "none")
             labels = np.asarray(nt.label)
             real = np.asarray(nt.weight) > wcompile.NEG / 2
-            self._factored_backoff = bool(
+            labels_ok = bool(
                 nt.eps_depth <= 4
-                and N_chan * S_c * S_c <= 4_000_000
                 and (labels[real] < N_chan).all()
                 and (labels[real] >= 0).all()
             )
+            self._factored_backoff = bool(
+                labels_ok and N_chan * S_c * S_c <= 4_000_000
+            )
+            # destination-factored variant (ops/factored.py
+            # backoff_dst_factored_score): needs every label's non-self
+            # arcs to share one destination — true for every n-gram
+            # automaton build_transitions.py emits (label l advances to
+            # l's context; blank / run self-loops stay put) — and only
+            # [S_c, N] dense matrices, so 1k-wordpiece LMs qualify.
+            if labels_ok and N_chan * S_c <= 4_000_000:
+                src = np.asarray(nt.src)[real]
+                dst = np.asarray(nt.dst)[real]
+                lab = labels[real]
+                adv = src != dst
+                dst_of = np.full((N_chan,), -1, np.int64)
+                ok = True
+                for l, d in zip(lab[adv], dst[adv]):
+                    if dst_of[l] < 0:
+                        dst_of[l] = d
+                    elif dst_of[l] != d:
+                        ok = False
+                        break
+                if ok:
+                    p_dst = np.zeros((N_chan, S_c), np.float32)
+                    have = dst_of >= 0
+                    p_dst[np.nonzero(have)[0], dst_of[have]] = 1.0
+                    self._dst_onehot = p_dst
+                    self._factored_backoff_dst = True
         self._align_cache: Dict[tuple, tuple] = {}
 
     # -- parameters -----------------------------------------------------
@@ -308,7 +336,7 @@ class Transducer(Criterion):
         use_factored = _FACTORED_IMPL not in _FACTORED_DISABLED and (
             self._factored_ngram
             or (
-                self._factored_backoff
+                (self._factored_backoff or self._factored_backoff_dst)
                 and (
                     _FACTORED_IMPL == "on"
                     or jax.default_backend() == "tpu"
@@ -370,15 +398,22 @@ class Transducer(Criterion):
 
         N = self._num_tokens + int(self.blank != "none")
         # same shape bucketing as stack_arc_tables: round the state count
-        # up to a multiple of 8 so width-sorted batches reuse compiles
-        S = -(-max(len(cg.start) for cg in cgs) // 8) * 8
+        # up to a multiple of 8 so width-sorted batches reuse compiles;
+        # floor of one bucket so a batch of empty lattices (untransducible
+        # targets) scores NEG instead of tripping zero-size reductions
+        S = -(-max([len(cg.start) for cg in cgs] + [1]) // 8) * 8
         B = len(cgs)
-        if self._factored_backoff and not self._factored_ngram:
-            # per-step [B, S_a, N, S_c] einsum working set must stay sane;
-            # check BEFORE the O(B*S^2) packing below
+        if not self._factored_ngram:
+            # working-set gates, checked BEFORE the O(B*S^2) packing below:
+            # dense form runs a per-step [B, S_a, N, S_c] einsum; the
+            # destination-factored form only [B, S_a, max(N, S_c)] matmuls
             S_c = len(self._norm_table.start)
-            if B * S * N * S_c > 48_000_000:
-                return None
+            if self._factored_backoff:
+                if B * S * N * S_c > 48_000_000:
+                    return None
+            elif self._factored_backoff_dst:
+                if B * S * (N + S_c) > 48_000_000:
+                    return None
         adj_exp = np.zeros((B, S, S), np.float32)
         lab_oh = np.zeros((B, S, N), np.float32)
         start = np.full((B, S), wcompile.NEG, np.float32)
@@ -460,6 +495,52 @@ class Transducer(Criterion):
             T_exp, t_shift, E_exp, e_shift, nt.eps_depth,
         )
 
+    def _transition_matrices_dst(self, params, N):
+        """[S_c, N]-sized matrices for the destination-factored scorer
+        (ops.factored.backoff_dst_factored_score): advance arcs scatter
+        into W_adv_exp[c, l], self-loops into D_exp[c, l] (returned
+        transposed), plus the static one-hot destination map built at
+        __init__.  Same shift/epsilon handling as the dense form."""
+        nt = self._norm_table
+        S_c = len(nt.start)
+        p = jnp.asarray(params)
+        w_ext = jnp.concatenate([p, jnp.zeros((1,), p.dtype)])
+        n_p = p.shape[0]
+        widx = self._norm_widx
+        w_eff = jnp.asarray(nt.weight) + w_ext[np.where(widx >= 0, widx, n_p)]
+        t_shift = jax.lax.stop_gradient(jnp.maximum(jnp.max(w_eff), 0.0))
+        label = np.clip(np.asarray(nt.label), 0, N - 1)
+        src = np.asarray(nt.src)
+        dst = np.asarray(nt.dst)
+        exp_w = jnp.exp(w_eff - t_shift)
+        is_self = src == dst
+        # padding arcs (weight NEG) underflow to exact 0 in either matrix
+        W_adv_exp = jnp.zeros((S_c, N), jnp.float32).at[
+            src, label
+        ].add(jnp.where(jnp.asarray(is_self), 0.0, exp_w))
+        D_exp_t = jnp.zeros((N, S_c), jnp.float32).at[
+            label, src
+        ].add(jnp.where(jnp.asarray(is_self), exp_w, 0.0))
+        E = len(np.asarray(nt.eps_src))
+        if E:
+            ew_eff = jnp.asarray(nt.eps_weight) + w_ext[
+                np.where(self._norm_eps_widx >= 0, self._norm_eps_widx, n_p)
+            ]
+            e_shift = jax.lax.stop_gradient(
+                jnp.maximum(jnp.max(ew_eff), 0.0)
+            )
+            E_exp = jnp.zeros((S_c, S_c), jnp.float32).at[
+                np.asarray(nt.eps_src), np.asarray(nt.eps_dst)
+            ].add(jnp.exp(ew_eff - e_shift))
+        else:
+            e_shift = jnp.zeros(())
+            E_exp = jnp.zeros((S_c, S_c), jnp.float32)
+        return (
+            jnp.asarray(nt.start), jnp.asarray(nt.accept),
+            W_adv_exp, D_exp_t, jnp.asarray(self._dst_onehot),
+            t_shift, E_exp, e_shift, nt.eps_depth,
+        )
+
     # -- loss -----------------------------------------------------------
     @staticmethod
     def _apply_params(table, widx, eps_widx, params):
@@ -488,7 +569,7 @@ class Transducer(Criterion):
                 norm = _fact.dense_ngram_norm(
                     inputs, ws, W, we, input_lengths, we0
                 )
-            else:
+            elif self._factored_backoff:
                 tmats = self._transition_matrices(params["transitions"], N)
                 score = _fact.backoff_factored_score(
                     inputs, f["adj_exp"], f["lab_oh"], f["start"],
@@ -500,6 +581,21 @@ class Transducer(Criterion):
                 )
                 norm = sparse.forward_score_batch(
                     inputs, norm_table, input_lengths
+                )
+            else:
+                # destination-factored: the only dense-scoreable regime
+                # for 1k-wordpiece LMs; the normalizer is dense too (the
+                # sparse per-arc scan over such graphs is the pathology
+                # the factoring avoids)
+                tmats = self._transition_matrices_dst(
+                    params["transitions"], N
+                )
+                score = _fact.backoff_dst_factored_score(
+                    inputs, f["adj_exp"], f["lab_oh"], f["start"],
+                    f["accept"], *tmats, input_lengths,
+                )
+                norm = _fact.backoff_dst_norm(
+                    inputs, *tmats, input_lengths
                 )
             losses = -(score - norm)
             return self._reduce(losses, prepared)

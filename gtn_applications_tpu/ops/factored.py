@@ -235,6 +235,131 @@ def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
     return jnp.where(input_lengths > 0, score, score0)
 
 
+def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
+                               ctx_start, ctx_accept, W_adv_exp, D_exp_t,
+                               P_dst, t_shift, E_exp, e_shift, eps_depth,
+                               input_lengths=None):
+    """``backoff_factored_score`` for transition graphs whose non-self
+    arcs have a label-determined destination (every n-gram automaton from
+    scripts/build_transitions.py: label l advances to l's context state,
+    blank/self-loop arcs stay).  The [N, S_c, S_c] per-label tensor then
+    collapses to three [S_c, N]-sized matrices and the per-frame cost
+    drops from O(S_a * N * S_c^2) to O(S_a * S_c * N) — the regime where
+    1k-wordpiece LMs (S_c ~ N ~ 1000) are dense-scoreable at all.
+
+        Z[b,a,l,d] = sum_c eU[b,a,c] * T_exp[l,c,d]
+                   = (eU @ W_adv_exp)[b,a,l] * [d == dst_l]
+                     + eU[b,a,d] * D_exp[d,l]
+        Y[b,a,d]   = (lab_oh * adv) @ P_dst + eU * (lab_oh @ D_exp_t)
+
+    Args (beyond ``backoff_factored_score``):
+      W_adv_exp: [S_c, N] — sum over non-self arcs c->dst_l labeled l of
+        e^(w - t_shift).
+      D_exp_t: [N, S_c] — transpose of the self-loop matrix D_exp[c, l].
+      P_dst: [N, S_c] f32 one-hot of each label's advance destination
+        (zero rows for labels with no non-self arcs).
+    Returns [B] scores.
+    """
+    B, T, N = em.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    em_state = jnp.einsum("btn,bsn->bts", em, lab_oh)         # [B, T, S_a]
+    has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S_a]
+
+    ctx0 = _ctx_closure(ctx_start[None], E_exp, e_shift, eps_depth)[0]
+    alpha0 = a_start[:, :, None] + ctx0[None, None, :]        # [B,S_a,S_c]
+
+    def step(alpha, xs):
+        em_s_t, t = xs
+        sh1 = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
+        )
+        z1 = jnp.einsum("bus,bsc->buc", adj_exp, jnp.exp(alpha - sh1))
+        U = jnp.where(
+            z1 > 0.0, sh1 + jnp.log(jnp.maximum(z1, _FLOOR)), NEG
+        )
+        sh2 = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(U, axis=2, keepdims=True), NEG)
+        )
+        eU = jnp.exp(U - sh2)                                  # [B,S_a,S_c]
+        adv = eU @ W_adv_exp                                   # [B,S_a,N]
+        Y = (lab_oh * adv) @ P_dst + eU * (lab_oh @ D_exp_t)
+        V = jnp.where(
+            Y > 0.0, sh2 + t_shift + jnp.log(jnp.maximum(Y, _FLOOR)), NEG
+        )
+        new = em_s_t[:, :, None] + V
+        new = jnp.where(has_lab[:, :, None], new, NEG)
+        new = _ctx_closure(new, E_exp, e_shift, eps_depth)
+        live = (t < input_lengths)[:, None, None]
+        return jnp.where(live, new, alpha), None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha0,
+        (em_state.transpose(1, 0, 2), jnp.arange(T)),
+    )
+    final = alpha + a_accept[:, :, None] + ctx_accept[None, None, :]
+    score = logsumexp(final.reshape(B, -1), axis=1)
+    base0 = logsumexp(a_start + a_accept, axis=1)
+    score0 = jnp.where(
+        base0 > DEAD, base0 + logsumexp(ctx0 + ctx_accept, axis=0), NEG
+    )
+    return jnp.where(input_lengths > 0, score, score0)
+
+
+def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
+                     t_shift, E_exp, e_shift, eps_depth,
+                     input_lengths=None):
+    """Normalizer companion of ``backoff_dst_factored_score``: forward
+    score of the emissions through the transition WFST alone as a dense
+    [B, S_c] recursion (the sparse per-arc scan over a 1k-wordpiece LM's
+    arc table would reintroduce exactly the segment ops the factoring
+    exists to avoid).
+
+        adv[b, l]  = lse_c(alpha[b, c] + W_adv[c, l])
+        new[b, d]  = lse( lse_{l: dst_l = d}(adv[b, l] + em[t, l]),
+                          alpha[b, d] + lse_l(D[d, l] + em[t, l]) )
+
+    with the same eps-closure cadence as sparse.forward_score (closure at
+    init and after every frame).  Returns [B] scores.
+    """
+    B, T, N = em.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    alpha0 = _ctx_closure(
+        jnp.broadcast_to(ctx_start[None], (B, ctx_start.shape[0])),
+        E_exp, e_shift, eps_depth,
+    )
+
+    def step(alpha, xs):
+        em_t, t = xs                                           # [B, N]
+        sh = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
+        )
+        me = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(em_t, axis=1, keepdims=True), NEG)
+        )
+        eA = jnp.exp(alpha - sh)                               # [B, S_c]
+        e_em = jnp.exp(em_t - me)                              # [B, N]
+        z_adv = eA @ W_adv_exp                                 # [B, N]
+        # every term carries the common factor e^(x - sh - t_shift - me)
+        z = (z_adv * e_em) @ P_dst + eA * (e_em @ D_exp_t)     # [B, S_c]
+        new = jnp.where(
+            z > 0.0,
+            sh + t_shift + me + jnp.log(jnp.maximum(z, _FLOOR)),
+            NEG,
+        )
+        new = _ctx_closure(new, E_exp, e_shift, eps_depth)
+        live = (t < input_lengths)[:, None]
+        return jnp.where(live, new, alpha), None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T))
+    )
+    return logsumexp(alpha + ctx_accept[None, :], axis=1)
+
+
 def ngram_rows(params, ngram, num_channels):
     """Split the flat learnable arc-weight vector of
     ``make_transitions_graph(ngram, num_channels)`` into (ws, W, we, we0)

@@ -287,3 +287,85 @@ def test_factored_viterbi_unchanged():
     assert len(out) == 2
     for o in out:
         assert o.dtype == np.int32
+
+
+def _bigram_lm_graph(seed, ntok, blank, prune):
+    """A pruned bigram + blank-interleave transition graph via the
+    offline builder (the structure the dst-factored scorer targets)."""
+    import random
+
+    from gtn_applications_tpu.scripts import build_transitions as bt
+
+    rng = random.Random(seed)
+    lines = [
+        [str(rng.randrange(ntok)) for _ in range(rng.randint(3, 8))]
+        for _ in range(150)
+    ]
+    t2i = {str(i): i for i in range(ntok)}
+    counts = bt.count_ngrams(lines, 2, t2i)
+    pruned = bt.prune_ngrams(counts, [0, prune])
+    grams = (
+        bt.add_blank_grams(pruned, ntok, blank) if blank != "none" else pruned
+    )
+    grams = bt.add_self_loops(grams)
+    return bt.build_graph(grams)
+
+
+@pytest.mark.parametrize(
+    "blank,prune", [("optional", 0), ("forced", 1), ("none", 0)]
+)
+def test_backoff_dst_factored_matches_generic(monkeypatch, blank, prune):
+    """The destination-factored scorer (the 1k-wordpiece-LM regime, where
+    the dense [N, S_c, S_c] form cannot materialize) == the generic
+    composed path: losses, transition grads, emission grads — including a
+    ragged batch with a zero-length input and an empty target."""
+    ntok = 4
+    g = _bigram_lm_graph(7 + prune, ntok, blank, prune)
+    tokens = [str(i) for i in range(ntok)]
+    g2i = {str(i): i for i in range(ntok)}
+    crit = Transducer(tokens, g2i, transitions=g, blank=blank)
+    assert crit._factored_backoff_dst  # build_transitions output qualifies
+
+    rng = np.random.default_rng(31 + prune)
+    B, T = 3, 7
+    C = ntok + int(blank != "none")
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    targets = [[0, 1], [], [2, 0, 1]]
+    lens = jnp.asarray([T, 0, T - 1], jnp.int32)
+    params = jnp.asarray(
+        rng.normal(size=(crit.num_transition_arcs,)) * 0.4, jnp.float32
+    )
+
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "on")
+    prep_f = crit.prepare(targets)
+    assert "factored" in prep_f
+    prep_g = _prepare_generic(crit, targets)
+    # emulate the huge-LM regime: only the dst variant is available
+    monkeypatch.setattr(crit, "_factored_backoff", False)
+
+    def val_and_grads(prep):
+        f = lambda p, x: crit.loss({"transitions": p}, x, prep, lens)
+        return jax.value_and_grad(f, argnums=(0, 1))(params, inputs)
+
+    vg, gg = val_and_grads(prep_g)
+    vt, gt = val_and_grads(prep_f)
+    tol = 5e-4 * max(1.0, abs(float(vg)))
+    assert abs(float(vt - vg)) < tol, (blank, float(vt), float(vg))
+    assert float(jnp.max(jnp.abs(gt[0] - gg[0]))) < 5e-4, blank
+    assert float(jnp.max(jnp.abs(gt[1] - gg[1]))) < 5e-4, blank
+
+
+def test_factored_untransducible_batch_scores_neg(monkeypatch):
+    """A batch whose targets have no decomposition packs empty alignment
+    lattices; the factored path must score NEG (infinite loss), not trip
+    zero-size reductions."""
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "on")
+    fact, _, C = _pair(2, "optional")
+    # grapheme id 9 exists in no token: compose(target, lexicon) is empty
+    bad = [[0, 9], [9]]
+    prep = fact.prepare(bad)
+    assert "factored" in prep
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, C)), jnp.float32)
+    loss = fact.loss(fact.init_params(), x, prep)
+    assert float(loss) > 1e20
