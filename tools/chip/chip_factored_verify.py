@@ -76,6 +76,71 @@ print(f"backoff diff: |dv|={dv:.2e} |dgp|={dgp:.2e} |dge|={dge:.2e}",
       flush=True)
 assert dv < 5e-3 and dgp < 5e-3 and dge < 5e-3, (dv, dgp, dge)
 
+# --- destination-factored vs composed, wordpiece-LM scale ----------------
+# the regime the dst variant exists for: S_c ~ N ~ hundreds; the dense
+# [N, S_c, S_c] gate fails, previously falling back to the composed path
+import random
+
+from gtn_applications_tpu.scripts import build_transitions as bt_mod
+
+pyr = random.Random(0)
+ntok_lm = 200
+lm_lines = [
+    [pyr.randrange(ntok_lm) for _ in range(pyr.randint(5, 15))]
+    for _ in range(3000)
+]
+counts = bt_mod.count_ngrams(lm_lines, 2, {i: i for i in range(ntok_lm)})
+grams = bt_mod.add_blank_grams(
+    bt_mod.prune_ngrams(counts, [0, 3]), ntok_lm, "optional"
+)
+lm_graph = bt_mod.build_graph(bt_mod.add_self_loops(grams))
+toks_lm = [(i,) for i in range(ntok_lm)]
+g2i_lm = {i: i for i in range(ntok_lm)}
+B2, T2, L2 = 8, 100, 15
+inputs2 = jnp.asarray(
+    rng.normal(size=(B2, T2, ntok_lm + 1)).astype(np.float32)
+)
+targets2 = [rng.integers(0, ntok_lm, size=L2).tolist() for _ in range(B2)]
+
+results = {}
+for mode in ("dst", "composed"):
+    tmod._FACTORED_IMPL = "on" if mode == "dst" else "off"
+    crit = Transducer(toks_lm, g2i_lm, transitions=lm_graph.copy(),
+                      blank="optional", reduction="mean")
+    if mode == "dst":
+        assert crit._factored_backoff_dst and not crit._factored_backoff
+    prep = crit.prepare(targets2)
+    assert ("factored" in prep) == (mode == "dst"), mode
+    p = {"transitions": jnp.asarray(
+        rng.normal(size=(crit.num_transition_arcs,)) * 0.2, jnp.float32)}
+
+    @jax.jit
+    def fb2(p, x, prep):
+        return jax.value_and_grad(
+            lambda p, x: crit.loss(p, x, prep), argnums=(0, 1))(p, x)
+
+    v, gr = fb2(p, inputs2, prep)
+    jax.block_until_ready(gr)
+    for _ in range(3):
+        v, gr = fb2(p, inputs2, prep)
+    jax.block_until_ready(gr)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        v, gr = fb2(p, inputs2, prep)
+    jax.block_until_ready(gr)
+    ms = (time.perf_counter() - t0) / 10 * 1000
+    results[mode] = (v, gr, ms)
+    print(f"backoff 200wp-LM [{mode}]: {ms:.3f} ms/iter", flush=True)
+
+vf, gf, _ = results["dst"]
+vg, gg, _ = results["composed"]
+dv = abs(float(vf) - float(vg))
+dgp = float(jnp.max(jnp.abs(gf[0]["transitions"] - gg[0]["transitions"])))
+dge = float(jnp.max(jnp.abs(gf[1] - gg[1])))
+print(f"dst-factored diff: |dv|={dv:.2e} |dgp|={dgp:.2e} |dge|={dge:.2e}",
+      flush=True)
+assert dv < 5e-3 and dgp < 5e-3 and dge < 5e-3, (dv, dgp, dge)
+
 # --- ASG decode: kernel vs xla backtrace ---------------------------------
 N = 80
 outputs = jnp.asarray(rng.normal(size=(B, T, N)).astype(np.float32))
