@@ -275,6 +275,40 @@ def test_backoff_factored_learns(monkeypatch):
     assert float(v) < v0 - 0.5, (v0, float(v))
 
 
+def test_backoff_dst_factored_learns(monkeypatch):
+    """Same end-to-end gradient sanity through the destination-factored
+    scorer + dense normalizer (the huge-LM dispatch)."""
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "on")
+    rng = np.random.default_rng(13)
+    ntok = 4
+    g = _bigram_lm_graph(3, ntok, "optional", 0)
+    crit = Transducer(
+        [str(i) for i in range(ntok)], {str(i): i for i in range(ntok)},
+        transitions=g, blank="optional", reduction="mean",
+    )
+    assert crit._factored_backoff_dst
+    monkeypatch.setattr(crit, "_factored_backoff", False)
+    C = ntok + 1
+    B, T = 4, 12
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    prep = crit.prepare([[0, 1], [2], [1, 3], [0, 2, 1]])
+    assert "factored" in prep
+    p = crit.init_params()["transitions"]
+    x = inputs
+
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p, x: crit.loss({"transitions": p}, x, prep), argnums=(0, 1)
+    ))
+    v0 = None
+    for _ in range(30):
+        v, (gp, gx) = grad_fn(p, x)
+        if v0 is None:
+            v0 = float(v)
+        p = p - 0.5 * gp
+        x = x - 0.5 * gx
+    assert float(v) < v0 - 0.5, (v0, float(v))
+
+
 def test_factored_viterbi_unchanged():
     # decode goes through the transitions decode template either way
     rng = np.random.default_rng(3)
