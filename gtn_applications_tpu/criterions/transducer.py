@@ -403,17 +403,24 @@ class Transducer(Criterion):
         # targets) scores NEG instead of tripping zero-size reductions
         S = -(-max([len(cg.start) for cg in cgs] + [1]) // 8) * 8
         B = len(cgs)
+        variant = "ngram"
         if not self._factored_ngram:
             # working-set gates, checked BEFORE the O(B*S^2) packing below:
             # dense form runs a per-step [B, S_a, N, S_c] einsum; the
-            # destination-factored form only [B, S_a, max(N, S_c)] matmuls
+            # destination-factored form only [B, S_a, max(N, S_c)] matmuls.
+            # A dense-eligible graph whose einsum working set is too big
+            # for this batch shape drops to the dst variant when it fits.
             S_c = len(self._norm_table.start)
-            if self._factored_backoff:
-                if B * S * N * S_c > 48_000_000:
-                    return None
-            elif self._factored_backoff_dst:
-                if B * S * (N + S_c) > 48_000_000:
-                    return None
+            variant = None
+            if self._factored_backoff and B * S * N * S_c <= 48_000_000:
+                variant = "dense"
+            elif (
+                self._factored_backoff_dst
+                and B * S * (N + S_c) <= 48_000_000
+            ):
+                variant = "dst"
+            if variant is None:
+                return None
         adj_exp = np.zeros((B, S, S), np.float32)
         lab_oh = np.zeros((B, S, N), np.float32)
         start = np.full((B, S), wcompile.NEG, np.float32)
@@ -442,7 +449,7 @@ class Transducer(Criterion):
         lengths = np.asarray(
             [len(np.asarray(t)) for t in targets], dtype=np.int32
         )
-        return {
+        prepared = {
             "factored": {
                 "adj_exp": jnp.asarray(adj_exp),
                 "lab_oh": jnp.asarray(lab_oh),
@@ -451,6 +458,11 @@ class Transducer(Criterion):
             },
             "target_lengths": jnp.asarray(lengths),
         }
+        if variant == "dst":
+            # leafless marker: variant selection must live in the pytree
+            # STRUCTURE (static under jit), not in a (traced) leaf value
+            prepared["factored_dst"] = ()
+        return prepared
 
     def _transition_matrices(self, params, N):
         """Dense per-label transition matrices of the loaded backoff graph
@@ -569,7 +581,7 @@ class Transducer(Criterion):
                 norm = _fact.dense_ngram_norm(
                     inputs, ws, W, we, input_lengths, we0
                 )
-            elif self._factored_backoff:
+            elif "factored_dst" not in prepared and self._factored_backoff:
                 tmats = self._transition_matrices(params["transitions"], N)
                 score = _fact.backoff_factored_score(
                     inputs, f["adj_exp"], f["lab_oh"], f["start"],
