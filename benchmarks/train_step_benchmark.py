@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gtn_applications_tpu import utils
 from gtn_applications_tpu.criterions import CTC
 from gtn_applications_tpu.models import TDS2d
 from gtn_applications_tpu.train import make_train_step

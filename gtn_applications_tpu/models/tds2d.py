@@ -10,7 +10,6 @@ kernel (1, kh, kw) over [B, C, D, H, W] becomes a 3-D Conv with kernel
 from typing import Any, Dict, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

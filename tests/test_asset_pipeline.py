@@ -7,10 +7,8 @@ import json
 import os
 import tempfile
 
-import numpy as np
-import pytest
 
-from gtn_applications_tpu import utils, wfst
+from gtn_applications_tpu import wfst
 from gtn_applications_tpu.datasets import synthetic
 from gtn_applications_tpu.scripts import build_transitions as bt
 from gtn_applications_tpu.scripts import wordpiece

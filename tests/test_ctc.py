@@ -10,7 +10,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gtn_applications_tpu.criterions import CTC
 from gtn_applications_tpu.criterions.common import pad_targets

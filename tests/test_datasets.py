@@ -8,7 +8,6 @@ import tempfile
 import wave
 
 import numpy as np
-import pytest
 
 from gtn_applications_tpu.datasets import audio, audioset, iamdb
 from gtn_applications_tpu.datasets.text import TextPreprocessor, WORDSEP

@@ -8,7 +8,6 @@ has no such limitation, so they run here.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gtn_applications_tpu.criterions import ASG, CTC, STC
 from gtn_applications_tpu.criterions.transducer import Transducer

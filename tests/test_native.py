@@ -158,8 +158,6 @@ def test_transducer_uses_native(monkeypatch):
 
 
 def test_wordpiece_native_matches_python():
-    import math
-
     from gtn_applications_tpu.scripts.wordpiece import UnigramModel
 
     rng = np.random.RandomState(7)

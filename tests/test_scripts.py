@@ -2,11 +2,9 @@
 backoff graph isomorphism (mirrors /root/reference/scripts/test_transitions.py),
 ARPA loader parity against a direct backoff scorer, and wordpiece induction."""
 
-import math
 import os
 import tempfile
 
-import numpy as np
 import pytest
 
 from gtn_applications_tpu import wfst

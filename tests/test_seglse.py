@@ -7,7 +7,7 @@ import numpy as np
 from gtn_applications_tpu import wfst
 from gtn_applications_tpu.ops import sparse
 from gtn_applications_tpu.ops.seglse_pallas import seg_lse
-from gtn_applications_tpu.ops.semiring import NEG, segment_logsumexp
+from gtn_applications_tpu.ops.semiring import segment_logsumexp
 from gtn_applications_tpu.wfst import EPSILON, Graph
 
 

@@ -14,7 +14,6 @@ at authoring time: test CER 16.2 vs the 32.8% dropped fraction.
 """
 
 import numpy as np
-import pytest
 
 
 STRIDE = 12  # glyph width: one frame per character

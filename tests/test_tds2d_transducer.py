@@ -1,6 +1,5 @@
 """TDS2dTransducer end-to-end model test (WFST conv vs plain conv control)."""
 
-import os
 import tempfile
 
 import jax

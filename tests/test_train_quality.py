@@ -19,8 +19,6 @@ import logging
 import os
 import tempfile
 
-import pytest
-
 _MODEL = {
     "depth": 2,
     "tds_groups": [

@@ -6,7 +6,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gtn_applications_tpu import wfst
 from gtn_applications_tpu.criterions import CTC

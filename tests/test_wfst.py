@@ -2,7 +2,6 @@
 and host-vs-device forward-score parity on random lattices."""
 
 import math
-import os
 import tempfile
 
 import jax.numpy as jnp

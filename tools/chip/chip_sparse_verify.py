@@ -6,7 +6,6 @@ Phase 2 (timing): ngram0 fwd+bwd step vs whole; word-decomps fwd+bwd.
 
 All timings are readback-free until the end (axon gotcha #4).
 """
-import sys
 import time
 
 import jax

@@ -21,7 +21,6 @@ block_until_ready latency for the process (CLAUDE.md gotcha #4).
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
