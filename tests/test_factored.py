@@ -403,3 +403,22 @@ def test_factored_untransducible_batch_scores_neg(monkeypatch):
     x = jnp.asarray(rng.normal(size=(2, 5, C)), jnp.float32)
     loss = fact.loss(fact.init_params(), x, prep)
     assert float(loss) > 1e20
+
+
+def test_dst_gate_rejects_multi_destination_labels():
+    """A transition graph where one label advances to two different
+    contexts violates the dst-factored invariant and must not enable it
+    (the dense form still applies)."""
+    from gtn_applications_tpu.wfst import Graph
+
+    g = Graph()
+    for i in range(3):
+        g.add_node(i == 0, True)
+    g.add_arc(0, 1, 0)
+    g.add_arc(1, 2, 0)  # label 0 advances to both 1 and 2
+    g.add_arc(2, 0, 1)
+    crit = Transducer(
+        ["x", "y"], {"x": 0, "y": 1}, transitions=g, blank="none"
+    )
+    assert not crit._factored_backoff_dst
+    assert crit._factored_backoff  # tiny graph: dense form still fine
