@@ -587,12 +587,10 @@ class Transducer(Criterion):
                     inputs, f["adj_exp"], f["lab_oh"], f["start"],
                     f["accept"], *tmats, input_lengths,
                 )
-                norm_table = self._apply_params(
-                    self._norm_table, self._norm_widx,
-                    self._norm_eps_widx, params["transitions"],
-                )
-                norm = sparse.forward_score_batch(
-                    inputs, norm_table, input_lengths
+                # dense normalizer with the same exp-matrices: no per-arc
+                # segment ops anywhere in the backoff-factored loss
+                norm = _fact.backoff_dense_norm(
+                    inputs, *tmats, input_lengths
                 )
             else:
                 # destination-factored: the only dense-scoreable regime

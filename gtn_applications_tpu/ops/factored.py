@@ -307,6 +307,53 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
     return jnp.where(input_lengths > 0, score, score0)
 
 
+def backoff_dense_norm(em, ctx_start, ctx_accept, T_exp, t_shift,
+                       E_exp, e_shift, eps_depth, input_lengths=None):
+    """Normalizer companion of ``backoff_factored_score``: emissions
+    through the transition WFST alone as a dense [B, S_c] recursion with
+    the per-label exp-matrices — no per-arc segment ops anywhere in the
+    backoff-factored loss.
+
+        new[b, d] = lse_{c,l}(alpha[b, c] + w(c, l, d) + em[t, l])
+
+    with the same eps-closure cadence as sparse.forward_score.  Returns
+    [B] scores.
+    """
+    B, T, N = em.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    alpha0 = _ctx_closure(
+        jnp.broadcast_to(ctx_start[None], (B, ctx_start.shape[0])),
+        E_exp, e_shift, eps_depth,
+    )
+
+    def step(alpha, xs):
+        em_t, t = xs                                           # [B, N]
+        sh = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
+        )
+        me = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(em_t, axis=1, keepdims=True), NEG)
+        )
+        eA = jnp.exp(alpha - sh)
+        e_em = jnp.exp(em_t - me)
+        z = jnp.einsum("bc,lcd,bl->bd", eA, T_exp, e_em)
+        new = jnp.where(
+            z > 0.0,
+            sh + t_shift + me + jnp.log(jnp.maximum(z, _FLOOR)),
+            NEG,
+        )
+        new = _ctx_closure(new, E_exp, e_shift, eps_depth)
+        live = (t < input_lengths)[:, None]
+        return jnp.where(live, new, alpha), None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T))
+    )
+    return logsumexp(alpha + ctx_accept[None, :], axis=1)
+
+
 def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
                      t_shift, E_exp, e_shift, eps_depth,
                      input_lengths=None):
