@@ -15,6 +15,7 @@ transition arc weights stay differentiable across the host composition via
 arc provenance maps: device arc weight = static weight + params[widx].
 """
 
+import functools
 import os
 from typing import Dict
 
@@ -641,11 +642,72 @@ class Transducer(Criterion):
         return jnp.mean(losses)
 
     # -- decoding -------------------------------------------------------
+    def _decode_matrices_dst(self, params_np):
+        """Tropical [S_c, N] matrices for the destination-factored decode
+        (ops.factored.backoff_dst_viterbi), built host-side from the
+        compiled transitions table + concrete learned weights (parallel
+        arcs tropical-merged with maximum.at)."""
+        nt = self._norm_table
+        S_c = len(nt.start)
+        N = self._num_tokens + int(self.blank != "none")
+        n_p = params_np.shape[0]
+        w_ext = np.concatenate([params_np, np.zeros((1,), params_np.dtype)])
+        widx = self._norm_widx
+        w_eff = np.asarray(nt.weight) + w_ext[
+            np.where(widx >= 0, widx, n_p)
+        ]
+        src = np.asarray(nt.src)
+        dst = np.asarray(nt.dst)
+        lab = np.clip(np.asarray(nt.label), 0, N - 1)
+        real = np.asarray(nt.weight) > wcompile.NEG / 2
+        is_self = (src == dst) & real
+        is_adv = (src != dst) & real
+        W_adv = np.full((S_c, N), wcompile.NEG, np.float32)
+        np.maximum.at(W_adv, (src[is_adv], lab[is_adv]), w_eff[is_adv])
+        D = np.full((S_c, N), wcompile.NEG, np.float32)
+        np.maximum.at(D, (src[is_self], lab[is_self]), w_eff[is_self])
+        E = np.full((S_c, S_c), wcompile.NEG, np.float32)
+        if len(np.asarray(nt.eps_src)):
+            ew_eff = np.asarray(nt.eps_weight) + w_ext[
+                np.where(
+                    self._norm_eps_widx >= 0, self._norm_eps_widx, n_p
+                )
+            ]
+            np.maximum.at(
+                E, (np.asarray(nt.eps_src), np.asarray(nt.eps_dst)), ew_eff
+            )
+        return (
+            jnp.asarray(nt.start), jnp.asarray(nt.accept),
+            jnp.asarray(W_adv), jnp.asarray(D),
+            jnp.asarray(self._dst_onehot), jnp.asarray(E), nt.eps_depth,
+        )
+
     def viterbi_dispatch(self, outputs, params=None, input_lengths=None):
         outputs = jnp.asarray(outputs)
         if self.transitions is not None:
             params = params if params is not None else self.params
             ptr = params["transitions"]
+            # huge-LM regime: the eps-removed composed decode table has
+            # ~S_c * N arcs — decode through the destination-factored
+            # tropical scan instead of per-arc seg_max over it
+            if self._factored_backoff_dst:
+                nt = self._norm_table
+                N = self._num_tokens + int(self.blank != "none")
+                if len(nt.start) * N > _DECODE_FACTORED_MIN_ARCS:
+                    from ..ops import factored as _fact
+
+                    cached = getattr(self, "_decode_dst_cache", None)
+                    if cached is not None and cached[0] is ptr:
+                        mats = cached[1]
+                    else:
+                        mats = self._decode_matrices_dst(np.asarray(ptr))
+                        self._decode_dst_cache = (ptr, mats)
+                    labels, _ = _backoff_dst_viterbi_jit(
+                        outputs, *mats,
+                        None if input_lengths is None
+                        else jnp.asarray(input_lengths),
+                    )
+                    return (labels, input_lengths)
             cached = getattr(self, "_decode_cache", None)
             if cached is not None and cached[0] is ptr:
                 table = cached[1]
@@ -755,6 +817,21 @@ class Transducer(Criterion):
 # (it is here: apply_decode_weights builds it host-side), routes shared
 # epsilon-free tables to the whole-scan bucket kernel
 _viterbi_batch_jit = sparse.viterbi_batch
+
+# route the metrics decode through the destination-factored tropical scan
+# once the eps-removed composed table would exceed this many arcs
+_DECODE_FACTORED_MIN_ARCS = 1 << 18
+
+
+@functools.partial(jax.jit, static_argnums=(7,))
+def _backoff_dst_viterbi_jit(em, ctx_start, ctx_accept, W_adv_log, D_log,
+                             dst_oh, E_log, eps_depth, input_lengths):
+    from ..ops import factored as _fact
+
+    return _fact.backoff_dst_viterbi(
+        em, ctx_start, ctx_accept, W_adv_log, D_log, dst_oh, E_log,
+        eps_depth, input_lengths,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -407,6 +407,133 @@ def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
     return logsumexp(alpha + ctx_accept[None, :], axis=1)
 
 
+def _trop_closure(alpha, org, E_log, depth):
+    """Tropical epsilon closure with origin tracking.
+
+    ``alpha [B, S_c]`` scores, ``org [B, S_c]`` int32 origins (the state
+    each entry's score was carried from before any eps hop).  Returns the
+    closed (best-over-≤depth-hops) scores and their origins.  Bounded
+    depth makes closure idempotent for acyclic backoff chains.
+    """
+    best, best_org = alpha, org
+    cur, cur_org = alpha, org
+    for _ in range(depth):
+        z = cur[:, :, None] + E_log[None]              # [B, c, d]
+        nxt = jnp.max(z, axis=1)
+        arg = jnp.argmax(z, axis=1)                    # [B, d] -> c
+        nxt_org = jnp.take_along_axis(cur_org, arg, axis=1)
+        take = nxt > best
+        best_org = jnp.where(take, nxt_org, best_org)
+        best = jnp.maximum(best, nxt)
+        cur, cur_org = nxt, nxt_org
+    return best, best_org
+
+
+def backoff_dst_viterbi(em, ctx_start, ctx_accept, W_adv_log, D_log,
+                        dst_oh, E_log, eps_depth, input_lengths=None):
+    """Tropical decode through a dst-invariant backoff transition WFST
+    without materializing the eps-removed composed table (which has
+    ~S_c * N arcs at wordpiece-LM scale — per-frame seg_max over it is
+    the pathology this module avoids).
+
+    Per frame, for each destination context d:
+      advance: max over labels l with dst(l) = d of
+               [ max_c(alpha_eps[c] + W_adv_log[c, l]) + em[t, l] ]
+      stay:    alpha_eps[d] + max_l(D_log[d, l] + em[t, l])
+    with the eps (backoff) closure folded into the frame step and its
+    origins recorded, so the per-frame backpointer jumps over eps hops.
+
+    Args:
+      em: [B, T, N] emissions.
+      ctx_start, ctx_accept: [S_c] potentials (0 / NEG).
+      W_adv_log: [S_c, N] — max over non-self arcs c->dst_l labeled l of
+        their weight; NEG where absent (parallel arcs tropical-merged).
+      D_log: [S_c, N] — self-loop weights; NEG where absent.
+      dst_oh: [N, S_c] f32 one-hot destination map (zero rows for labels
+        with no advance arc).
+      E_log: [S_c, S_c] eps (backoff) weights; NEG where absent.
+      eps_depth: static closure bound.
+    Returns (labels [B, T] int32, -1 beyond input_length and on
+    infeasible samples, matching sparse.viterbi_batch; scores [B]).
+    """
+    B, T, N = em.shape
+    S_c = ctx_start.shape[0]
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    iota_c = jnp.broadcast_to(
+        jnp.arange(S_c, dtype=jnp.int32)[None], (B, S_c)
+    )
+    alpha0 = jnp.broadcast_to(ctx_start[None], (B, S_c))
+    # advance destinations: dst_idx[l] = argmax of the one-hot row (0 for
+    # labels with no advance arc — their W column is all NEG)
+    dst_idx = jnp.argmax(dst_oh, axis=1).astype(jnp.int32)      # [N]
+
+    def step(alpha, xs):
+        em_t, t = xs                                            # [B, N]
+        a_eps, org = _trop_closure(alpha, iota_c, E_log, eps_depth)
+        # advance: best source context per label
+        z = a_eps[:, :, None] + W_adv_log[None]                 # [B, c, l]
+        adv = jnp.max(z, axis=1)                                # [B, N]
+        c_star = jnp.argmax(z, axis=1)                          # [B, N]
+        adv_org = jnp.take_along_axis(org, c_star, axis=1)      # [B, N]
+        s_lab = adv + em_t                                      # [B, N]
+        # per-destination best label among {l : dst(l) = d}
+        cand1 = jax.ops.segment_max(
+            s_lab.T, dst_idx, num_segments=S_c
+        ).T                                                     # [B, S_c]
+        cand1 = jnp.maximum(cand1, NEG)
+        # winning label per destination: lowest label id among ties
+        hit = (s_lab[:, :, None] >= cand1[:, None, :] - 0.0) & (
+            dst_oh[None] > 0.0
+        )
+        lab_ids = jnp.arange(N, dtype=jnp.int32)[None, :, None]
+        l1 = jnp.min(jnp.where(hit, lab_ids, N), axis=1)        # [B, S_c]
+        # source origin of the winning advance label
+        l1c = jnp.minimum(l1, N - 1)
+        p1 = jnp.take_along_axis(adv_org, l1c, axis=1)          # [B, S_c]
+        # stay: best self-loop label at d
+        z2 = D_log[None] + em_t[:, None, :]                     # [B, d, l]
+        cand2 = a_eps + jnp.max(z2, axis=2)
+        l2 = jnp.argmax(z2, axis=2).astype(jnp.int32)
+        take1 = cand1 >= cand2
+        new = jnp.maximum(cand1, cand2)
+        lab = jnp.where(take1, l1, l2)
+        prev = jnp.where(take1, p1, org)
+        dead = new <= NEG / 2
+        lab = jnp.where(dead, -1, lab)
+        prev = jnp.where(dead, iota_c, prev)
+        live = (t < input_lengths)[:, None]
+        new = jnp.where(live, jnp.maximum(new, NEG), alpha)
+        lab = jnp.where(live, lab, -1)
+        prev = jnp.where(live, prev, iota_c)
+        return new, (lab, prev)
+
+    alpha, (labs, prevs) = jax.lax.scan(
+        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T))
+    )
+    a_fin, org_fin = _trop_closure(alpha, iota_c, E_log, eps_depth)
+    final = a_fin + ctx_accept[None]
+    score = jnp.max(final, axis=1)
+    end = jnp.argmax(final, axis=1)
+    state0 = jnp.take_along_axis(org_fin, end[:, None], axis=1)[:, 0]
+
+    def backstep(state, tables):
+        lab_t, prev_t = tables
+        l = jnp.take_along_axis(lab_t, state[:, None], axis=1)[:, 0]
+        p = jnp.take_along_axis(prev_t, state[:, None], axis=1)[:, 0]
+        return p, l
+
+    _, labels_rev = jax.lax.scan(
+        backstep, state0.astype(jnp.int32), (labs, prevs), reverse=True
+    )
+    labels = labels_rev.transpose(1, 0)
+    # infeasible samples decode to the empty path (paths-identical
+    # invariant with the other Viterbi implementations)
+    labels = jnp.where((score > NEG / 2)[:, None], labels, -1)
+    return labels, score
+
+
 def ngram_rows(params, ngram, num_channels):
     """Split the flat learnable arc-weight vector of
     ``make_transitions_graph(ngram, num_channels)`` into (ws, W, we, we0)

@@ -422,3 +422,35 @@ def test_dst_gate_rejects_multi_destination_labels():
     )
     assert not crit._factored_backoff_dst
     assert crit._factored_backoff  # tiny graph: dense form still fine
+
+
+@pytest.mark.parametrize("blank", ["optional", "forced", "none"])
+def test_backoff_dst_viterbi_matches_composed(monkeypatch, blank):
+    """The destination-factored tropical decode == the composed
+    eps-removed-table decode: same alignment labels (hence same
+    transduced predictions) over random emissions, ragged lengths, and
+    every blank mode."""
+    ntok = 4
+    g = _bigram_lm_graph(11, ntok, blank, 0)
+    crit = Transducer(
+        [str(i) for i in range(ntok)], {str(i): i for i in range(ntok)},
+        transitions=g, blank=blank,
+    )
+    assert crit._factored_backoff_dst
+    rng = np.random.default_rng(17)
+    B, T = 3, 8
+    C = ntok + int(blank != "none")
+    outputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    lens = jnp.asarray([T, T - 3, 1], jnp.int32)
+    params = {
+        "transitions": jnp.asarray(
+            rng.normal(size=(crit.num_transition_arcs,)) * 0.4, jnp.float32
+        )
+    }
+    monkeypatch.setattr(tmod, "_DECODE_FACTORED_MIN_ARCS", 1 << 60)
+    ref = crit.viterbi(outputs, params, input_lengths=lens)
+    monkeypatch.setattr(tmod, "_DECODE_FACTORED_MIN_ARCS", 0)
+    crit._decode_dst_cache = None
+    got = crit.viterbi(outputs, params, input_lengths=lens)
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], ref[b], err_msg=str(b))
