@@ -407,21 +407,38 @@ def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
     return logsumexp(alpha + ctx_accept[None, :], axis=1)
 
 
+def _first_hit_select(z, m, values, axis1_size):
+    """values[b, argmin_c{c : z[b, c, x] == m[b, x]}] without gathers.
+
+    Selection by exact-equality one-hot contraction (lowest index wins on
+    ties) — on this TPU stack gathers lower to serial scalar loops, so
+    every index lookup in the decode is an elementwise mask + reduction.
+    ``z [B, C, X]``, ``m [B, X]``, ``values [B, C]`` (f32-exact ints ok).
+    Returns [B, X].
+    """
+    hit = z >= m[:, None, :]                       # exact: m is max of z
+    iota = jnp.arange(axis1_size, dtype=jnp.float32)[None, :, None]
+    first = jnp.min(jnp.where(hit, iota, float(axis1_size)), axis=1)
+    oh = jnp.where(iota == first[:, None, :], 1.0, 0.0)   # [B, C, X]
+    return jnp.einsum("bcx,bc->bx", oh, values)
+
+
 def _trop_closure(alpha, org, E_log, depth):
     """Tropical epsilon closure with origin tracking.
 
-    ``alpha [B, S_c]`` scores, ``org [B, S_c]`` int32 origins (the state
-    each entry's score was carried from before any eps hop).  Returns the
-    closed (best-over-≤depth-hops) scores and their origins.  Bounded
-    depth makes closure idempotent for acyclic backoff chains.
+    ``alpha [B, S_c]`` scores, ``org [B, S_c]`` f32 origins (the state
+    each entry's score was carried from before any eps hop; f32-exact
+    ints).  Returns the closed (best-over-≤depth-hops) scores and their
+    origins.  Bounded depth makes closure idempotent for acyclic backoff
+    chains.  Gather-free: origins move by one-hot contractions.
     """
+    S_c = alpha.shape[1]
     best, best_org = alpha, org
     cur, cur_org = alpha, org
     for _ in range(depth):
         z = cur[:, :, None] + E_log[None]              # [B, c, d]
         nxt = jnp.max(z, axis=1)
-        arg = jnp.argmax(z, axis=1)                    # [B, d] -> c
-        nxt_org = jnp.take_along_axis(cur_org, arg, axis=1)
+        nxt_org = _first_hit_select(z, nxt, cur_org, S_c)
         take = nxt > best
         best_org = jnp.where(take, nxt_org, best_org)
         best = jnp.maximum(best, nxt)
@@ -462,12 +479,13 @@ def backoff_dst_viterbi(em, ctx_start, ctx_accept, W_adv_log, D_log,
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
 
     iota_c = jnp.broadcast_to(
-        jnp.arange(S_c, dtype=jnp.int32)[None], (B, S_c)
+        jnp.arange(S_c, dtype=jnp.float32)[None], (B, S_c)
     )
     alpha0 = jnp.broadcast_to(ctx_start[None], (B, S_c))
-    # advance destinations: dst_idx[l] = argmax of the one-hot row (0 for
+    # advance destinations: dst_idx[l] = index of the one-hot row (0 for
     # labels with no advance arc — their W column is all NEG)
     dst_idx = jnp.argmax(dst_oh, axis=1).astype(jnp.int32)      # [N]
+    lab_iota = jnp.arange(N, dtype=jnp.float32)
 
     def step(alpha, xs):
         em_t, t = xs                                            # [B, N]
@@ -475,8 +493,7 @@ def backoff_dst_viterbi(em, ctx_start, ctx_accept, W_adv_log, D_log,
         # advance: best source context per label
         z = a_eps[:, :, None] + W_adv_log[None]                 # [B, c, l]
         adv = jnp.max(z, axis=1)                                # [B, N]
-        c_star = jnp.argmax(z, axis=1)                          # [B, N]
-        adv_org = jnp.take_along_axis(org, c_star, axis=1)      # [B, N]
+        adv_org = _first_hit_select(z, adv, org, S_c)           # [B, N]
         s_lab = adv + em_t                                      # [B, N]
         # per-destination best label among {l : dst(l) = d}
         cand1 = jax.ops.segment_max(
@@ -484,28 +501,28 @@ def backoff_dst_viterbi(em, ctx_start, ctx_accept, W_adv_log, D_log,
         ).T                                                     # [B, S_c]
         cand1 = jnp.maximum(cand1, NEG)
         # winning label per destination: lowest label id among ties
-        hit = (s_lab[:, :, None] >= cand1[:, None, :] - 0.0) & (
-            dst_oh[None] > 0.0
-        )
-        lab_ids = jnp.arange(N, dtype=jnp.int32)[None, :, None]
-        l1 = jnp.min(jnp.where(hit, lab_ids, N), axis=1)        # [B, S_c]
-        # source origin of the winning advance label
-        l1c = jnp.minimum(l1, N - 1)
-        p1 = jnp.take_along_axis(adv_org, l1c, axis=1)          # [B, S_c]
-        # stay: best self-loop label at d
+        hit = (s_lab[:, :, None] >= cand1[:, None, :]) & (dst_oh[None] > 0.0)
+        l1 = jnp.min(
+            jnp.where(hit, lab_iota[None, :, None], float(N)), axis=1
+        )                                                       # [B, S_c]
+        # source origin of the winning advance label (one-hot pick)
+        l1_oh = jnp.where(lab_iota[None, :, None] == l1[:, None, :], 1.0, 0.0)
+        p1 = jnp.einsum("bls,bl->bs", l1_oh, adv_org)           # [B, S_c]
+        # stay: best self-loop label at d (argmax is a reduction, and its
+        # result is the OUTPUT label, never a gather index)
         z2 = D_log[None] + em_t[:, None, :]                     # [B, d, l]
         cand2 = a_eps + jnp.max(z2, axis=2)
-        l2 = jnp.argmax(z2, axis=2).astype(jnp.int32)
+        l2 = jnp.argmax(z2, axis=2).astype(jnp.float32)
         take1 = cand1 >= cand2
         new = jnp.maximum(cand1, cand2)
         lab = jnp.where(take1, l1, l2)
         prev = jnp.where(take1, p1, org)
         dead = new <= NEG / 2
-        lab = jnp.where(dead, -1, lab)
+        lab = jnp.where(dead, -1.0, lab)
         prev = jnp.where(dead, iota_c, prev)
         live = (t < input_lengths)[:, None]
         new = jnp.where(live, jnp.maximum(new, NEG), alpha)
-        lab = jnp.where(live, lab, -1)
+        lab = jnp.where(live, lab, -1.0)
         prev = jnp.where(live, prev, iota_c)
         return new, (lab, prev)
 
@@ -515,19 +532,29 @@ def backoff_dst_viterbi(em, ctx_start, ctx_accept, W_adv_log, D_log,
     a_fin, org_fin = _trop_closure(alpha, iota_c, E_log, eps_depth)
     final = a_fin + ctx_accept[None]
     score = jnp.max(final, axis=1)
-    end = jnp.argmax(final, axis=1)
-    state0 = jnp.take_along_axis(org_fin, end[:, None], axis=1)[:, 0]
+    # start the walk at the pre-closure origin of the best final state,
+    # carried as a one-hot row (gather-free)
+    end_oh = jnp.where(
+        iota_c
+        == jnp.min(
+            jnp.where(final >= score[:, None], iota_c, float(S_c)),
+            axis=1, keepdims=True,
+        ),
+        1.0, 0.0,
+    )                                                           # [B, S_c]
+    state0 = jnp.sum(end_oh * org_fin, axis=1)                  # [B]
 
     def backstep(state, tables):
-        lab_t, prev_t = tables
-        l = jnp.take_along_axis(lab_t, state[:, None], axis=1)[:, 0]
-        p = jnp.take_along_axis(prev_t, state[:, None], axis=1)[:, 0]
+        lab_t, prev_t = tables                                  # [B, S_c]
+        state_oh = jnp.where(iota_c == state[:, None], 1.0, 0.0)
+        l = jnp.sum(state_oh * lab_t, axis=1)
+        p = jnp.sum(state_oh * prev_t, axis=1)
         return p, l
 
     _, labels_rev = jax.lax.scan(
-        backstep, state0.astype(jnp.int32), (labs, prevs), reverse=True
+        backstep, state0, (labs, prevs), reverse=True
     )
-    labels = labels_rev.transpose(1, 0)
+    labels = jnp.round(labels_rev.transpose(1, 0)).astype(jnp.int32)
     # infeasible samples decode to the empty path (paths-identical
     # invariant with the other Viterbi implementations)
     labels = jnp.where((score > NEG / 2)[:, None], labels, -1)
