@@ -141,6 +141,27 @@ print(f"dst-factored diff: |dv|={dv:.2e} |dgp|={dgp:.2e} |dge|={dge:.2e}",
       flush=True)
 assert dv < 5e-3 and dgp < 5e-3 and dge < 5e-3, (dv, dgp, dge)
 
+# --- destination-factored decode vs composed-table decode ----------------
+crit_dec = Transducer(toks_lm, g2i_lm, transitions=lm_graph.copy(),
+                      blank="optional")
+p_dec = {"transitions": jnp.asarray(
+    rng.normal(size=(crit_dec.num_transition_arcs,)) * 0.3, jnp.float32)}
+lens2 = jnp.asarray([T2] * B2, jnp.int32)
+dec = {}
+for mode, thresh in (("composed", 1 << 60), ("factored", 0)):
+    tmod._DECODE_FACTORED_MIN_ARCS = thresh
+    crit_dec._decode_dst_cache = None
+    out = crit_dec.viterbi(inputs2, p_dec, input_lengths=lens2)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = crit_dec.viterbi(inputs2, p_dec, input_lengths=lens2)
+    ms = (time.perf_counter() - t0) / 5 * 1000
+    dec[mode] = out
+    print(f"decode 200wp-LM [{mode}]: {ms:.3f} ms/call", flush=True)
+for a, b in zip(dec["composed"], dec["factored"]):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+print("dst-factored decode parity OK", flush=True)
+
 # --- ASG decode: kernel vs xla backtrace ---------------------------------
 N = 80
 outputs = jnp.asarray(rng.normal(size=(B, T, N)).astype(np.float32))
