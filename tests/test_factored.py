@@ -454,3 +454,57 @@ def test_backoff_dst_viterbi_matches_composed(monkeypatch, blank):
     got = crit.viterbi(outputs, params, input_lengths=lens)
     for b in range(B):
         np.testing.assert_array_equal(got[b], ref[b], err_msg=str(b))
+
+
+def test_backoff_dst_deep_eps_chain(monkeypatch):
+    """Closure origins must survive multi-hop backoff chains: a state
+    whose best continuation routes deep -> mid -> root -> arc.  Decode
+    labels and loss match the composed path."""
+    from gtn_applications_tpu.wfst import EPSILON, Graph
+
+    ntok = 3
+    rng = np.random.RandomState(0)
+    g = Graph()
+    root = g.add_node(True, True)
+    ctx1 = [g.add_node(False, True) for _ in range(ntok)]
+    deep = g.add_node(False, True)
+    mid = g.add_node(False, True)
+    g.add_arc(deep, mid, EPSILON, EPSILON, float(rng.randn() * 0.3))
+    g.add_arc(mid, root, EPSILON, EPSILON, float(rng.randn() * 0.3))
+    for l in range(ntok):
+        g.add_arc(root, ctx1[l], l, l, float(rng.randn() * 0.5))
+        g.add_arc(ctx1[l], root, EPSILON, EPSILON, float(rng.randn() * 0.3))
+    g.add_arc(ctx1[0], ctx1[1], 1, 1, float(rng.randn() * 0.5))
+    g.add_arc(ctx1[1], ctx1[0], 0, 0, float(rng.randn() * 0.5))
+    g.add_arc(deep, ctx1[2], 2, 2, 2.0)
+    g.add_arc(deep, deep, 0, 0, 1.0)
+    crit = Transducer(
+        [str(i) for i in range(ntok)], {str(i): i for i in range(ntok)},
+        transitions=g, blank="none",
+    )
+    assert crit._factored_backoff_dst and crit._norm_table.eps_depth >= 2
+
+    B, T = 2, 6
+    outputs = jnp.asarray(rng.randn(B, T, ntok).astype(np.float32))
+    params = {
+        "transitions": jnp.asarray(
+            rng.randn(crit.num_transition_arcs).astype(np.float32) * 0.4
+        )
+    }
+    lens = jnp.asarray([T, T - 2], jnp.int32)
+    monkeypatch.setattr(tmod, "_DECODE_FACTORED_MIN_ARCS", 1 << 60)
+    ref = crit.viterbi(outputs, params, input_lengths=lens)
+    monkeypatch.setattr(tmod, "_DECODE_FACTORED_MIN_ARCS", 0)
+    crit._decode_dst_cache = None
+    got = crit.viterbi(outputs, params, input_lengths=lens)
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], ref[b], err_msg=str(b))
+
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "on")
+    monkeypatch.setattr(crit, "_factored_backoff", False)
+    prep_f = crit.prepare([[0, 1], [2]])
+    assert "factored_dst" in prep_f
+    prep_g = _prepare_generic(crit, [[0, 1], [2]])
+    vf = float(crit.loss(params, outputs, prep_f, lens))
+    vg = float(crit.loss(params, outputs, prep_g, lens))
+    assert abs(vf - vg) < 5e-4, (vf, vg)
