@@ -508,3 +508,31 @@ def test_backoff_dst_deep_eps_chain(monkeypatch):
     vf = float(crit.loss(params, outputs, prep_f, lens))
     vg = float(crit.loss(params, outputs, prep_g, lens))
     assert abs(vf - vg) < 5e-4, (vf, vg)
+
+
+def test_backoff_dst_viterbi_hlo_has_no_gathers():
+    """Gathers lower to serial scalar loops on the target TPU stack; the
+    factored decode must stay gather-free (one-hot contractions only)."""
+    import re
+
+    from gtn_applications_tpu.ops import factored as F
+
+    ntok = 4
+    g = _bigram_lm_graph(5, ntok, "optional", 0)
+    crit = Transducer(
+        [str(i) for i in range(ntok)], {str(i): i for i in range(ntok)},
+        transitions=g, blank="optional",
+    )
+    mats = crit._decode_matrices_dst(
+        np.zeros((crit.num_transition_arcs,), np.float32)
+    )
+    B, T, C = 2, 5, ntok + 1
+    em = jnp.zeros((B, T, C), jnp.float32)
+    lens = jnp.asarray([T, T], jnp.int32)
+    txt = (
+        jax.jit(lambda e: F.backoff_dst_viterbi(e, *mats, lens))
+        .lower(em)
+        .compile()
+        .as_text()
+    )
+    assert not re.search(r"\bgather\(", txt)
