@@ -30,7 +30,8 @@ def _free_port():
 
 def _spawn(pid, nprocs, port, outfile):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    ndev = 8 // nprocs  # same 8-device global mesh at any process count
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     env["PYTHONPATH"] = (
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         + ":/root/.axon_site"
@@ -69,6 +70,37 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     assert results[0]["cer"] == results[1]["cer"]
 
     # single-process oracle on the identical global batch
+    oracle = _single_process_oracle()
+    np.testing.assert_allclose(
+        results[0]["losses"], oracle, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_four_process_cluster_matches_single_process(tmp_path):
+    """The BASELINE.md >= 2 hosts north star at double the host count:
+    4 processes x 2 devices assemble the same 8-device global mesh and
+    must reproduce the single-process losses exactly."""
+    port = _free_port()
+    outs = [str(tmp_path / f"rank{i}.json") for i in range(4)]
+    procs = [_spawn(i, 4, port, outs[i]) for i in range(4)]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    results = []
+    for path in outs:
+        with open(path) as fh:
+            results.append(json.load(fh))
+
+    for r in results:
+        assert r["local_devices"] == 2
+        assert r["global_devices"] == 8
+    for r in results[1:]:
+        np.testing.assert_allclose(results[0]["losses"], r["losses"])
+        assert r["cer"] == results[0]["cer"]
     oracle = _single_process_oracle()
     np.testing.assert_allclose(
         results[0]["losses"], oracle, rtol=1e-5, atol=1e-6
