@@ -80,7 +80,20 @@ def bench_tpu():
     # which would poison the ASG/transducer timing sections that follow.
     # main() logs the loss after all device timing is done.
     log(f"tpu ctc fwd+bwd: {ms:.3f} ms/iter")
-    return ms, loss
+
+    def readback_closed(iters=200):
+        # ground-truth re-measure, run LAST (after the poisoning readback):
+        # a device->host value transfer cannot complete before the chained
+        # dispatches have; one readback amortized over `iters` bounds the
+        # overhead at ~0.15 ms/iter
+        last = None
+        start = time.perf_counter()
+        for _ in range(iters):
+            last, _ = fwd_bwd(inputs, tg, ln)
+        float(last)
+        return (time.perf_counter() - start) / iters * 1000
+
+    return ms, loss, readback_closed
 
 
 def bench_asg_tpu():
@@ -290,11 +303,16 @@ def main():
             log(f"{label} FAILED: {type(e).__name__}: {e}")
             return None
 
-    tpu_ms, ctc_loss = bench_tpu()
+    tpu_ms, ctc_loss, ctc_readback_closed = bench_tpu()
     asg_ms = soft(bench_asg_tpu, "asg")
     trans_ms = soft(bench_transducer_tpu, "transducer ngram0")
     trans2_ms = soft(bench_transducer_ngram2_tpu, "transducer ngram2")
     log(f"tpu ctc loss sanity: {float(ctc_loss):.4f}")  # first readback HERE
+    # ground-truth timing AFTER the poisoning readback: a value transfer
+    # cannot complete before the chained device work has
+    rb_ms = soft(ctc_readback_closed, "ctc readback-closed timing")
+    if rb_ms:
+        log(f"tpu ctc fwd+bwd readback-closed: {rb_ms:.3f} ms/iter")
     engine_ms = bench_graph_engine_cpu()
     asg_engine_ms = bench_asg_graph_engine_cpu()
     trans_engine_ms = bench_transducer_graph_engine_cpu()
@@ -309,6 +327,7 @@ def main():
             "compose + log-semiring autodiff, C++ thread pool) on this host"
         ),
         "graph_engine_cpu_ms": round(engine_ms, 3) if engine_ms else None,
+        "ctc_readback_closed_ms": round(rb_ms, 3) if rb_ms else None,
         "torch_cpu_ms": round(torch_ms, 3) if torch_ms else None,
         "vs_torch_cpu": round(torch_ms / tpu_ms, 3) if torch_ms else None,
         "asg_fwd_bwd_ms": round(asg_ms, 3) if asg_ms else None,
