@@ -68,7 +68,8 @@ def _flagship_step(local_batch, n_devices, dtype=None):
     return step, params, x, prepared, B
 
 
-def _time_step(step, params, xs, prepared, iters=20, warmup=3):
+def _time_step(step, params, xs, prepared, iters=20, warmup=3,
+               return_params=False):
     import jax
 
     key = jax.random.PRNGKey(1)
@@ -79,6 +80,33 @@ def _time_step(step, params, xs, prepared, iters=20, warmup=3):
     for _ in range(iters):
         params, loss, _ = step(params, xs, prepared, key, 1.0)
     jax.block_until_ready(loss)
+    t = (time.perf_counter() - start) / iters
+    # the step donates params, so callers that time again must use the
+    # live params returned here, not the consumed originals
+    return (t, params) if return_params else t
+
+
+def _time_step_rb(step, params, xs, prepared, iters=20):
+    """Readback-closed ground truth (bench.py's methodology): a device->
+    host value transfer cannot complete before the chained dispatches
+    have, so one readback amortized over ``iters`` bounds the overhead.
+    On this TPU stack chained ``block_until_ready`` has been measured to
+    return early (tools/chip/chip_timing_sanity.py), inflating achieved
+    flops past any public chip peak — this is the honest timer.  The
+    first readback permanently degrades per-call sync latency, so call
+    this only AFTER all chained-dispatch measurements are done.
+    """
+    import jax
+
+    key = jax.random.PRNGKey(1)
+    p = params
+    for _ in range(2):
+        p, loss, _ = step(p, xs, prepared, key, 1.0)
+    float(loss)  # absorb the first (poisoning, ~3 s) readback untimed
+    start = time.perf_counter()
+    for _ in range(iters):
+        p, loss, _ = step(p, xs, prepared, key, 1.0)
+    float(loss)
     return (time.perf_counter() - start) / iters
 
 
@@ -145,19 +173,36 @@ def run_chip_throughput(local_batch=8, iters=20):
     ]
     peak = max(matches)[1] if matches else None
     out = {"device_kind": kind, "peak_tflops_assumed": peak and peak / 1e12}
+    # Pass 1: chained-dispatch timing for both dtypes (reported as
+    # *_dispatch), keeping the process readback-free so per-call sync
+    # latency stays undegraded across both measurements.
+    cases = []
     for tag, dtype in (("", None), ("_bf16", jnp.bfloat16)):
         step, params, x, prepared, B = _flagship_step(
             local_batch, 1, dtype=dtype
         )
         xs = jnp.asarray(x)
-        t = _time_step(step, params, xs, prepared, iters)
         flops = _step_flops(step, params, xs, prepared)
-        mfu = (flops / t) / peak if (flops and peak) else None
+        t_disp, params = _time_step(
+            step, params, xs, prepared, iters, return_params=True
+        )
+        out[f"step_ms_dispatch{tag}"] = t_disp * 1e3
+        out[f"flops_per_step{tag}"] = flops
+        cases.append((tag, step, params, xs, prepared, B, flops))
+    # Pass 2 (runs LAST — the first readback poisons sync latency):
+    # readback-closed ground truth; all headline fields derive from it.
+    for tag, step, params, xs, prepared, B, flops in cases:
+        t = _time_step_rb(step, params, xs, prepared, iters)
         out[f"samples_per_s_chip{tag}"] = B / t
         out[f"step_ms{tag}"] = t * 1e3
-        out[f"flops_per_step{tag}"] = flops
         out[f"achieved_tflops{tag}"] = flops and flops / t / 1e12
-        out[f"mfu{tag}"] = mfu
+        out[f"mfu{tag}"] = (flops / t) / peak if (flops and peak) else None
+    out["timing_note"] = (
+        "step_ms / samples_per_s / mfu use the readback-closed timer "
+        "(ground truth on this stack); step_ms_dispatch is the chained "
+        "block_until_ready measurement, which chip_timing_sanity.py "
+        "showed can return early here"
+    )
     if any(
         out.get(f"mfu{t}") and out[f"mfu{t}"] > 1.0 for t in ("", "_bf16")
     ):
