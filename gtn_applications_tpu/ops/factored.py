@@ -39,6 +39,8 @@ exact.  The composed path (`GTN_TRANSDUCER_FACTORED=off`) remains the
 full-dynamic-range fallback.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,25 @@ from .semiring import DEAD, NEG, logaddexp, logsumexp
 _FLOOR = 1e-37
 
 
+def _f32_matmuls(fn):
+    """Pin every contraction traced inside ``fn`` to float32 MXU passes.
+
+    The TPU default matmul precision is bf16: each exp-matmul step then
+    rounds its operands to ~2^-8 relative, and the recursion accumulates
+    that over T frames into whole-nat loss errors (measured 0.28 nats vs
+    the composed path at T=250 on chip, N(0,1) emissions).  The Pallas
+    scan kernels pin Precision.HIGHEST for the same reason; this module's
+    XLA einsums need the same treatment.  CPU matmuls are always f32, so
+    the interpret-mode differential tests cannot catch a regression here
+    — keep the decorator on every public scoring/decode entry point."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@_f32_matmuls
 def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
                            input_lengths=None, we0=0.0):
     """Forward score of per-sample alignment lattices under a bigram
@@ -116,6 +137,7 @@ def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
     return jnp.where(input_lengths > 0, score, score0)
 
 
+@_f32_matmuls
 def dense_ngram_norm(em, ws, W, we, input_lengths=None, we0=0.0):
     """Normalizer: forward score of emissions through the full n-gram
     transition lattice alone (dense over label contexts).
@@ -167,6 +189,7 @@ def _ctx_closure(x, E_exp, e_shift, depth):
     return acc
 
 
+@_f32_matmuls
 def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
                            ctx_start, ctx_accept, T_exp, t_shift,
                            E_exp, e_shift, eps_depth, input_lengths=None):
@@ -246,6 +269,7 @@ def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
     return jnp.where(input_lengths > 0, score, score0)
 
 
+@_f32_matmuls
 def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
                                ctx_start, ctx_accept, W_adv_exp, D_exp_t,
                                P_dst, t_shift, E_exp, e_shift, eps_depth,
@@ -318,6 +342,7 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
     return jnp.where(input_lengths > 0, score, score0)
 
 
+@_f32_matmuls
 def backoff_dense_norm(em, ctx_start, ctx_accept, T_exp, t_shift,
                        E_exp, e_shift, eps_depth, input_lengths=None):
     """Normalizer companion of ``backoff_factored_score``: emissions
@@ -365,6 +390,7 @@ def backoff_dense_norm(em, ctx_start, ctx_accept, T_exp, t_shift,
     return logsumexp(alpha + ctx_accept[None, :], axis=1)
 
 
+@_f32_matmuls
 def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
                      t_shift, E_exp, e_shift, eps_depth,
                      input_lengths=None):
@@ -457,6 +483,7 @@ def _trop_closure(alpha, org, E_log, depth):
     return best, best_org
 
 
+@_f32_matmuls
 def backoff_dst_viterbi(em, ctx_start, ctx_accept, W_adv_log, D_log,
                         dst_oh, E_log, eps_depth, input_lengths=None):
     """Tropical decode through a dst-invariant backoff transition WFST
