@@ -52,12 +52,23 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+# Scoped-VMEM budget handed to Mosaic (v5e has 128 MiB/core; leave the
+# runtime its reserve).  The backward kernel's measured scoped footprint
+# at per-sample projection shapes is ~8.3 x B*S_pad*A_pad floats
+# (double-buffered projections + batched-dot intermediates): 105.5 MB at
+# B32/S256/A384 and 103.8 MB at B8/S384/A1024 both overflowed the old
+# 100 MiB budget by ~1%.  ops.sparse._whole_scan_fits gates dispatch
+# against this same number so larger shapes fall back to the per-step
+# kernel instead of failing to compile.
+VMEM_LIMIT_BYTES = 112 * 1024 * 1024
+
+
 def _compiler_params():
     # projection matrices + trajectory blocks exceed Mosaic's default 16 MB
-    # scoped VMEM budget at realistic (B, S, A); v5e has 128 MB per core
+    # scoped VMEM budget at realistic (B, S, A)
     if _interpret():
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 
 def _pad_axis(x, mult, fill, axis=-1):
