@@ -22,20 +22,20 @@ timeout 1800 python bench.py > /tmp/chip_bench.json 2> /tmp/chip_bench.log
 cat /tmp/chip_bench.json
 
 echo "=== phase 3: transducer protocol table ==="
-(cd benchmarks && timeout 2400 python transducer_benchmark.py 8) \
+(cd benchmarks && timeout 2400 env PYTHONPATH=/root/repo:/root/.axon_site python transducer_benchmark.py 8) \
   2>&1 | tee /tmp/chip_transducer.log
 
 echo "=== phase 4: stc + asg protocols ==="
-(cd benchmarks && timeout 1200 python stc_benchmark.py 32) \
+(cd benchmarks && timeout 1200 env PYTHONPATH=/root/repo:/root/.axon_site python stc_benchmark.py 32) \
   2>&1 | tee /tmp/chip_stc.log
-(cd benchmarks && timeout 1200 python asg_benchmark.py 32) \
+(cd benchmarks && timeout 1200 env PYTHONPATH=/root/repo:/root/.axon_site python asg_benchmark.py 32) \
   2>&1 | tee /tmp/chip_asg.log
 echo "=== phase 5: chip throughput / MFU refresh ==="
-(cd benchmarks && timeout 1800 python scaling_benchmark.py) \
+(cd benchmarks && timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site python scaling_benchmark.py --local_batch 64) \
   2>&1 | tee /tmp/chip_scaling.log
 
 echo "=== phase 6: ngram2 train step ==="
-(cd benchmarks && timeout 1800 python train_step_benchmark.py 32 --ngram2) \
+(cd benchmarks && timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site python train_step_benchmark.py 32 --ngram2) \
   2>&1 | tee /tmp/chip_trainstep_ngram2.log
 
 echo "=== phase 7: timing-methodology sanity (runs LAST: readback) ==="

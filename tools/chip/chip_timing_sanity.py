@@ -76,7 +76,15 @@ def main():
 
     print("-- readback-closed (ground truth; poisons the process) --")
     for iters in (20, 80, 200):
-        t = with_readback(step, params, xs, prepared, iters)
+        # the axon transfer path intermittently fails a single readback
+        # with a generic InvalidArgument; treat each measurement as
+        # independent so one flake doesn't kill the whole sanity pass
+        try:
+            t = with_readback(step, params, xs, prepared, iters)
+        except Exception as e:  # pragma: no cover - tunnel flake
+            print(f"iters={iters:3d}: readback FAILED "
+                  f"({type(e).__name__}: {e})")
+            continue
         ms = t / iters * 1e3
         tf = (flops / (t / iters)) / 1e12 if flops else float("nan")
         print(f"iters={iters:3d}: {ms:8.3f} ms/step  ({tf:8.2f} TFLOP/s)")
