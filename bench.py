@@ -122,7 +122,16 @@ def bench_asg_tpu():
 
     ms = _time(run)
     log(f"tpu asg fwd+bwd: {ms:.3f} ms/iter")
-    return ms
+
+    def readback_closed(iters=200):
+        last = None
+        start = time.perf_counter()
+        for _ in range(iters):
+            last, _ = fwd_bwd(params, inputs, prepared)
+        float(last)
+        return (time.perf_counter() - start) / iters * 1000
+
+    return ms, readback_closed
 
 
 def bench_transducer_tpu():
@@ -157,7 +166,16 @@ def bench_transducer_tpu():
 
     ms = _time(run)
     log(f"tpu transducer ngram0 fwd+bwd: {ms:.3f} ms/iter")
-    return ms
+
+    def readback_closed(iters=200):
+        last = None
+        start = time.perf_counter()
+        for _ in range(iters):
+            last, _ = fwd_bwd(inputs, prepared)
+        float(last)
+        return (time.perf_counter() - start) / iters * 1000
+
+    return ms, readback_closed
 
 
 def bench_transducer_ngram2_tpu():
@@ -193,7 +211,16 @@ def bench_transducer_ngram2_tpu():
 
     ms = _time(run)
     log(f"tpu transducer ngram2 fwd+bwd: {ms:.3f} ms/iter")
-    return ms
+
+    def readback_closed(iters=200):
+        last = None
+        start = time.perf_counter()
+        for _ in range(iters):
+            last, _ = fwd_bwd(params, inputs, prepared)
+        float(last)
+        return (time.perf_counter() - start) / iters * 1000
+
+    return ms, readback_closed
 
 
 def bench_graph_engine_cpu():
@@ -304,33 +331,56 @@ def main():
             return None
 
     tpu_ms, ctc_loss, ctc_readback_closed = bench_tpu()
-    asg_ms = soft(bench_asg_tpu, "asg")
-    trans_ms = soft(bench_transducer_tpu, "transducer ngram0")
-    trans2_ms = soft(bench_transducer_ngram2_tpu, "transducer ngram2")
+    asg = soft(bench_asg_tpu, "asg") or (None, None)
+    trans = soft(bench_transducer_tpu, "transducer ngram0") or (None, None)
+    trans2 = soft(
+        bench_transducer_ngram2_tpu, "transducer ngram2"
+    ) or (None, None)
+    asg_disp_ms, asg_rb = asg
+    trans_disp_ms, trans_rb = trans
+    trans2_disp_ms, trans2_rb = trans2
     log(f"tpu ctc loss sanity: {float(ctc_loss):.4f}")  # first readback HERE
     # ground-truth timing AFTER the poisoning readback: a value transfer
-    # cannot complete before the chained device work has
+    # cannot complete before the chained device work has.  The chained
+    # (dispatch) numbers above can return early on this stack
+    # (tools/chip/chip_timing_sanity.py), so every primary ms field below
+    # is the readback-closed measurement, with the dispatch number kept
+    # alongside as *_dispatch_ms.
     rb_ms = soft(ctc_readback_closed, "ctc readback-closed timing")
     if rb_ms:
         log(f"tpu ctc fwd+bwd readback-closed: {rb_ms:.3f} ms/iter")
+    asg_ms = (asg_rb and soft(asg_rb, "asg readback-closed")) or asg_disp_ms
+    trans_ms = (
+        trans_rb and soft(trans_rb, "transducer ngram0 readback-closed")
+    ) or trans_disp_ms
+    trans2_ms = (
+        trans2_rb and soft(trans2_rb, "transducer ngram2 readback-closed")
+    ) or trans2_disp_ms
+    ctc_ms = rb_ms or tpu_ms
     engine_ms = bench_graph_engine_cpu()
     asg_engine_ms = bench_asg_graph_engine_cpu()
     trans_engine_ms = bench_transducer_graph_engine_cpu()
     torch_ms = bench_torch_cpu()
     out = {
         "metric": "ctc_fwd_bwd_ms_per_iter_B32_T250_L44_N80",
-        "value": round(tpu_ms, 3),
+        "value": round(ctc_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(engine_ms / tpu_ms, 3) if engine_ms else 0.0,
+        "vs_baseline": round(engine_ms / ctc_ms, 3) if engine_ms else 0.0,
         "baseline": (
             "graph_engine_cpu: the reference's algorithm (per-sample graph "
             "compose + log-semiring autodiff, C++ thread pool) on this host"
         ),
+        "timing": (
+            "primary ms fields are readback-closed (ground truth on this "
+            "stack); *_dispatch_ms are the chained block_until_ready "
+            "numbers, which can return early here"
+        ),
         "graph_engine_cpu_ms": round(engine_ms, 3) if engine_ms else None,
-        "ctc_readback_closed_ms": round(rb_ms, 3) if rb_ms else None,
+        "ctc_dispatch_ms": round(tpu_ms, 3),
         "torch_cpu_ms": round(torch_ms, 3) if torch_ms else None,
-        "vs_torch_cpu": round(torch_ms / tpu_ms, 3) if torch_ms else None,
+        "vs_torch_cpu": round(torch_ms / ctc_ms, 3) if torch_ms else None,
         "asg_fwd_bwd_ms": round(asg_ms, 3) if asg_ms else None,
+        "asg_dispatch_ms": round(asg_disp_ms, 3) if asg_disp_ms else None,
         "asg_graph_engine_cpu_ms": (
             round(asg_engine_ms, 3) if asg_engine_ms else None
         ),
@@ -341,6 +391,9 @@ def main():
         "transducer_ngram0_fwd_bwd_ms": (
             round(trans_ms, 3) if trans_ms else None
         ),
+        "transducer_ngram0_dispatch_ms": (
+            round(trans_disp_ms, 3) if trans_disp_ms else None
+        ),
         "transducer_graph_engine_cpu_ms": (
             round(trans_engine_ms, 3) if trans_engine_ms else None
         ),
@@ -350,6 +403,9 @@ def main():
         ),
         "transducer_ngram2_fwd_bwd_ms": (
             round(trans2_ms, 3) if trans2_ms else None
+        ),
+        "transducer_ngram2_dispatch_ms": (
+            round(trans2_disp_ms, 3) if trans2_disp_ms else None
         ),
     }
     print(json.dumps(out))

@@ -76,6 +76,25 @@ def test_train_other_criteria(criterion):
     assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
 
 
+def test_train_ctc_assoc_impl():
+    """The long-context associative-scan lattice (impl='assoc', the
+    sequence-sharding form — ops/lattice.py ctc_forward_score_assoc) is
+    selectable from a shipped config and trains end-to-end on the mesh
+    (configs/synthetic/long_ctx_assoc.json)."""
+    from gtn_applications_tpu import train as train_mod
+
+    tmpdir = tempfile.mkdtemp()
+    cfg = _write_config(tmpdir, epochs=1)
+    with open(cfg) as fid:
+        config = json.load(fid)
+    config["criterion"] = {"impl": "assoc"}
+    with open(cfg, "w") as fid:
+        json.dump(config, fid)
+    args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
+    train_mod.train(args)
+    assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
+
+
 def test_train_loss_decreases():
     from gtn_applications_tpu import train as train_mod
 
