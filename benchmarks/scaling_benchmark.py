@@ -192,7 +192,10 @@ def run_chip_throughput(local_batch=8, iters=20):
     # Pass 2 (runs LAST — the first readback poisons sync latency):
     # readback-closed ground truth; all headline fields derive from it.
     for tag, step, params, xs, prepared, B, flops in cases:
-        t = _time_step_rb(step, params, xs, prepared, iters)
+        # each readback costs ~28 ms on this stack after the first one;
+        # amortize the single closing readback over >=200 iterations so it
+        # biases step_ms by <0.15 ms
+        t = _time_step_rb(step, params, xs, prepared, max(iters, 200))
         out[f"samples_per_s_chip{tag}"] = B / t
         out[f"step_ms{tag}"] = t * 1e3
         out[f"achieved_tflops{tag}"] = flops and flops / t / 1e12
