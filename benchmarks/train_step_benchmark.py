@@ -60,11 +60,21 @@ def main():
     for _ in range(iters):
         p, loss, _ = step(p, x, prepared, key, 1.0)
     jax.block_until_ready(loss)
-    ms = (time.perf_counter() - start) / iters * 1000
+    disp_ms = (time.perf_counter() - start) / iters * 1000
+    # readback-closed ground truth (chained block_until_ready can return
+    # early on this stack — tools/chip/chip_timing_sanity.py); one value
+    # transfer amortized over 200 iterations biases by <0.15 ms
+    rb_iters = 200
+    float(loss)  # absorb the first (poisoning) readback untimed
+    start = time.perf_counter()
+    for _ in range(rb_iters):
+        p, loss, _ = step(p, x, prepared, key, 1.0)
+    float(loss)
+    ms = (time.perf_counter() - start) / rb_iters * 1000
     tag = " bf16" if dtype is not None else ""
     tag += " ngram2-transducer" if "--ngram2" in sys.argv else ""
     print(f"train step B={B} H={H} W={W}{tag}: {ms:.2f} ms/step, "
-          f"{B / ms * 1000:.1f} images/s")
+          f"{B / ms * 1000:.1f} images/s (dispatch {disp_ms:.2f} ms)")
 
 
 if __name__ == "__main__":

@@ -52,15 +52,16 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-# Scoped-VMEM budget handed to Mosaic (v5e has 128 MiB/core; leave the
-# runtime its reserve).  The backward kernel's measured scoped footprint
-# at per-sample projection shapes is ~8.3 x B*S_pad*A_pad floats
-# (double-buffered projections + batched-dot intermediates): 105.5 MB at
-# B32/S256/A384 and 103.8 MB at B8/S384/A1024 both overflowed the old
-# 100 MiB budget by ~1%.  ops.sparse._whole_scan_fits gates dispatch
-# against this same number so larger shapes fall back to the per-step
-# kernel instead of failing to compile.
-VMEM_LIMIT_BYTES = 112 * 1024 * 1024
+# Scoped-VMEM budget handed to Mosaic (v5e has 128 MiB/core).  The
+# backward kernel's scoped demand GROWS with the budget (Mosaic sizes
+# its buffering to what is available) but caps out: AOT probes at
+# B8/S384/A1024 showed demand 100.5 MB under a 64 MiB budget, 124.6 MB
+# under 112 MiB, and a successful compile at 127 MiB — i.e. the capped
+# demand is ~9.9 x B*S_pad*A_pad floats with per-sample projections.
+# Hand Mosaic the full practical budget; ops.sparse._whole_scan_fits
+# gates dispatch against the same measured ratio so larger shapes fall
+# back to the per-step kernel instead of failing to compile.
+VMEM_LIMIT_BYTES = 127 * 1024 * 1024
 
 
 def _compiler_params():
