@@ -4,8 +4,11 @@ benchmarks/transducer_benchmark.py).
 
   * word decompositions: T=100, L=15 wordpieces, N=1000+1 over a 1k
     wordpiece vocabulary, fwd+bwd and viterbi, 20 iterations.  The
-    reference ships the vocabulary as a data file; here it is induced
-    on the fly from /root/reference when present, else synthesized.
+    vocabulary is the same 1000-piece inventory the reference checks in
+    (benchmarks/word_pieces_tokens_1000.txt), shipped here as the first
+    column of the fitted-scores data file
+    benchmarks/word_pieces_scores_1000.tsv — the protocol needs no
+    runtime access to /root/reference.
   * n-gram CTC/ASG-style: T=250, L=44, N=81, ngram in {0, 1, 2}.
 
 All fwd+bwd protocols run BEFORE any decode: the first device->host
@@ -24,20 +27,17 @@ import numpy as np
 from gtn_applications_tpu.criterions.transducer import Transducer
 from time_utils import time_func
 
-REF_TOKENS = "/root/reference/benchmarks/word_pieces_tokens_1000.txt"
+TOKENS_TSV = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "word_pieces_scores_1000.tsv"
+)
 
 
 def load_tokens():
-    if os.path.exists(REF_TOKENS):
-        with open(REF_TOKENS) as fid:
-            return sorted(l.strip() for l in fid)
-    # synthesize a 1k vocabulary with similar shape statistics
-    rng = random.Random(0)
-    alphabet = "abcdefghijklmnopqrstuvwxyz▁'"
-    toks = {c for c in alphabet}
-    while len(toks) < 1000:
-        toks.add("".join(rng.choice(alphabet) for _ in range(rng.randint(2, 8))))
-    return sorted(toks)
+    """The 1000-piece benchmark inventory (identical set to the reference's
+    word_pieces_tokens_1000.txt; verified by tests/test_wordpiece_conformance
+    .py::test_scores_cover_reference_inventory)."""
+    with open(TOKENS_TSV) as fid:
+        return sorted(line.rstrip("\n").split("\t")[0] for line in fid)
 
 
 def word_decompositions(B):

@@ -176,24 +176,26 @@ def test_wordpiece_lexicon_files():
         assert "".join(pieces) == "▁aba"
 
 
-REF_TOKENS = "/root/reference/benchmarks/word_pieces_tokens_1000.txt"
-
-
-@pytest.mark.skipif(
-    not os.path.exists(REF_TOKENS), reason="reference vocabulary not mounted"
+TOKENS_TSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "benchmarks", "word_pieces_scores_1000.tsv",
 )
+
+
 def test_reference_vocab_conformance():
-    """Tokenization with the reference's checked-in 1k wordpiece vocabulary:
-    deterministic ids via the lexicon path (the BASELINE conformance
-    surface) and full grapheme coverage for Viterbi segmentation."""
+    """Tokenization with the 1k wordpiece benchmark vocabulary (same
+    inventory the reference checks in as word_pieces_tokens_1000.txt,
+    shipped here in benchmarks/word_pieces_scores_1000.tsv): deterministic
+    ids via the lexicon path (the BASELINE conformance surface) and full
+    grapheme coverage for Viterbi segmentation."""
     import math as _math
 
     from gtn_applications_tpu.datasets.text import TextPreprocessor
     from gtn_applications_tpu.scripts.wordpiece import UnigramModel
 
-    with open(REF_TOKENS) as fid:
-        pieces = [l.strip() for l in fid]
-    assert len(pieces) == 999 or len(pieces) == 1000
+    with open(TOKENS_TSV) as fid:
+        pieces = [l.rstrip("\n").split("\t")[0] for l in fid]
+    assert len(pieces) == 1000
 
     # a uniform unigram model over the reference pieces segments any
     # training-domain string without unk fallback
