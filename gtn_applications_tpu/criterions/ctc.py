@@ -26,14 +26,20 @@ class CTC(Criterion):
         utils.py:256 output_size = num_tokens + 1).
       use_pt: accepted for config compatibility (reference ctc.py:101-104);
         the TPU path is used regardless.
+      chunk: chunk size for impl='assoc' / impl='chunked'.  For 'assoc'
+        this selects the chunk-transfer form (dense [S, S] operators
+        materialize per chunk, not per frame — O(T/chunk·S²) memory), which
+        is what makes T >= 4k sequence-sharded runs fit; without it the
+        assoc scan keeps per-frame operators (O(T·S²)).
     """
 
-    def __init__(self, blank, use_pt=True, impl="auto"):
+    def __init__(self, blank, use_pt=True, impl="auto", chunk=None):
         self.blank = blank
         self.use_pt = use_pt
         # 'assoc' selects the associative-scan lattice (sequence-sharding
         # form for long-context runs where T is sharded across the mesh)
         self.impl = impl
+        self.chunk = chunk
 
     def prepare(self, targets):
         return pad_targets(targets)
@@ -43,7 +49,7 @@ class CTC(Criterion):
         log_probs = jax.nn.log_softmax(inputs, axis=2)
         return lattice.ctc_loss(
             log_probs, targets, target_lengths, self.blank, "mean",
-            input_lengths, self.impl,
+            input_lengths, self.impl, self.chunk,
         )
 
     def viterbi_dispatch(self, outputs, params=None, input_lengths=None):

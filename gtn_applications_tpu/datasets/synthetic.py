@@ -14,16 +14,15 @@ _ALPHABET = "abcdefghij"
 _GLYPH_W = 12
 
 
-def _glyph(char_idx, height, rng):
+def _glyph(char_idx, height, rng, width=_GLYPH_W):
     """A per-character deterministic pattern with mild noise."""
-    g = np.ones((height, _GLYPH_W), dtype=np.float32)
     phase = (char_idx + 1) / (len(_ALPHABET) + 2)
     ys = np.arange(height)[:, None] / height
-    xs = np.arange(_GLYPH_W)[None, :] / _GLYPH_W
+    xs = np.arange(width)[None, :] / width
     pattern = 0.5 + 0.5 * np.sin(
         2 * np.pi * ((char_idx + 2) * xs + phase + ys * (char_idx % 3))
     )
-    g = np.clip(pattern + rng.randn(height, _GLYPH_W) * 0.05, 0, 1)
+    g = np.clip(pattern + rng.randn(height, width) * 0.05, 0, 1)
     return g.astype(np.float32)
 
 
@@ -40,14 +39,15 @@ def _make_corpus(num_samples, seed, min_words=1, max_words=3):
 
 
 class Dataset:
-    def __init__(self, data_path, preprocessor, split="train", augment=False):
+    def __init__(self, data_path, preprocessor, split="train", augment=False,
+                 glyph_w=_GLYPH_W, min_words=1, max_words=3):
         seeds = {"train": 1, "validation": 2, "test": 3}
         sizes = {"train": 64, "validation": 16, "test": 16}
         seed = seeds.get(split)
         if seed is None:
             raise ValueError(f"Invalid split {split}")
         self.preprocessor = preprocessor
-        self.texts = _make_corpus(sizes[split], seed)
+        self.texts = _make_corpus(sizes[split], seed, min_words, max_words)
         self.height = preprocessor.num_features
         self.rng = np.random.RandomState(seed + 100)
         self.images = []
@@ -59,6 +59,7 @@ class Dataset:
                         _ALPHABET.index(c) if c in _ALPHABET else len(_ALPHABET),
                         self.height,
                         self.rng,
+                        glyph_w,
                     )
                     for c in chars
                 ],

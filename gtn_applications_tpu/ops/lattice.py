@@ -54,7 +54,8 @@ def ctc_state_tables(targets, blank):
 
 
 def ctc_forward_score(
-    log_probs, targets, target_lengths, blank, input_lengths=None, impl="auto"
+    log_probs, targets, target_lengths, blank, input_lengths=None, impl="auto",
+    chunk=None,
 ):
     """Log-semiring forward score of the CTC lattice.
 
@@ -65,8 +66,12 @@ def ctc_forward_score(
       blank: blank index.
       input_lengths: optional ``[B]`` true input lengths (default: T).
       impl: 'auto' (Pallas kernel on TPU, scan elsewhere), 'pallas', 'scan',
-        or 'assoc' (associative_scan over band operators — the
-        sequence-sharding form; see ctc_forward_score_assoc).
+        'assoc' (associative_scan over band operators — the
+        sequence-sharding form; see ctc_forward_score_assoc), or 'chunked'
+        (checkpointed sequential chunks, sqrt-memory).
+      chunk: chunk size for impl='assoc' (per-chunk transfer operators,
+        O(T/chunk·S²) memory — the memory-bounded long-context form) and
+        impl='chunked'; None keeps each impl's default.
 
     Returns:
       ``[B]`` forward scores (log total path probability).
@@ -91,11 +96,12 @@ def ctc_forward_score(
         raise ValueError(f"unknown CTC impl {impl!r}")
     if impl == "assoc":
         return ctc_forward_score_assoc(
-            log_probs, targets, target_lengths, blank, input_lengths
+            log_probs, targets, target_lengths, blank, input_lengths, chunk
         )
     if impl == "chunked":
+        kw = {} if chunk is None else {"chunk": chunk}
         return ctc_forward_score_chunked(
-            log_probs, targets, target_lengths, blank, input_lengths
+            log_probs, targets, target_lengths, blank, input_lengths, **kw
         )
     if impl == "pallas":
         from . import lattice_pallas
@@ -163,6 +169,7 @@ def ctc_loss(
     reduction="mean",
     input_lengths=None,
     impl="auto",
+    chunk=None,
 ):
     """Mean-over-batch negative CTC forward score.
 
@@ -171,7 +178,7 @@ def ctc_loss(
     mean is taken.
     """
     scores = ctc_forward_score(
-        log_probs, targets, target_lengths, blank, input_lengths, impl
+        log_probs, targets, target_lengths, blank, input_lengths, impl, chunk
     )
     losses = -scores
     if reduction == "mean":

@@ -53,6 +53,41 @@ def shard_batch(batch, mesh, axis_name="data"):
     return jnp.asarray(batch)
 
 
+def shard_batch_time(batch, mesh, time_axis):
+    """Shard the leading axis along 'data' AND the time axis along 'seq'.
+
+    The sequence-parallel input layout for long-context runs (SURVEY §5):
+    the encoder convolutions and the chunk-transfer assoc lattice
+    (ops.lattice.ctc_forward_score_assoc with a chunk) are local in time,
+    so XLA keeps per-shard work on its own device and inserts halo/prefix
+    collectives over the 'seq' axis.  Either axis falls back to
+    replication when its extent is indivisible by the mesh dim (with the
+    same one-shot warning as shard_batch)."""
+    batch = np.asarray(batch) if not isinstance(batch, jnp.ndarray) else batch
+    dims = dict(zip(mesh.axis_names, mesh.devices.shape))
+    spec = [None] * batch.ndim
+    if dims.get("data", 1) > 1 and batch.shape[0] % dims["data"] == 0:
+        spec[0] = "data"
+    if (
+        dims.get("seq", 1) > 1
+        and 0 < time_axis < batch.ndim
+        and batch.shape[time_axis] % dims["seq"] == 0
+    ):
+        spec[time_axis] = "seq"
+    for axis, name in ((0, "data"), (time_axis, "seq")):
+        n = dims.get(name, 1)
+        if n > 1 and spec[axis] is None:
+            key = (batch.shape[axis], name, n)
+            if key not in _warned_indivisible:
+                _warned_indivisible.add(key)
+                logging.warning(
+                    "axis %d extent %d not divisible by %d '%s' shards: "
+                    "replicating along that mesh axis",
+                    axis, batch.shape[axis], n, name,
+                )
+    return jax.device_put(batch, NamedSharding(mesh, P(*spec)))
+
+
 def shard_pytree_batch(tree, mesh, axis_name="data"):
     """Shard every array leaf of a prepared-targets pytree along axis 0
     (leaves whose leading dim is not divisible are replicated)."""

@@ -11,6 +11,7 @@ import jax
 from . import utils
 from .parallel import mesh as pmesh
 from .train import (
+    input_time_axis,
     load_experiment,
     make_eval_step,
     make_mesh,
@@ -52,7 +53,7 @@ def run_test(args):
     if hasattr(criterion, "eval"):
         criterion.eval()
 
-    mesh = make_mesh()
+    mesh = make_mesh(config["optim"].get("seq_parallel", 1))
     eval_step = make_eval_step(model, criterion)
     meters = utils.Meters()
     pending_losses = []  # device scalars: one end-of-run readback
@@ -90,7 +91,10 @@ def run_test(args):
     use_lengths = config["optim"].get("use_input_lengths", False)
     multihost = jax.process_count() > 1
     for inputs, widths, targets in loader:
-        inputs = shard_batch(inputs, mesh)
+        inputs = shard_batch(
+            inputs, mesh,
+            input_time_axis(inputs, preprocessor.num_features),
+        )
         prepared = shard_prepared(
             criterion.prepare(targets), mesh, len(targets)
         )

@@ -56,21 +56,49 @@ def parse_args(argv=None):
     return args
 
 
-def make_mesh():
+def make_mesh(seq_parallel=1):
+    """Device mesh: 1-D ('data',) by default; a 2-D ('data', 'seq') grid
+    when the config asks for sequence parallelism (optim.seq_parallel = n
+    time shards — the long-context axis, SURVEY §5).  Falls back to
+    data-only with a warning when the device count is indivisible."""
     devices = np.asarray(jax.devices())
+    if seq_parallel > 1:
+        if devices.size % seq_parallel == 0:
+            return Mesh(
+                devices.reshape(-1, seq_parallel), ("data", "seq")
+            )
+        logging.warning(
+            "seq_parallel=%d does not divide %d devices; using a "
+            "data-only mesh", seq_parallel, devices.size,
+        )
     return Mesh(devices, ("data",))
 
 
-def shard_batch(batch, mesh):
+def input_time_axis(inputs, num_features):
+    """Time axis of a padded input batch: image layout
+    [B, H=num_features, W=time] -> 2; feature-stream layout
+    [B, T=time, F=num_features] -> 1.  None for non-3D inputs."""
+    inputs = np.asarray(inputs)
+    if inputs.ndim != 3:
+        return None
+    return 2 if inputs.shape[1] == num_features else 1
+
+
+def shard_batch(batch, mesh, time_axis=None):
     """Shard the local batch's leading axis across the data mesh.
 
     Single-process: device_put with a batch-sharded NamedSharding (loud
     replicated fallback when indivisible).  Multi-process: each host feeds
     its own rank-dealt local batch and the global jax.Array is stitched
     with jax.make_array_from_process_local_data — the multi-host
-    replacement for DDP's per-rank batches (reference train.py:135-208)."""
+    replacement for DDP's per-rank batches (reference train.py:135-208).
+    On a ('data', 'seq') mesh the time axis additionally shards along
+    'seq' (single-process only; multi-host seq sharding would need
+    time-split host feeds)."""
     if jax.process_count() > 1:
         return pmesh.global_batch_from_local(batch, mesh)
+    if time_axis is not None and "seq" in mesh.axis_names:
+        return pmesh.shard_batch_time(batch, mesh, time_axis)
     return pmesh.shard_batch(batch, mesh)
 
 
@@ -204,7 +232,9 @@ def test(model, criterion, params, data_loader, preprocessor, mesh, eval_step,
 
     multihost = jax.process_count() > 1
     for inputs, widths, targets in data_loader:
-        inputs = shard_batch(inputs, mesh)
+        inputs = shard_batch(
+            inputs, mesh, input_time_axis(inputs, preprocessor.num_features)
+        )
         prepared = shard_prepared(
             criterion.prepare(targets), mesh, len(targets)
         )
@@ -286,7 +316,7 @@ def train(args):
     val_loader = utils.data_loader(valset, config, world_rank, world_size, seed)
 
     logging.info("Loading model ...")
-    mesh = make_mesh()
+    mesh = make_mesh(config["optim"].get("seq_parallel", 1))
 
     # init params with a sample batch shape
     sample_inputs, _, sample_targets = next(iter(train_loader))
@@ -369,7 +399,9 @@ def train(args):
         for inputs, widths, targets, prepared in prepared_batches(
             train_loader, criterion
         ):
-            inputs = shard_batch(inputs, mesh)
+            inputs = shard_batch(
+                inputs, mesh, input_time_axis(inputs, input_size)
+            )
             prepared = shard_prepared(prepared, mesh, len(targets))
             lens = output_lengths(model, widths) if use_lengths else None
             glens = (

@@ -377,7 +377,8 @@ def load_criterion(criterion_type, preprocessor, config):
     elif criterion_type == "ctc":
         use_pt = config.get("use_pt", True)
         impl = config.get("impl", "auto")
-        return CTC(num_tokens, use_pt, impl), num_tokens + 1
+        chunk = config.get("chunk", None)
+        return CTC(num_tokens, use_pt, impl, chunk), num_tokens + 1
     elif criterion_type == "stc":
         # model emits [blank, tokens...]; star channels are internal.
         # NOTE: the STC class defaults to reduction="none" (matching the

@@ -77,19 +77,44 @@ def test_train_other_criteria(criterion):
 
 
 def test_train_ctc_assoc_impl():
-    """The long-context associative-scan lattice (impl='assoc', the
-    sequence-sharding form — ops/lattice.py ctc_forward_score_assoc) is
-    selectable from a shipped config and trains end-to-end on the mesh
-    (configs/synthetic/long_ctx_assoc.json)."""
+    """The long-context associative-scan lattice (impl='assoc' with the
+    memory-bounded chunk-transfer form — ops/lattice.py
+    ctc_forward_score_assoc(chunk=...)) trains end-to-end from the SHIPPED
+    recipe configs/synthetic/long_ctx_assoc.json: T >= 4096 lattice frames
+    on the ('data', 'seq') mesh, the time axis sharded 4-way, all selected
+    purely by config keys (criterion.chunk, optim.seq_parallel)."""
+    import jax
+
     from gtn_applications_tpu import train as train_mod
 
-    tmpdir = tempfile.mkdtemp()
-    cfg = _write_config(tmpdir, epochs=1)
-    with open(cfg) as fid:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "configs/synthetic/long_ctx_assoc.json")) as fid:
         config = json.load(fid)
-    config["criterion"] = {"impl": "assoc"}
+
+    tmpdir = tempfile.mkdtemp()
+    config["data"]["data_path"] = tmpdir
+    config["optim"]["epochs"] = 1
+    cfg = os.path.join(tmpdir, "config.json")
     with open(cfg, "w") as fid:
         json.dump(config, fid)
+
+    # the shipped recipe must actually select the chunked assoc lattice
+    # and a (data, seq) mesh — the knobs this config exists to exercise
+    _, _, criterion, model, _ = train_mod.load_experiment(config)
+    assert criterion.impl == "assoc" and criterion.chunk == 256
+    mesh = train_mod.make_mesh(config["optim"]["seq_parallel"])
+    if len(jax.devices()) >= 8:
+        assert mesh.axis_names == ("data", "seq")
+        assert mesh.devices.shape[1] == 4
+
+    # and the data really is long-context: >= 4096 encoder frames (the
+    # tds_groups use time stride 1, so lattice T == image width)
+    from gtn_applications_tpu.datasets import synthetic_long
+
+    pre = synthetic_long.Preprocessor(tmpdir, num_features=16)
+    ds = synthetic_long.Dataset(tmpdir, pre, split="train")
+    assert min(w for (w, h), _ in ds.sample_sizes()) >= 4096
+
     args = train_mod.parse_args(["--config", cfg, "--checkpoint_path", tmpdir])
     train_mod.train(args)
     assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
