@@ -154,14 +154,25 @@ class STC(Criterion):
         remapped = [tuple(target_map[t] for t in tgt) for tgt in targets]
         compiled = [self._compiled(tgt, star_idx) for tgt in remapped]
         cgs = [c[0] for c in compiled]
-        table = wcompile.stack_arc_tables(cgs)
-        A = table.src.shape[1]
-        star_mask = np.stack(
-            [
-                np.concatenate([c[1], np.zeros(A - len(c[1]), np.float32)])
-                for c in compiled
-            ]
-        )
+        union = wcompile.union_stack_arc_tables(cgs)
+        if union is not None:
+            # shared-skeleton layout (see union_stack_arc_tables): the STC
+            # label graphs share the criterion template, so the whole-scan
+            # step is one MXU matmul instead of B matvecs
+            table, positions, _ = union
+            A = table.src.shape[0]
+            star_mask = np.zeros((len(cgs), A), np.float32)
+            for b, c in enumerate(compiled):
+                star_mask[b, positions[b]] = c[1]
+        else:
+            table = wcompile.stack_arc_tables(cgs)
+            A = table.src.shape[1]
+            star_mask = np.stack(
+                [
+                    np.concatenate([c[1], np.zeros(A - len(c[1]), np.float32)])
+                    for c in compiled
+                ]
+            )
         return {
             "table": table,
             "star_mask": jnp.asarray(star_mask),

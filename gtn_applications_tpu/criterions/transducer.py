@@ -356,15 +356,30 @@ class Transducer(Criterion):
                 pool.map(self._compile_target, missing)
         compiled = [self._compile_target(k) for k in keys]
         cgs = [c[0] for c in compiled]
-        table = wcompile.stack_arc_tables(cgs)
-        A = table.src.shape[1]
-        E = table.eps_src.shape[1]
-        widx = np.stack(
-            [np.concatenate([c[1], -np.ones(A - len(c[1]), np.int32)]) for c in compiled]
-        )
-        eps_widx = np.stack(
-            [np.concatenate([c[2], -np.ones(E - len(c[2]), np.int32)]) for c in compiled]
-        )
+        union = wcompile.union_stack_arc_tables(cgs)
+        if union is not None:
+            # shared-skeleton layout: 1-D src/dst (one MXU matmul per scan
+            # step instead of B matvecs), per-sample [B, A] labels/weights;
+            # provenance arrays scatter into the union slots
+            table, positions, eps_positions = union
+            A = table.src.shape[0]
+            E = table.eps_src.shape[0]
+            widx = -np.ones((len(cgs), A), np.int32)
+            eps_widx = -np.ones((len(cgs), max(E, 1)), np.int32)
+            for b, c in enumerate(compiled):
+                widx[b, positions[b]] = c[1]
+                if E and len(eps_positions[b]):
+                    eps_widx[b, eps_positions[b]] = c[2]
+        else:
+            table = wcompile.stack_arc_tables(cgs)
+            A = table.src.shape[1]
+            E = table.eps_src.shape[1]
+            widx = np.stack(
+                [np.concatenate([c[1], -np.ones(A - len(c[1]), np.int32)]) for c in compiled]
+            )
+            eps_widx = np.stack(
+                [np.concatenate([c[2], -np.ones(E - len(c[2]), np.int32)]) for c in compiled]
+            )
         lengths = np.asarray([len(np.asarray(t)) for t in targets], dtype=np.int32)
         return {
             "table": table,

@@ -126,25 +126,49 @@ def _norm_impl(value):
 # lax.scan; "auto": whole when the projection matrices fit the VMEM budget.
 _SCAN_IMPL = _norm_impl(os.environ.get("GTN_SPARSE_SCAN", "auto"))
 
-def _whole_scan_fits(B, S, A, E, per_sample, eps_per_sample, eps_depth):
-    """Predict whether the whole-scan kernel (and its backward) fits the
-    scoped-VMEM budget handed to Mosaic; beyond it, fall back to the
-    per-step kernel.  The binding constraint is the BACKWARD kernel:
-    Mosaic sizes its buffering to the budget but the demand caps at
-    ~9.9 x B*S_pad*A_pad floats with per-sample projections (AOT probe
-    at B8/S384/A1024: demand 124.6 MB once the budget exceeds it, OK at
-    a 127 MiB budget).  Model 10x with a 3% margin.  Shared projections
-    skip the batched dot (plain [B,S] x [S,A] matmuls), leaving the
-    double-buffered matrices + state/arc vectors."""
-    from .sparse_scan_pallas import VMEM_LIMIT_BYTES
+_logged_whole_dispatch = set()
 
-    pad = lambda n: n + (-n) % 128
-    S_pad, A_pad, E_pad = pad(S), pad(max(A, 1)), pad(max(E, 1))
-    floats = (10.0 * B if per_sample else 4.0) * S_pad * A_pad
-    if eps_depth > 0:
-        floats += (10.0 * B if eps_per_sample else 4.0) * S_pad * E_pad
-    floats += 3 * B * (3 * A_pad + E_pad + 4 * S_pad)
-    return 4 * floats <= 0.97 * VMEM_LIMIT_BYTES
+
+def _whole_scan_plan(B, S, A, E, per_sample, eps_per_sample, eps_depth):
+    """Batch-tile plan for the whole-scan kernel: the largest tile whose
+    BACKWARD footprint (the binding constraint — see
+    sparse_scan_pallas.predict_vmem_bytes for the probe-backed model) fits
+    the scoped-VMEM budget.  Returns the tile size, or None when even a
+    1-sample tile does not fit (huge shared graphs) and the per-step
+    kernel must be used.  Logs the predicted demand once per shape so a
+    Mosaic OOM at dispatch time is diagnosable."""
+    import logging
+
+    from .sparse_scan_pallas import choose_batch_tile
+
+    bt, demand = choose_batch_tile(
+        B, S, A, E, per_sample, eps_per_sample, eps_depth
+    )
+    key = (B, S, A, E, per_sample, eps_per_sample, eps_depth)
+    if key not in _logged_whole_dispatch:
+        _logged_whole_dispatch.add(key)
+        if bt is not None:
+            logging.info(
+                "whole-scan sparse kernel: B=%d S=%d A=%d E=%d -> "
+                "batch_tile=%d, predicted backward VMEM %.1f MB",
+                B, S, A, E, bt, demand / 1e6,
+            )
+        else:
+            logging.info(
+                "whole-scan sparse kernel does not fit at B=%d S=%d A=%d "
+                "E=%d (1-sample tile predicts %.1f MB); using the "
+                "per-step kernel", B, S, A, E, demand / 1e6,
+            )
+    return bt
+
+
+def _whole_scan_fits(B, S, A, E, per_sample, eps_per_sample, eps_depth):
+    """Back-compat predicate: True when some batch tile fits."""
+    from .sparse_scan_pallas import choose_batch_tile
+
+    return choose_batch_tile(
+        B, S, A, E, per_sample, eps_per_sample, eps_depth
+    )[0] is not None
 
 
 def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
@@ -174,16 +198,16 @@ def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
     em_arc = gather_channels(em, label_b)  # [B, T, A]
 
     impl = _norm_impl(_SCAN_IMPL)
-    use_whole = impl == "whole" or (
-        impl == "auto"
-        and _whole_scan_fits(
-            B, S, src.shape[-1], table.eps_src.shape[-1],
-            per_sample=src.shape[0] > 1,
-            eps_per_sample=_as2d(table.eps_src).shape[0] > 1,
-            eps_depth=table.eps_depth,
-        )
+    batch_tile = _whole_scan_plan(
+        B, S, src.shape[-1], table.eps_src.shape[-1],
+        per_sample=src.shape[0] > 1,
+        eps_per_sample=_as2d(table.eps_src).shape[0] > 1,
+        eps_depth=table.eps_depth,
     )
+    use_whole = impl == "whole" or (impl == "auto" and batch_tile is not None)
     if use_whole:
+        if batch_tile is None:
+            batch_tile = 1  # pinned "whole" past the gate: best-effort tile
         from . import sparse_scan_pallas
 
         eps_src = _as2d(table.eps_src)
@@ -204,6 +228,7 @@ def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
         return sparse_scan_pallas.scan_scores(
             em_arc, (src, dst, weight, eps_src, eps_dst, eps_w),
             alpha0, accept, input_lengths, table.eps_depth,
+            batch_tile=batch_tile,
         )
 
     em_arc = em_arc.transpose(1, 0, 2)     # [T, B, A]
@@ -246,7 +271,10 @@ def forward_score_batch(em, table: ArcTable, input_lengths=None):
 
 
 def forward_score_batch_tables(em, tables: ArcTable, input_lengths=None):
-    """Per-sample arc tables (leading batch dim on every table field).
+    """Per-sample arc tables: fields are [B, ·] (stacked per-sample) or
+    [·] (shared across the batch — e.g. union-skeleton src/dst endpoints
+    from wfst.compile.union_stack_arc_tables, with per-sample
+    labels/weights).
 
     Used when the lattice depends on the target (transducer alignment
     graphs, STC label graphs): tables are stacked/padded host-side.
@@ -254,7 +282,11 @@ def forward_score_batch_tables(em, tables: ArcTable, input_lengths=None):
     if jax.default_backend() == "tpu":
         return _forward_batched_pallas(em, tables, input_lengths)
     eps_depth = tables.eps_depth
-    fields = tables.array_fields()
+    B = em.shape[0]
+    fields = tuple(
+        f if f.ndim == 2 else jnp.broadcast_to(f, (B,) + f.shape)
+        for f in tables.array_fields()
+    )
 
     if input_lengths is None:
         def one(*f):

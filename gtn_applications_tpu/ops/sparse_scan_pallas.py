@@ -32,6 +32,15 @@ memory, not O(T*A)), applies the exact softmax-posterior VJP through the
 unrolled closure chain as the transposed matmuls, streams per-frame
 emission grads out, and accumulates arc/epsilon weight grads in output
 blocks that persist across grid steps.
+
+Batch tiling: the binding VMEM constraint is the backward kernel's
+per-sample projection residency (~10 x B*S_pad*A_pad floats measured).
+When the full batch exceeds the budget the grid gains a leading batch
+axis — grid (nb, T), each tile scanning B/nb samples with its own
+scratch carry re-initialized at its first time step — so bench/recipe
+shapes (e.g. B32/S256/A384) dispatch the whole-scan kernel instead of
+falling back to the per-step path.  Total FLOPs and DMA bytes are
+unchanged; only peak VMEM residency shrinks by nb.
 """
 
 import functools
@@ -159,7 +168,7 @@ def _fwd_kernel(
     p_esrc_ref, p_edst_ref, eps_w_ref, len_ref,
     traj_ref, alpha_scr,
 ):
-    i = pl.program_id(0)
+    i = pl.program_id(1)  # time; program_id(0) is the batch tile
 
     @pl.when(i == 0)
     def _():
@@ -198,8 +207,8 @@ def _bwd_kernel(
     p_esrc_ref, p_edst_ref, eps_w_ref, len_ref, g_ref,
     dem_ref, dw_ref, deps_ref, dalpha0_ref, gal_scr,
 ):
-    T = pl.num_programs(0)
-    i = pl.program_id(0)
+    T = pl.num_programs(1)
+    i = pl.program_id(1)  # time; program_id(0) is the batch tile
     t = T - 1 - i
 
     @pl.when(i == 0)
@@ -263,9 +272,9 @@ def _bwd_kernel(
     dalpha0_ref[...] = gal_scr[...]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def sparse_scan(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w,
-                lens, eps_depth):
+                lens, eps_depth, batch_tile):
     """Final alpha [B, S] of the whole lattice scan as one Pallas launch.
 
     Args (already padded/layouted by ``scan_scores``):
@@ -276,45 +285,72 @@ def sparse_scan(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w,
       p_esrc/p_edst/eps_w: epsilon projections (ignored if eps_depth == 0).
       lens: [B, 1] f32 — frames beyond a sample's length carry alpha through.
       eps_depth: static closure unroll bound.
+      batch_tile: static samples per grid tile (None = whole batch); must
+        divide B.  Shrinks peak VMEM residency by B/batch_tile.
     """
     final, _ = _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst,
-                         eps_w, lens, eps_depth)
+                         eps_w, lens, eps_depth, batch_tile)
     return final
 
 
-def _full_spec(shape):
-    return pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
+def _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w):
+    """Common BlockSpecs for the (batch-tile, time) grid: batch-tiled
+    time-constant blocks for state/arc vectors, shared or per-sample
+    projections, all VMEM-resident per tile."""
+
+    def tile(shape_full):
+        block = (Bt,) + shape_full[1:]
+        nd = len(block)
+        return pl.BlockSpec(
+            block, lambda b, i: (b,) + (0,) * (nd - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    def proj(p):
+        if p.ndim == 2:  # shared projection: same block every tile
+            return pl.BlockSpec(
+                p.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            )
+        return tile(p.shape)
+
+    return {
+        "alpha": tile((B, S_pad)),
+        "w": tile((B, A_pad)),
+        "len": tile((B, 1)),
+        "p_src": proj(p_src), "p_dst": proj(p_dst),
+        "p_esrc": proj(p_esrc), "p_edst": proj(p_edst),
+        "eps_w": tile(eps_w.shape),
+    }
 
 
 def _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens,
-              eps_depth):
+              eps_depth, batch_tile):
     T, B, A_pad = em_tba.shape
     S_pad = alpha0.shape[-1]
+    Bt = batch_tile or B
+    assert B % Bt == 0, (B, Bt)
+    sp = _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w)
 
     em_spec = pl.BlockSpec(
-        (1, B, A_pad), lambda i: (jnp.maximum(i, 1) - 1, 0, 0),
+        (1, Bt, A_pad), lambda b, i: (jnp.maximum(i, 1) - 1, b, 0),
         memory_space=pltpu.VMEM,
     )
     traj_spec = pl.BlockSpec(
-        (1, B, S_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, Bt, S_pad), lambda b, i: (i, b, 0), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(_fwd_kernel, eps_depth)
     traj = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T + 1, B, S_pad), jnp.float32),
-        grid=(T + 1,),
+        grid=(B // Bt, T + 1),
         in_specs=[
-            _full_spec((B, S_pad)), em_spec,
-            _full_spec(p_src.shape), _full_spec(p_dst.shape),
-            _full_spec((B, A_pad)),
-            _full_spec(p_esrc.shape), _full_spec(p_edst.shape),
-            _full_spec(eps_w.shape), _full_spec((B, 1)),
+            sp["alpha"], em_spec,
+            sp["p_src"], sp["p_dst"], sp["w"],
+            sp["p_esrc"], sp["p_edst"], sp["eps_w"], sp["len"],
         ],
         out_specs=traj_spec,
-        scratch_shapes=[pltpu.VMEM((B, S_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Bt, S_pad), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens)
@@ -323,18 +359,22 @@ def _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens,
     return final, res
 
 
-def _scan_bwd(eps_depth, res, g):
+def _scan_bwd(eps_depth, batch_tile, res, g):
     traj, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens = res
     T, B, A_pad = em_tba.shape
     S_pad = traj.shape[-1]
     E_pad = eps_w.shape[-1]
+    Bt = batch_tile or B
+    sp = _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w)
 
     rev_em = pl.BlockSpec(
-        (1, B, A_pad), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM
+        (1, Bt, A_pad), lambda b, i: (T - 1 - i, b, 0),
+        memory_space=pltpu.VMEM,
     )
     # traj[t] is the alpha *entering* step t (traj[0] == alpha0)
     rev_ain = pl.BlockSpec(
-        (1, B, S_pad), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM
+        (1, Bt, S_pad), lambda b, i: (T - 1 - i, b, 0),
+        memory_space=pltpu.VMEM,
     )
 
     kernel = functools.partial(_bwd_kernel, eps_depth)
@@ -346,18 +386,15 @@ def _scan_bwd(eps_depth, res, g):
             jax.ShapeDtypeStruct((B, E_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, S_pad), jnp.float32),
         ),
-        grid=(T,),
+        grid=(B // Bt, T),
         in_specs=[
             rev_em, rev_ain,
-            _full_spec(p_src.shape), _full_spec(p_dst.shape),
-            _full_spec((B, A_pad)),
-            _full_spec(p_esrc.shape), _full_spec(p_edst.shape),
-            _full_spec(eps_w.shape), _full_spec((B, 1)),
-            _full_spec((B, S_pad)),
+            sp["p_src"], sp["p_dst"], sp["w"],
+            sp["p_esrc"], sp["p_edst"], sp["eps_w"], sp["len"],
+            sp["alpha"],
         ],
-        out_specs=(rev_em, _full_spec((B, A_pad)), _full_spec((B, E_pad)),
-                   _full_spec((B, S_pad))),
-        scratch_shapes=[pltpu.VMEM((B, S_pad), jnp.float32)],
+        out_specs=(rev_em, sp["w"], sp["eps_w"], sp["alpha"]),
+        scratch_shapes=[pltpu.VMEM((Bt, S_pad), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(em_tba, traj, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens, g)
@@ -370,6 +407,40 @@ def _scan_bwd(eps_depth, res, g):
 sparse_scan.defvjp(_scan_fwd, _scan_bwd)
 
 
+def predict_vmem_bytes(Bt, S, A, E, per_sample, eps_per_sample, eps_depth):
+    """Backward-kernel scoped-VMEM demand model for one batch tile of Bt
+    samples (the binding constraint; the forward is strictly smaller).
+    Coefficients from AOT probes on chip (docs/chip_verification.md):
+    demand caps at ~9.9 x Bt*S_pad*A_pad floats with per-sample
+    projections — modeled as 10x; the 4x shared-projection coefficient is
+    provisional (not probe-backed) pending the staged chip session."""
+    pad = lambda n: n + (-n) % 128
+    S_pad, A_pad, E_pad = pad(S), pad(max(A, 1)), pad(max(E, 1))
+    floats = (10.0 * Bt if per_sample else 4.0) * S_pad * A_pad
+    if eps_depth > 0:
+        floats += (10.0 * Bt if eps_per_sample else 4.0) * S_pad * E_pad
+    floats += 3 * Bt * (3 * A_pad + E_pad + 4 * S_pad)
+    return 4.0 * floats
+
+
+def choose_batch_tile(B, S, A, E, per_sample, eps_per_sample, eps_depth):
+    """Largest batch tile whose per-tile backward footprint fits the
+    scoped-VMEM budget (3% margin).  Returns (batch_tile, predicted_bytes)
+    — batch_tile None means even a 1-sample tile does not fit and the
+    caller must fall back to the per-step kernel."""
+    budget = 0.97 * VMEM_LIMIT_BYTES
+    for nb in (n for n in range(1, B + 1) if B % n == 0):
+        bt = B // nb
+        demand = predict_vmem_bytes(
+            bt, S, A, E, per_sample, eps_per_sample, eps_depth
+        )
+        if demand <= budget:
+            return bt, demand
+    return None, predict_vmem_bytes(
+        1, S, A, E, per_sample, eps_per_sample, eps_depth
+    )
+
+
 def _projections(idx, S_pad, A_mult=128):
     """[Ba, A] int arc endpoints -> one-hot projection [S_pad, A_pad]
     (shared, Ba == 1) or [Ba, S_pad, A_pad] (per-sample)."""
@@ -379,7 +450,7 @@ def _projections(idx, S_pad, A_mult=128):
 
 
 def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
-                eps_depth):
+                eps_depth, batch_tile=None):
     """Convenience wrapper: build projections, pad + layout inputs, run the
     whole-scan kernel, and reduce to per-sample scores.
 
@@ -391,6 +462,7 @@ def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
       accept: [Ba, S] accepting potentials.
       input_lengths: [B] int.
       eps_depth: static closure bound.
+      batch_tile: static samples per grid tile (see sparse_scan).
     """
     from .semiring import logsumexp
 
@@ -421,6 +493,6 @@ def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
 
     final = sparse_scan(
         alpha0_p, em_p, p_src, p_dst, w_p, p_esrc, p_edst, eps_w_p,
-        input_lengths.astype(jnp.float32)[:, None], eps_depth,
+        input_lengths.astype(jnp.float32)[:, None], eps_depth, batch_tile,
     )[:, :S]
     return logsumexp(final + accept, axis=-1)

@@ -296,6 +296,124 @@ def to_arc_table(cg: CompiledGraph, pad_arcs=None, pad_states=None, pad_eps=None
     )
 
 
+def _union_slots(per_sample_pairs, pad_multiple):
+    """Align per-sample (src, dst) arc lists onto a shared union skeleton.
+
+    Slot identity is (src, dst, occurrence): the k-th arc between the same
+    state pair in any sample lands in the same slot, so samples that lack
+    an arc simply leave that slot dead (NEG weight).  Returns
+    (src_u, dst_u, positions) where positions[b][i] is the slot of sample
+    b's i-th arc, or None... (callers gate on the union size themselves).
+    """
+    counts = {}
+    per_sample_keys = []
+    for pairs in per_sample_pairs:
+        occ = {}
+        keys = []
+        for sd in pairs:
+            k = occ.get(sd, 0)
+            occ[sd] = k + 1
+            keys.append((sd[0], sd[1], k))
+        per_sample_keys.append(keys)
+        for sd, c in occ.items():
+            counts[sd] = max(counts.get(sd, 0), c)
+    union = sorted(
+        (s, d, k) for (s, d), c in counts.items() for k in range(c)
+    )
+    slot = {key: i for i, key in enumerate(union)}
+    positions = [
+        np.asarray([slot[k] for k in keys], np.int64)
+        for keys in per_sample_keys
+    ]
+    src_u = np.asarray([k[0] for k in union], np.int32)
+    dst_u = np.asarray([k[1] for k in union], np.int32)
+    return src_u, dst_u, positions
+
+
+def union_stack_arc_tables(
+    cgs: Sequence[CompiledGraph], pad_multiple=8, max_blowup=1.75
+):
+    """Shared-skeleton stacking: 1-D src/dst (+eps endpoints) with
+    per-sample [B, A] label/weight.
+
+    Per-sample one-hot projections make the whole-scan kernel's hot op a
+    batch of [1, S] x [S, A] matvecs — ~1/256 MXU utilization and ~10x
+    B*S*A floats of VMEM.  When the batch's graphs mostly share structure
+    (every target-dependent lattice built from the same criterion
+    template: CTC-style alignment graphs, n-gram chains), aligning arcs
+    onto the union skeleton turns the step into ONE [B, S] x [S_pad,
+    A_pad] MXU matmul with per-sample arc weights/labels applied
+    elementwise, and shrinks VMEM to ~4 x S*A floats.
+
+    Returns (table, positions, eps_positions) — positions[b] maps sample
+    b's original arc order to union slots (for provenance arrays like the
+    transducer's widx) — or None when the union skeleton exceeds
+    ``max_blowup`` x the largest per-sample arc count (structurally
+    unrelated graphs, e.g. wordpiece decomposition sausages: stacked
+    per-sample tables win there).
+    """
+    B = len(cgs)
+    max_A = max(max(len(c.src) for c in cgs), 1)
+    max_E = max(len(c.eps_src) for c in cgs)
+    src_u, dst_u, positions = _union_slots(
+        [list(zip(c.src.tolist(), c.dst.tolist())) for c in cgs],
+        pad_multiple,
+    )
+    if len(src_u) > max_blowup * max_A:
+        return None
+    if max_E:
+        esrc_u, edst_u, eps_positions = _union_slots(
+            [list(zip(c.eps_src.tolist(), c.eps_dst.tolist())) for c in cgs],
+            pad_multiple,
+        )
+        if len(esrc_u) > max_blowup * max_E:
+            return None
+    else:
+        esrc_u = np.zeros((0,), np.int32)
+        edst_u = np.zeros((0,), np.int32)
+        eps_positions = [np.zeros((0,), np.int64) for _ in cgs]
+
+    def rnd(x):
+        return ((max(x, 1) + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+    S = rnd(max(len(c.start) for c in cgs))
+    A = rnd(len(src_u))
+    E = rnd(len(esrc_u)) if len(esrc_u) else 0
+    depth = max(c.eps_depth for c in cgs)
+
+    def pad_ends(src, dst, n):
+        return (
+            np.concatenate([src, np.zeros(n - len(src), np.int32)]),
+            np.concatenate([dst, np.full(n - len(dst), S - 1, np.int32)]),
+        )
+
+    src_u, dst_u = pad_ends(src_u, dst_u, A)
+    label = np.zeros((B, A), np.int32)
+    weight = np.full((B, A), NEG, np.float32)
+    start = np.full((B, S), NEG, np.float32)
+    accept = np.full((B, S), NEG, np.float32)
+    eps_weight = np.full((B, max(E, 0)), NEG, np.float32)
+    if E:
+        esrc_u, edst_u = pad_ends(esrc_u, edst_u, E)
+    for b, c in enumerate(cgs):
+        label[b, positions[b]] = c.label
+        weight[b, positions[b]] = c.weight
+        start[b, : len(c.start)] = c.start
+        accept[b, : len(c.accept)] = c.accept
+        if E and len(c.eps_src):
+            eps_weight[b, eps_positions[b]] = c.eps_weight
+    return (
+        ArcTable(
+            src=src_u, dst=dst_u, label=label, weight=weight,
+            start=start, accept=accept,
+            eps_src=esrc_u, eps_dst=edst_u, eps_weight=eps_weight,
+            eps_depth=depth,
+        ),
+        positions,
+        eps_positions,
+    )
+
+
 def stack_arc_tables(cgs: Sequence[CompiledGraph], pad_multiple=8):
     """Pad a batch of CompiledGraphs to shared shapes and stack -> ArcTable
     with a leading batch dimension on every array field."""

@@ -18,6 +18,7 @@ from scaling_benchmark import run_mesh_scaling  # noqa: E402
 
 def test_sharding_efficiency_at_least_80pct():
     out = run_mesh_scaling(local_batch=2, iters=5)
-    assert out["samples_per_s_dev1"] > 0
-    assert out["samples_per_s_dev8"] > 0
-    assert out["scaling_efficiency"] >= 0.8, out
+    assert out["samples_per_s_local_batch_1dev"] > 0
+    assert out["step_s_global_unsharded_1dev"] > 0
+    assert out["step_s_global_sharded_8dev"] > 0
+    assert out["sharding_overhead_efficiency"] >= 0.8, out
