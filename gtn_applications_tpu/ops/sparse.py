@@ -207,7 +207,8 @@ def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
     use_whole = impl == "whole" or (impl == "auto" and batch_tile is not None)
     if use_whole:
         if batch_tile is None:
-            batch_tile = 1  # pinned "whole" past the gate: best-effort tile
+            # pinned "whole" past the gate: smallest Mosaic-legal tile
+            batch_tile = 8 if B % 8 == 0 else B
         from . import sparse_scan_pallas
 
         eps_src = _as2d(table.eps_src)

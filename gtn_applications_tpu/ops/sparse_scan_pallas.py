@@ -424,20 +424,26 @@ def predict_vmem_bytes(Bt, S, A, E, per_sample, eps_per_sample, eps_depth):
 
 
 def choose_batch_tile(B, S, A, E, per_sample, eps_per_sample, eps_depth):
-    """Largest batch tile whose per-tile backward footprint fits the
-    scoped-VMEM budget (3% margin).  Returns (batch_tile, predicted_bytes)
-    — batch_tile None means even a 1-sample tile does not fit and the
-    caller must fall back to the per-step kernel."""
+    """Largest LEGAL batch tile whose per-tile backward footprint fits the
+    scoped-VMEM budget (3% margin).  Legal means Mosaic-tileable: the
+    batch axis is the second-to-last dim of the [Bt, X] state/arc blocks
+    and the [1, Bt, A] streaming blocks, so a partial tile must be a
+    multiple of 8 sublanes (the full batch is always legal: full-array
+    blocks are exempt).  Returns (batch_tile, predicted_bytes) —
+    batch_tile None means no legal tile fits and the caller must fall
+    back to the per-step kernel."""
     budget = 0.97 * VMEM_LIMIT_BYTES
-    for nb in (n for n in range(1, B + 1) if B % n == 0):
-        bt = B // nb
+    legal = [B] + sorted(
+        (bt for bt in range(8, B, 8) if B % bt == 0), reverse=True
+    )
+    for bt in legal:
         demand = predict_vmem_bytes(
             bt, S, A, E, per_sample, eps_per_sample, eps_depth
         )
         if demand <= budget:
             return bt, demand
     return None, predict_vmem_bytes(
-        1, S, A, E, per_sample, eps_per_sample, eps_depth
+        legal[-1], S, A, E, per_sample, eps_per_sample, eps_depth
     )
 
 

@@ -160,9 +160,13 @@ def test_auto_gate_budget():
     bt8, _ = choose_batch_tile(8, 384, 1024, 0, True, False, 0)
     assert bt8 is not None and 8 % bt8 == 0
     # the tile shrinks residency: a shape whose full batch exceeds the
-    # budget still gets a (smaller) tile
-    bt_big, demand = choose_batch_tile(32, 512, 2048, 0, True, False, 0)
-    assert bt_big is not None and bt_big < 32
+    # budget gets a smaller Mosaic-legal (multiple-of-8) tile
+    bt_big, demand = choose_batch_tile(32, 256, 1408, 0, True, False, 0)
+    assert bt_big == 8, bt_big
+    # and when even the smallest legal tile exceeds the budget, the gate
+    # refuses (per-step fallback) instead of emitting an illegal block
+    bt_none, _ = choose_batch_tile(32, 512, 2048, 0, True, False, 0)
+    assert bt_none is None
 
 
 def test_batch_tiled_whole_scan_matches_oracle():
