@@ -91,6 +91,15 @@ def _pad_axis(x, mult, fill, axis=-1):
     return jnp.pad(x, cfg, constant_values=fill)
 
 
+# One-hot projection matmul precision.  The projections are exactly 0/1
+# (bf16-representable), so the product's accuracy is set by how the f32
+# alpha/exp operand is decomposed: HIGH (bf16x3) reconstructs f32
+# products to ~2^-22 relative — indistinguishable from full f32 at the
+# goldens' tolerances — at half the MXU passes of HIGHEST (x6), which
+# measured ~4.5 ms/iter on the ngram0 bench protocol.
+_PRECISION = jax.lax.Precision.HIGH
+
+
 def _mm(x, p):
     """x [B, S] x p ([S, A] shared | [B, S, A] per-sample) -> [B, A].
 
@@ -101,12 +110,12 @@ def _mm(x, p):
         return jax.lax.dot_general(
             x, p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_PRECISION,
         )
     out = jax.lax.dot_general(
         x[:, None, :], p, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
     )
     return out[:, 0, :]
 
@@ -117,12 +126,12 @@ def _mm_t(x, p):
         return jax.lax.dot_general(
             x, p, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_PRECISION,
         )
     out = jax.lax.dot_general(
         x[:, None, :], p, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
     )
     return out[:, 0, :]
 
