@@ -212,7 +212,7 @@ def _lae(a, b):
 
 def _bwd_kernel(
     depth,
-    em_ref, ain_ref, p_src_ref, p_dst_ref, w_ref,
+    em_ref, ain_ref, aout_ref, p_src_ref, p_dst_ref, w_ref,
     p_esrc_ref, p_edst_ref, eps_w_ref, len_ref, g_ref,
     dem_ref, dw_ref, deps_ref, dalpha0_ref, gal_scr,
 ):
@@ -231,6 +231,34 @@ def _bwd_kernel(
     em = em_ref[0]
     p_src = p_src_ref[...]
     p_dst = p_dst_ref[...]
+
+    if depth == 0:
+        # Epsilon-free steps skip the forward recompute entirely: the
+        # saved trajectory already holds this step's output (traj[t+1] ==
+        # y0 on live rows; dead rows' incoming grads are masked to zero
+        # below, so their slots never contribute).  c0 is one matmul, and
+        # out[dst]/g[dst] fuse into a single stacked matmul when the
+        # projections are shared — 3 matmuls/step vs the naive 5.
+        y0 = aout_ref[0]
+        c0 = _mm(alpha_in, p_src) + w_ref[...] + em
+        g = gal_scr[...]
+        live = (t * jnp.ones_like(len_ref[...])) < len_ref[...]  # [B, 1]
+        g_eff = jnp.where(live, g, 0.0)
+        g_eff = jnp.where(y0 > _DEAD, g_eff, 0.0)
+        if p_dst.ndim == 2:
+            both = _mm(jnp.concatenate([y0, g_eff], axis=0), p_dst)
+            out_dst, g_dst = jnp.split(both, 2, axis=0)
+        else:
+            out_dst = _mm(y0, p_dst)
+            g_dst = _mm(g_eff, p_dst)
+        ratio = jnp.exp(jnp.minimum(c0 - out_dst, 0.0))
+        dc = jnp.where((c0 > _DEAD) & (out_dst > _DEAD), ratio * g_dst, 0.0)
+        dalpha_in = _mm_t(dc, p_src)
+        dem_ref[0] = dc
+        dw_ref[...] = dw_ref[...] + dc
+        gal_scr[...] = jnp.where(live, dalpha_in, g)
+        dalpha0_ref[...] = gal_scr[...]
+        return
 
     # recompute the forward chain of this step
     y0, c0 = _seg_fwd(alpha_in, p_src, p_dst, w_ref[...], em)
@@ -380,9 +408,15 @@ def _scan_bwd(eps_depth, batch_tile, res, g):
         (1, Bt, A_pad), lambda b, i: (T - 1 - i, b, 0),
         memory_space=pltpu.VMEM,
     )
-    # traj[t] is the alpha *entering* step t (traj[0] == alpha0)
+    # traj[t] is the alpha *entering* step t (traj[0] == alpha0); the
+    # same trajectory streams in twice — entering (t) and leaving (t+1)
+    # alphas — so the eps-free backward never recomputes the step output
     rev_ain = pl.BlockSpec(
         (1, Bt, S_pad), lambda b, i: (T - 1 - i, b, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rev_aout = pl.BlockSpec(
+        (1, Bt, S_pad), lambda b, i: (T - i, b, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -397,7 +431,7 @@ def _scan_bwd(eps_depth, batch_tile, res, g):
         ),
         grid=(B // Bt, T),
         in_specs=[
-            rev_em, rev_ain,
+            rev_em, rev_ain, rev_aout,
             sp["p_src"], sp["p_dst"], sp["w"],
             sp["p_esrc"], sp["p_edst"], sp["eps_w"], sp["len"],
             sp["alpha"],
@@ -406,7 +440,7 @@ def _scan_bwd(eps_depth, batch_tile, res, g):
         scratch_shapes=[pltpu.VMEM((Bt, S_pad), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(em_tba, traj, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens, g)
+    )(em_tba, traj, traj, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens, g)
 
     if eps_depth == 0:
         deps = jnp.zeros_like(eps_w)
