@@ -383,10 +383,23 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args(argv)
 
-    if args.hosts:
+    if args.mesh or args.hosts:
+        # self-provision the virtual mesh: the flag must land in the
+        # environment BEFORE jax initializes any backend (and the CPU
+        # platform switch must come before the first backend query, or
+        # the axon platform wins and the flag is never honored)
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.hosts:
         result = {"metric": "host_scaling"}
         result.update(run_host_scaling(args.local_batch or 2, args.iters))
         print(json.dumps(result))
