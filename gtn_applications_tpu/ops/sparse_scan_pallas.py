@@ -92,12 +92,31 @@ def _pad_axis(x, mult, fill, axis=-1):
 
 
 # One-hot projection matmul precision.  The projections are exactly 0/1
-# (bf16-representable), so the product's accuracy is set by how the f32
-# alpha/exp operand is decomposed: HIGH (bf16x3) reconstructs f32
-# products to ~2^-22 relative — indistinguishable from full f32 at the
-# goldens' tolerances — at half the MXU passes of HIGHEST (x6), which
-# measured ~4.5 ms/iter on the ngram0 bench protocol.
-_PRECISION = jax.lax.Precision.HIGH
+# (bf16-representable), so only the f32 alpha/exp operand needs
+# decomposing: x = hi + mid + lo (three bf16 terms, residuals computed
+# exactly in f32) recovers >= 24 mantissa bits, and each term multiplies
+# the EXACT bf16 projection with f32 accumulation.  Net: f32-grade
+# results at 3 single-pass bf16 MXU dots — half of HIGHEST's x6 passes
+# (Mosaic rejects Precision.HIGH outright, and x6 measured ~4.5 ms/iter
+# on the ngram0 protocol).  Selections through one-hot columns (one
+# nonzero per column) are exactly f32.
+def _split3(x):
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot3(x, p, dims):
+    pb = p.astype(jnp.bfloat16)
+    out = None
+    for term in _split3(x):
+        d = jax.lax.dot_general(
+            term, pb, dims, preferred_element_type=jnp.float32
+        )
+        out = d if out is None else out + d
+    return out
 
 
 def _mm(x, p):
@@ -107,33 +126,15 @@ def _mm(x, p):
     ([B, 1, S]): Mosaic's TPU dot attr rejects an empty
     lhs_non_contracting_dims list."""
     if p.ndim == 2:
-        return jax.lax.dot_general(
-            x, p, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION,
-        )
-    out = jax.lax.dot_general(
-        x[:, None, :], p, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=_PRECISION,
-    )
-    return out[:, 0, :]
+        return _dot3(x, p, (((1,), (0,)), ((), ())))
+    return _dot3(x[:, None, :], p, (((2,), (1,)), ((0,), (0,))))[:, 0, :]
 
 
 def _mm_t(x, p):
     """x [B, A] x p^T -> [B, S] (contract the arc axis)."""
     if p.ndim == 2:
-        return jax.lax.dot_general(
-            x, p, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION,
-        )
-    out = jax.lax.dot_general(
-        x[:, None, :], p, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=_PRECISION,
-    )
-    return out[:, 0, :]
+        return _dot3(x, p, (((1,), (1,)), ((), ())))
+    return _dot3(x[:, None, :], p, (((2,), (2,)), ((0,), (0,))))[:, 0, :]
 
 
 def _seg_fwd(alpha, p_src, p_dst, w, em):
