@@ -130,18 +130,19 @@ _logged_whole_dispatch = set()
 
 
 def _whole_scan_plan(B, S, A, E, per_sample, eps_per_sample, eps_depth):
-    """Batch-tile plan for the whole-scan kernel: the largest tile whose
-    BACKWARD footprint (the binding constraint — see
+    """Tile plan for the whole-scan kernel: the largest (batch, arc-chunk)
+    tiles whose BACKWARD footprint (the binding constraint — see
     sparse_scan_pallas.predict_vmem_bytes for the probe-backed model) fits
-    the scoped-VMEM budget.  Returns the tile size, or None when even a
-    1-sample tile does not fit (huge shared graphs) and the per-step
-    kernel must be used.  Logs the predicted demand once per shape so a
-    Mosaic OOM at dispatch time is diagnosable."""
+    the scoped-VMEM budget.  Returns (batch_tile, arc_tile); batch_tile
+    None means no tiling fits (huge shared graphs, or per-sample eps
+    closures past the budget) and the per-step kernel must be used.  Logs
+    the predicted demand once per shape so a Mosaic OOM at dispatch time
+    is diagnosable."""
     import logging
 
-    from .sparse_scan_pallas import choose_batch_tile
+    from .sparse_scan_pallas import choose_tiles
 
-    bt, demand = choose_batch_tile(
+    bt, at, demand = choose_tiles(
         B, S, A, E, per_sample, eps_per_sample, eps_depth
     )
     key = (B, S, A, E, per_sample, eps_per_sample, eps_depth)
@@ -150,16 +151,16 @@ def _whole_scan_plan(B, S, A, E, per_sample, eps_per_sample, eps_depth):
         if bt is not None:
             logging.info(
                 "whole-scan sparse kernel: B=%d S=%d A=%d E=%d -> "
-                "batch_tile=%d, predicted backward VMEM %.1f MB",
-                B, S, A, E, bt, demand / 1e6,
+                "batch_tile=%d arc_tile=%s, predicted backward VMEM "
+                "%.1f MB", B, S, A, E, bt, at, demand / 1e6,
             )
         else:
             logging.info(
                 "whole-scan sparse kernel does not fit at B=%d S=%d A=%d "
-                "E=%d (1-sample tile predicts %.1f MB); using the "
+                "E=%d (smallest tiling predicts %.1f MB); using the "
                 "per-step kernel", B, S, A, E, demand / 1e6,
             )
-    return bt
+    return bt, at
 
 
 def _whole_scan_fits(B, S, A, E, per_sample, eps_per_sample, eps_depth):
@@ -198,17 +199,19 @@ def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
     em_arc = gather_channels(em, label_b)  # [B, T, A]
 
     impl = _norm_impl(_SCAN_IMPL)
-    batch_tile = _whole_scan_plan(
+    per_sample = src.shape[0] > 1
+    batch_tile, arc_tile = _whole_scan_plan(
         B, S, src.shape[-1], table.eps_src.shape[-1],
-        per_sample=src.shape[0] > 1,
+        per_sample=per_sample,
         eps_per_sample=_as2d(table.eps_src).shape[0] > 1,
         eps_depth=table.eps_depth,
     )
     use_whole = impl == "whole" or (impl == "auto" and batch_tile is not None)
     if use_whole:
         if batch_tile is None:
-            # pinned "whole" past the gate: smallest Mosaic-legal tile
+            # pinned "whole" past the gate: smallest Mosaic-legal tiles
             batch_tile = 8 if B % 8 == 0 else B
+            arc_tile = 128 if per_sample else None
         from . import sparse_scan_pallas
 
         eps_src = _as2d(table.eps_src)
@@ -229,7 +232,7 @@ def _forward_batched_pallas(em, table: ArcTable, input_lengths=None):
         return sparse_scan_pallas.scan_scores(
             em_arc, (src, dst, weight, eps_src, eps_dst, eps_w),
             alpha0, accept, input_lengths, table.eps_depth,
-            batch_tile=batch_tile,
+            batch_tile=batch_tile, arc_tile=arc_tile,
         )
 
     em_arc = em_arc.transpose(1, 0, 2)     # [T, B, A]

@@ -41,6 +41,20 @@ scratch carry re-initialized at its first time step — so bench/recipe
 shapes (e.g. B32/S256/A384) dispatch the whole-scan kernel instead of
 falling back to the per-step path.  Total FLOPs and DMA bytes are
 unchanged; only peak VMEM residency shrinks by nb.
+
+Arc-chunked per-sample mode (``arc_tile``): per-sample f32 projections
+are the footprint that kept the reference's heaviest protocol
+(word-decomposition transducers, S~380/A~1400 PER SAMPLE — no union
+skeleton exists for decomposition sausages) off this kernel entirely.
+In idx mode the kernel takes the int32 arc endpoints ``[B, A]`` instead
+of materialized projections and rebuilds one-hot chunks of ``arc_tile``
+arcs in-kernel (a broadcasted-iota compare, ~us on the VPU) per time
+step, folding them with an online-logsumexp accumulation (running row
+max + rescaled destination sums — the standard streaming-softmax
+recurrence).  Peak residency drops from ~10 x Bt*S*A_pad floats to
+~8 x Bt*S*arc_tile, and the [B, S, A] HBM projection arrays disappear
+altogether.  The chunked accumulation differs from the global-row-shift
+result only in fp rounding order.
 """
 
 import functools
@@ -137,6 +151,78 @@ def _mm_t(x, p):
     return _dot3(x[:, None, :], p, (((2,), (2,)), ((0,), (0,))))[:, 0, :]
 
 
+def _onehot_chunk(idx_c, S_pad):
+    """[Bt, Ac] int32 endpoints -> [Bt, S_pad, Ac] f32 one-hot chunk.
+
+    Built in-kernel (VPU compare against an iota), so the only resident
+    projection state is one chunk; padding arcs carry idx -1 and match no
+    state (all-zero column)."""
+    Bt, Ac = idx_c.shape
+    i = jax.lax.broadcasted_iota(jnp.int32, (Bt, S_pad, Ac), 1)
+    return jnp.where(i == idx_c[:, None, :], 1.0, 0.0)
+
+
+def _mm_k(x, p):
+    """x [Bt, k, S] x p [Bt, S, A] -> [Bt, k, A] (batched, bf16x3)."""
+    return _dot3(x, p, (((2,), (1,)), ((0,), (0,))))
+
+
+def _seg_fwd_idx(alpha, src_idx, dst_idx, w, em, S_pad, Ac):
+    """One lse step with in-kernel chunked one-hots (per-sample arcs).
+
+    alpha [Bt, S]; src/dst [Bt, A_pad] int32; w/em [Bt, A_pad] with
+    A_pad a multiple of Ac.  Streams arc chunks through an online
+    logsumexp: running row max ``m`` with rescaled destination sums.
+    Returns (out [Bt, S], cs) where cs is the per-chunk contribution
+    list (saved by the depth>0 backward recompute)."""
+    Bt, A_pad = w.shape
+    m_run = jnp.full((Bt, 1), NEG, jnp.float32)
+    acc = jnp.zeros((Bt, S_pad), jnp.float32)
+    cs = []
+    for a0 in range(0, A_pad, Ac):
+        sl = slice(a0, a0 + Ac)
+        p_src_c = _onehot_chunk(src_idx[:, sl], S_pad)
+        c = _mm(alpha, p_src_c) + w[:, sl]
+        if em is not None:
+            c = c + em[:, sl]
+        cs.append(c)
+        m_new = jnp.maximum(
+            m_run, jnp.maximum(jnp.max(c, axis=1, keepdims=True), NEG)
+        )
+        e = jnp.exp(jnp.minimum(c - m_new, 0.0))
+        e = jnp.where(c > _DEAD, e, 0.0)
+        p_dst_c = _onehot_chunk(dst_idx[:, sl], S_pad)
+        sums_c = _mm_t(e, p_dst_c)
+        acc = acc * jnp.exp(m_run - m_new) + sums_c
+        m_run = m_new
+    out = jnp.where(
+        (acc > 0.0) & (m_run > _DEAD),
+        m_run + jnp.log(jnp.maximum(acc, _FLOOR)),
+        NEG,
+    )
+    return out, cs
+
+
+def _seg_vjp_idx(src_idx, dst_idx, g_out, out, cs, S_pad, Ac):
+    """Chunked VJP of ``_seg_fwd_idx``.  Returns (dalpha [Bt, S],
+    dcs — per-chunk dc list in arc order, for the caller to store)."""
+    g_eff = jnp.where(out > _DEAD, g_out, 0.0)
+    both = jnp.stack([out, g_eff], axis=1)  # [Bt, 2, S]
+    dalpha = jnp.zeros_like(out)
+    dcs = []
+    for k, c in enumerate(cs):
+        sl = slice(k * Ac, (k + 1) * Ac)
+        p_dst_c = _onehot_chunk(dst_idx[:, sl], S_pad)
+        od_gd = _mm_k(both, p_dst_c)  # [Bt, 2, Ac]
+        out_dst, g_dst = od_gd[:, 0, :], od_gd[:, 1, :]
+        ratio = jnp.exp(jnp.minimum(c - out_dst, 0.0))
+        dc = jnp.where((c > _DEAD) & (out_dst > _DEAD), ratio * g_dst, 0.0)
+        p_src_c = _onehot_chunk(src_idx[:, sl], S_pad)
+        dalpha = dalpha + _mm_t(dc, p_src_c)
+        dcs.append(dc)
+    return dalpha, dcs
+
+
 def _seg_fwd(alpha, p_src, p_dst, w, em):
     """One lse step.  alpha [B,S]; w/em [B,A] (em may be None).
 
@@ -172,7 +258,7 @@ def _seg_vjp(p_src, p_dst, g_out, out, c):
 
 
 def _fwd_kernel(
-    depth,
+    depth, arc_tile,
     # refs
     alpha0_ref, em_ref, p_src_ref, p_dst_ref, w_ref,
     p_esrc_ref, p_edst_ref, eps_w_ref, len_ref,
@@ -188,8 +274,15 @@ def _fwd_kernel(
     def _():
         alpha = alpha_scr[...]
         em = em_ref[0]
-        new, _ = _seg_fwd(alpha, p_src_ref[...], p_dst_ref[...],
-                          w_ref[...], em)
+        if arc_tile is not None:
+            # idx mode: p_src/p_dst refs hold int32 endpoints [Bt, A_pad]
+            new, _ = _seg_fwd_idx(
+                alpha, p_src_ref[...], p_dst_ref[...], w_ref[...], em,
+                alpha.shape[-1], arc_tile,
+            )
+        else:
+            new, _ = _seg_fwd(alpha, p_src_ref[...], p_dst_ref[...],
+                              w_ref[...], em)
         if depth > 0:
             p_esrc = p_esrc_ref[...]
             p_edst = p_edst_ref[...]
@@ -212,7 +305,7 @@ def _lae(a, b):
 
 
 def _bwd_kernel(
-    depth,
+    depth, arc_tile,
     em_ref, ain_ref, aout_ref, p_src_ref, p_dst_ref, w_ref,
     p_esrc_ref, p_edst_ref, eps_w_ref, len_ref, g_ref,
     dem_ref, dw_ref, deps_ref, dalpha0_ref, gal_scr,
@@ -232,6 +325,7 @@ def _bwd_kernel(
     em = em_ref[0]
     p_src = p_src_ref[...]
     p_dst = p_dst_ref[...]
+    S_pad = alpha_in.shape[-1]
 
     if depth == 0:
         # Epsilon-free steps skip the forward recompute entirely: the
@@ -241,28 +335,56 @@ def _bwd_kernel(
         # out[dst]/g[dst] fuse into a single stacked matmul when the
         # projections are shared — 3 matmuls/step vs the naive 5.
         y0 = aout_ref[0]
-        c0 = _mm(alpha_in, p_src) + w_ref[...] + em
         g = gal_scr[...]
         live = (t * jnp.ones_like(len_ref[...])) < len_ref[...]  # [B, 1]
         g_eff = jnp.where(live, g, 0.0)
         g_eff = jnp.where(y0 > _DEAD, g_eff, 0.0)
-        if p_dst.ndim == 2:
-            both = _mm(jnp.concatenate([y0, g_eff], axis=0), p_dst)
-            out_dst, g_dst = jnp.split(both, 2, axis=0)
+        if arc_tile is not None:
+            # idx mode: stream arc chunks; only one chunk's one-hots and
+            # dc are ever resident
+            both = jnp.stack([y0, g_eff], axis=1)  # [Bt, 2, S]
+            dalpha_in = jnp.zeros_like(y0)
+            w = w_ref[...]
+            for a0 in range(0, w.shape[-1], arc_tile):
+                sl = slice(a0, a0 + arc_tile)
+                p_src_c = _onehot_chunk(p_src[:, sl], S_pad)
+                c0 = _mm(alpha_in, p_src_c) + w[:, sl] + em[:, sl]
+                p_dst_c = _onehot_chunk(p_dst[:, sl], S_pad)
+                od_gd = _mm_k(both, p_dst_c)
+                out_dst, g_dst = od_gd[:, 0, :], od_gd[:, 1, :]
+                ratio = jnp.exp(jnp.minimum(c0 - out_dst, 0.0))
+                dc = jnp.where(
+                    (c0 > _DEAD) & (out_dst > _DEAD), ratio * g_dst, 0.0
+                )
+                dalpha_in = dalpha_in + _mm_t(dc, p_src_c)
+                dem_ref[0, :, sl] = dc
+                dw_ref[:, sl] = dw_ref[:, sl] + dc
         else:
-            out_dst = _mm(y0, p_dst)
-            g_dst = _mm(g_eff, p_dst)
-        ratio = jnp.exp(jnp.minimum(c0 - out_dst, 0.0))
-        dc = jnp.where((c0 > _DEAD) & (out_dst > _DEAD), ratio * g_dst, 0.0)
-        dalpha_in = _mm_t(dc, p_src)
-        dem_ref[0] = dc
-        dw_ref[...] = dw_ref[...] + dc
+            c0 = _mm(alpha_in, p_src) + w_ref[...] + em
+            if p_dst.ndim == 2:
+                both = _mm(jnp.concatenate([y0, g_eff], axis=0), p_dst)
+                out_dst, g_dst = jnp.split(both, 2, axis=0)
+            else:
+                out_dst = _mm(y0, p_dst)
+                g_dst = _mm(g_eff, p_dst)
+            ratio = jnp.exp(jnp.minimum(c0 - out_dst, 0.0))
+            dc = jnp.where(
+                (c0 > _DEAD) & (out_dst > _DEAD), ratio * g_dst, 0.0
+            )
+            dalpha_in = _mm_t(dc, p_src)
+            dem_ref[0] = dc
+            dw_ref[...] = dw_ref[...] + dc
         gal_scr[...] = jnp.where(live, dalpha_in, g)
         dalpha0_ref[...] = gal_scr[...]
         return
 
     # recompute the forward chain of this step
-    y0, c0 = _seg_fwd(alpha_in, p_src, p_dst, w_ref[...], em)
+    if arc_tile is not None:
+        y0, c0_chunks = _seg_fwd_idx(
+            alpha_in, p_src, p_dst, w_ref[...], em, S_pad, arc_tile
+        )
+    else:
+        y0, c0 = _seg_fwd(alpha_in, p_src, p_dst, w_ref[...], em)
     if depth > 0:
         p_esrc = p_esrc_ref[...]
         p_edst = p_edst_ref[...]
@@ -302,39 +424,54 @@ def _bwd_kernel(
     else:
         g_y0 = g_eff
 
-    dalpha_in, dc = _seg_vjp(p_src, p_dst, g_y0, y0, c0)
-    dem_ref[0] = dc
-    dw_ref[...] = dw_ref[...] + dc
+    if arc_tile is not None:
+        dalpha_in, dcs = _seg_vjp_idx(
+            p_src, p_dst, g_y0, y0, c0_chunks, S_pad, arc_tile
+        )
+        for k, dc in enumerate(dcs):
+            sl = slice(k * arc_tile, (k + 1) * arc_tile)
+            dem_ref[0, :, sl] = dc
+            dw_ref[:, sl] = dw_ref[:, sl] + dc
+    else:
+        dalpha_in, dc = _seg_vjp(p_src, p_dst, g_y0, y0, c0)
+        dem_ref[0] = dc
+        dw_ref[...] = dw_ref[...] + dc
 
     gal_scr[...] = jnp.where(live, dalpha_in, g)
     dalpha0_ref[...] = gal_scr[...]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def sparse_scan(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w,
-                lens, eps_depth, batch_tile):
+                lens, eps_depth, batch_tile, arc_tile=None):
     """Final alpha [B, S] of the whole lattice scan as one Pallas launch.
 
     Args (already padded/layouted by ``scan_scores``):
       alpha0: [B, S_pad] f32 — start potentials after initial eps closure.
       em_tba: [T, B, A_pad] f32 — per-arc emissions, time-major.
       p_src/p_dst: [S_pad, A_pad] (shared) or [B, S_pad, A_pad] f32
-        one-hot projections; w: [B, A_pad] f32 (NEG on padding).
+        one-hot projections — or, in idx mode (arc_tile set), [B, A_pad]
+        int32 arc endpoints (one-hots built in-kernel per chunk).
+      w: [B, A_pad] f32 (NEG on padding).
       p_esrc/p_edst/eps_w: epsilon projections (ignored if eps_depth == 0).
       lens: [B, 1] f32 — frames beyond a sample's length carry alpha through.
       eps_depth: static closure unroll bound.
       batch_tile: static samples per grid tile (None = whole batch); must
         divide B.  Shrinks peak VMEM residency by B/batch_tile.
+      arc_tile: static arcs per in-kernel one-hot chunk (None = full
+        projections); must divide A_pad.  Per-sample tables only.
     """
     final, _ = _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst,
-                         eps_w, lens, eps_depth, batch_tile)
+                         eps_w, lens, eps_depth, batch_tile, arc_tile)
     return final
 
 
-def _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w):
+def _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w,
+           idx_mode=False):
     """Common BlockSpecs for the (batch-tile, time) grid: batch-tiled
     time-constant blocks for state/arc vectors, shared or per-sample
-    projections, all VMEM-resident per tile."""
+    projections, all VMEM-resident per tile.  In idx mode p_src/p_dst are
+    per-sample [B, A_pad] int32 endpoints (batch-tiled like ``w``)."""
 
     def tile(shape_full):
         block = (Bt,) + shape_full[1:]
@@ -351,23 +488,26 @@ def _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w):
             )
         return tile(p.shape)
 
+    main = (lambda p: tile(p.shape)) if idx_mode else proj
     return {
         "alpha": tile((B, S_pad)),
         "w": tile((B, A_pad)),
         "len": tile((B, 1)),
-        "p_src": proj(p_src), "p_dst": proj(p_dst),
+        "p_src": main(p_src), "p_dst": main(p_dst),
         "p_esrc": proj(p_esrc), "p_edst": proj(p_edst),
         "eps_w": tile(eps_w.shape),
     }
 
 
 def _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens,
-              eps_depth, batch_tile):
+              eps_depth, batch_tile, arc_tile=None):
     T, B, A_pad = em_tba.shape
     S_pad = alpha0.shape[-1]
     Bt = batch_tile or B
     assert B % Bt == 0, (B, Bt)
-    sp = _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w)
+    assert arc_tile is None or A_pad % arc_tile == 0, (A_pad, arc_tile)
+    sp = _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w,
+                idx_mode=arc_tile is not None)
 
     em_spec = pl.BlockSpec(
         (1, Bt, A_pad), lambda b, i: (jnp.maximum(i, 1) - 1, b, 0),
@@ -377,7 +517,7 @@ def _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens,
         (1, Bt, S_pad), lambda b, i: (i, b, 0), memory_space=pltpu.VMEM
     )
 
-    kernel = functools.partial(_fwd_kernel, eps_depth)
+    kernel = functools.partial(_fwd_kernel, eps_depth, arc_tile)
     traj = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T + 1, B, S_pad), jnp.float32),
@@ -397,13 +537,14 @@ def _scan_fwd(alpha0, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens,
     return final, res
 
 
-def _scan_bwd(eps_depth, batch_tile, res, g):
+def _scan_bwd(eps_depth, batch_tile, arc_tile, res, g):
     traj, em_tba, p_src, p_dst, w, p_esrc, p_edst, eps_w, lens = res
     T, B, A_pad = em_tba.shape
     S_pad = traj.shape[-1]
     E_pad = eps_w.shape[-1]
     Bt = batch_tile or B
-    sp = _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w)
+    sp = _specs(B, Bt, S_pad, A_pad, p_src, p_dst, p_esrc, p_edst, eps_w,
+                idx_mode=arc_tile is not None)
 
     rev_em = pl.BlockSpec(
         (1, Bt, A_pad), lambda b, i: (T - 1 - i, b, 0),
@@ -421,7 +562,7 @@ def _scan_bwd(eps_depth, batch_tile, res, g):
         memory_space=pltpu.VMEM,
     )
 
-    kernel = functools.partial(_bwd_kernel, eps_depth)
+    kernel = functools.partial(_bwd_kernel, eps_depth, arc_tile)
     dem, dw, deps, dalpha0 = pl.pallas_call(
         kernel,
         out_shape=(
@@ -451,44 +592,90 @@ def _scan_bwd(eps_depth, batch_tile, res, g):
 sparse_scan.defvjp(_scan_fwd, _scan_bwd)
 
 
-def predict_vmem_bytes(Bt, S, A, E, per_sample, eps_per_sample, eps_depth):
+def predict_vmem_bytes(Bt, S, A, E, per_sample, eps_per_sample, eps_depth,
+                       arc_tile=None):
     """Backward-kernel scoped-VMEM demand model for one batch tile of Bt
     samples (the binding constraint; the forward is strictly smaller).
     Coefficients from AOT probes on chip (docs/chip_verification.md):
-    demand caps at ~9.9 x Bt*S_pad*A_pad floats with per-sample
+    demand caps at ~9.9 x Bt*S_pad*A_pad floats with per-sample streamed
     projections — modeled as 10x; the 4x shared-projection coefficient is
-    provisional (not probe-backed) pending the staged chip session."""
+    provisional (not probe-backed) pending the staged chip session.
+    In idx mode (arc_tile set) the resident projection state is one
+    in-kernel-built chunk pair: modeled 8 x Bt*S_pad*arc_tile (2 f32
+    one-hots + bf16 copies + Mosaic headroom; conservative until the
+    phase-1 chip probes calibrate it), plus the endpoint int blocks and
+    the depth>0 saved chunk contributions (~2 x Bt*A_pad)."""
     pad = lambda n: n + (-n) % 128
     S_pad, A_pad, E_pad = pad(S), pad(max(A, 1)), pad(max(E, 1))
-    floats = (10.0 * Bt if per_sample else 4.0) * S_pad * A_pad
+    if per_sample and arc_tile is not None:
+        A_pad = A + (-A) % arc_tile
+        floats = 8.0 * Bt * S_pad * arc_tile + 2.0 * Bt * A_pad
+    else:
+        floats = (10.0 * Bt if per_sample else 4.0) * S_pad * A_pad
     if eps_depth > 0:
         floats += (10.0 * Bt if eps_per_sample else 4.0) * S_pad * E_pad
     floats += 3 * Bt * (3 * A_pad + E_pad + 4 * S_pad)
     return 4.0 * floats
 
 
-def choose_batch_tile(B, S, A, E, per_sample, eps_per_sample, eps_depth):
-    """Largest LEGAL batch tile whose per-tile backward footprint fits the
-    scoped-VMEM budget (3% margin).  Legal means Mosaic-tileable: the
-    batch axis is the second-to-last dim of the [Bt, X] state/arc blocks
-    and the [1, Bt, A] streaming blocks, so a partial tile must be a
-    multiple of 8 sublanes (the full batch is always legal: full-array
-    blocks are exempt).  Returns (batch_tile, predicted_bytes) —
-    batch_tile None means no legal tile fits and the caller must fall
-    back to the per-step kernel."""
-    budget = 0.97 * VMEM_LIMIT_BYTES
-    legal = [B] + sorted(
+def _legal_batch_tiles(B):
+    """Mosaic-tileable batch tiles, largest first: the batch axis is the
+    second-to-last dim of the [Bt, X] state/arc blocks and the [1, Bt, A]
+    streaming blocks, so a partial tile must be a multiple of 8 sublanes
+    (the full batch is always legal: full-array blocks are exempt)."""
+    return [B] + sorted(
         (bt for bt in range(8, B, 8) if B % bt == 0), reverse=True
     )
-    for bt in legal:
-        demand = predict_vmem_bytes(
-            bt, S, A, E, per_sample, eps_per_sample, eps_depth
+
+
+def choose_tiles(B, S, A, E, per_sample, eps_per_sample, eps_depth):
+    """(batch_tile, arc_tile, predicted_bytes) for the largest-tile plan
+    whose backward footprint fits the scoped-VMEM budget (3% margin).
+
+    Shared projections never chunk (arc_tile None; one [B,S]x[S,A] MXU
+    matmul per step is the whole point).  Per-sample tables use idx mode:
+    prefer the full batch with the largest arc chunk, shrinking the chunk
+    before the batch tile (chunking costs only VPU one-hot rebuilds;
+    batch tiles add grid legs).  batch_tile None means nothing fits and
+    the caller must fall back to the per-step kernel."""
+    budget = 0.97 * VMEM_LIMIT_BYTES
+    legal = _legal_batch_tiles(B)
+    if not per_sample:
+        for bt in legal:
+            demand = predict_vmem_bytes(
+                bt, S, A, E, per_sample, eps_per_sample, eps_depth
+            )
+            if demand <= budget:
+                return bt, None, demand
+        return None, None, predict_vmem_bytes(
+            legal[-1], S, A, E, per_sample, eps_per_sample, eps_depth
         )
-        if demand <= budget:
-            return bt, demand
-    return None, predict_vmem_bytes(
-        legal[-1], S, A, E, per_sample, eps_per_sample, eps_depth
+    pad128 = A + (-A) % 128
+    cand = {c for c in (1024, 512, 256, 128) if c <= pad128}
+    if pad128 <= 1024:
+        cand.add(pad128)  # small graphs: a single full-width chunk
+    # padded arc count sets the per-step matmul cost — least waste first,
+    # largest chunk (fewest VPU one-hot rebuilds) as the tiebreak
+    chunks = sorted(cand, key=lambda c: (A + (-A) % c, -c))
+    for bt in legal:
+        for ac in chunks:
+            demand = predict_vmem_bytes(
+                bt, S, A, E, per_sample, eps_per_sample, eps_depth, ac
+            )
+            if demand <= budget:
+                return bt, ac, demand
+    return None, None, predict_vmem_bytes(
+        legal[-1], S, A, E, per_sample, eps_per_sample, eps_depth,
+        chunks[-1],
     )
+
+
+def choose_batch_tile(B, S, A, E, per_sample, eps_per_sample, eps_depth):
+    """Back-compat wrapper over ``choose_tiles``: (batch_tile, bytes)."""
+    bt, _, demand = choose_tiles(
+        B, S, A, E, per_sample, eps_per_sample, eps_depth
+    )
+    return bt, demand
 
 
 def _projections(idx, S_pad, A_mult=128):
@@ -500,7 +687,7 @@ def _projections(idx, S_pad, A_mult=128):
 
 
 def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
-                eps_depth, batch_tile=None):
+                eps_depth, batch_tile=None, arc_tile=None):
     """Convenience wrapper: build projections, pad + layout inputs, run the
     whole-scan kernel, and reduce to per-sample scores.
 
@@ -513,6 +700,8 @@ def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
       input_lengths: [B] int.
       eps_depth: static closure bound.
       batch_tile: static samples per grid tile (see sparse_scan).
+      arc_tile: static in-kernel one-hot chunk width for per-sample main
+        arcs (idx mode); ignored for shared (1-D / [1, A]) tables.
     """
     from .semiring import logsumexp
 
@@ -520,6 +709,10 @@ def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
     B, T, A = em_arc.shape
     S = alpha0.shape[-1]
     S_pad = S + (-S) % 128
+    per_sample = src.shape[0] > 1
+    if not per_sample:
+        arc_tile = None
+    arc_mult = arc_tile if arc_tile is not None else 128
 
     # shared weights are materialized to [B, A] on the host: Mosaic rejects
     # in-kernel [1, n] -> [B, n] broadcasts, and jnp.broadcast_to's AD
@@ -527,10 +720,16 @@ def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
     bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:])
 
     alpha0_p = _pad_axis(alpha0, 128, NEG)
-    em_p = _pad_axis(em_arc, 128, 0.0).transpose(1, 0, 2)
-    p_src = _projections(src, S_pad)
-    p_dst = _projections(dst, S_pad)
-    w_p = bcast(_pad_axis(weight, 128, NEG))
+    em_p = _pad_axis(em_arc, arc_mult, 0.0).transpose(1, 0, 2)
+    if arc_tile is not None:
+        # idx mode: ship int32 endpoints; the kernel builds one-hot
+        # chunks in-kernel (padding arcs are -1: all-zero columns)
+        p_src = _pad_axis(src.astype(jnp.int32), arc_mult, -1)
+        p_dst = _pad_axis(dst.astype(jnp.int32), arc_mult, -1)
+    else:
+        p_src = _projections(src, S_pad)
+        p_dst = _projections(dst, S_pad)
+    w_p = bcast(_pad_axis(weight, arc_mult, NEG))
     if eps_depth > 0 and eps_src.shape[-1] > 0:
         p_esrc = _projections(eps_src, S_pad)
         p_edst = _projections(eps_dst, S_pad)
@@ -544,5 +743,6 @@ def scan_scores(em_arc, table_fields, alpha0, accept, input_lengths,
     final = sparse_scan(
         alpha0_p, em_p, p_src, p_dst, w_p, p_esrc, p_edst, eps_w_p,
         input_lengths.astype(jnp.float32)[:, None], eps_depth, batch_tile,
+        arc_tile,
     )[:, :S]
     return logsumexp(final + accept, axis=-1)

@@ -145,28 +145,126 @@ def test_whole_scan_edge_shapes(force_whole, T, S):
 
 
 def test_auto_gate_budget():
-    from gtn_applications_tpu.ops.sparse_scan_pallas import choose_batch_tile
+    from gtn_applications_tpu.ops.sparse_scan_pallas import (
+        VMEM_LIMIT_BYTES, choose_tiles,
+    )
 
-    # small graphs fit; a per-sample monster graph must fall back
-    assert sparse._whole_scan_fits(
+    # small graphs fit without arc chunking (a single full-width chunk)
+    bt, at, _ = choose_tiles(
         32, 128, 512, 64, per_sample=True, eps_per_sample=True, eps_depth=1)
-    assert not sparse._whole_scan_fits(
-        32, 4096, 8192, 0, per_sample=True, eps_per_sample=False,
-        eps_depth=0)
-    # bench-protocol shapes (round-2 VERDICT weak #1) must now dispatch
-    # whole: B32/S256/A384 per-sample via batch tiling, B8/S384/A1024 too
-    bt, _ = choose_batch_tile(32, 256, 384, 0, True, False, 0)
-    assert bt is not None and 32 % bt == 0
-    bt8, _ = choose_batch_tile(8, 384, 1024, 0, True, False, 0)
-    assert bt8 is not None and 8 % bt8 == 0
-    # the tile shrinks residency: a shape whose full batch exceeds the
-    # budget gets a smaller Mosaic-legal (multiple-of-8) tile
-    bt_big, demand = choose_batch_tile(32, 256, 1408, 0, True, False, 0)
-    assert bt_big == 8, bt_big
-    # and when even the smallest legal tile exceeds the budget, the gate
-    # refuses (per-step fallback) instead of emitting an illegal block
-    bt_none, _ = choose_batch_tile(32, 512, 2048, 0, True, False, 0)
-    assert bt_none is None
+    assert bt == 32 and at == 512, (bt, at)
+    # bench-protocol shapes (round-2 VERDICT weak #1) dispatch whole
+    bt, at, _ = choose_tiles(32, 256, 384, 0, True, False, 0)
+    assert bt == 32, (bt, at)
+    # the reference's heaviest protocol — word-decomps per-sample
+    # S376/A1360 (round-2 had NO legal plan here) — now fits via
+    # in-kernel one-hot chunks, at full batch and zero arc padding
+    bt, at, demand = choose_tiles(8, 376, 1360, 0, True, False, 0)
+    assert bt == 8 and at is not None and 1408 % at == 0, (bt, at)
+    assert demand <= 0.97 * VMEM_LIMIT_BYTES
+    # per-sample big graphs shrink the chunk and then the batch tile
+    bt, at, _ = choose_tiles(32, 1024, 4096, 0, True, False, 0)
+    assert bt is not None and bt < 32 and at == 128, (bt, at)
+    # past the smallest (8-sublane, 128-arc) tiling the gate refuses
+    bt, at, _ = choose_tiles(32, 4096, 8192, 0, True, False, 0)
+    assert bt is None, (bt, at)
+    # per-sample EPS projections still stream whole: a huge per-sample
+    # closure must refuse (per-step fallback), not emit an illegal block
+    bt, at, _ = choose_tiles(32, 4096, 8192, 8192, True, True, 1)
+    assert bt is None, (bt, at)
+    # huge SHARED graphs never chunk and fall back past the budget
+    bt, at, _ = choose_tiles(8, 8192, 65536, 0, False, False, 0)
+    assert bt is None and at is None, (bt, at)
+
+
+def test_idx_mode_chunked_matches_oracle():
+    """idx mode (in-kernel one-hot chunks) vs the pure-JAX oracle at a
+    shrunk word-decomps layout: per-sample eps-free tables, multi-chunk
+    A (arc_tile < A_pad), ragged lengths, values and both grads."""
+    from gtn_applications_tpu.ops import sparse_scan_pallas as ssp
+    from gtn_applications_tpu.ops.semiring import gather_channels
+
+    rng = np.random.default_rng(23)
+    B, T, S, A, C = 4, 6, 9, 300, 5
+    tables = [_random_table(S, A, 0, 0, rng) for _ in range(B)]
+    stacked = ArcTable(
+        *[jnp.stack([getattr(t, f) for t in tables])
+          for f in ("src", "dst", "label", "weight", "start", "accept",
+                    "eps_src", "eps_dst", "eps_weight")],
+        eps_depth=0,
+    )
+    em = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    lens = jnp.asarray([T, T - 1, 2, T], jnp.int32)
+
+    def loss_idx(em, w, at, bt):
+        t = stacked._replace(weight=w)
+        em_arc = gather_channels(
+            em, jnp.broadcast_to(t.label, (B, t.label.shape[-1])))
+        alpha0 = jnp.broadcast_to(t.start, (B, S))
+        return jnp.sum(ssp.scan_scores(
+            em_arc, (t.src, t.dst, t.weight, t.eps_src, t.eps_dst,
+                     t.eps_weight),
+            alpha0, t.accept, lens, 0, batch_tile=bt, arc_tile=at,
+        ))
+
+    def loss_ref(em, w):
+        outs = [
+            forward_score(em[b], tables[b]._replace(weight=w[b]), lens[b])
+            for b in range(B)
+        ]
+        return jnp.sum(jnp.stack(outs))
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        em, stacked.weight)
+    # A=300 pads to 384: 128-wide chunks exercise 3 chunks per step;
+    # 384 is the single-chunk degenerate case; bt=2 adds batch tiling
+    for at, bt in ((128, None), (384, None), (128, 2)):
+        v, g = jax.value_and_grad(
+            lambda em, w: loss_idx(em, w, at, bt), argnums=(0, 1)
+        )(em, stacked.weight)
+        assert abs(float(v - v_ref)) < 2e-4, (at, bt)
+        for name, a, b in zip(("dem", "dw"), g, g_ref):
+            d = float(jnp.max(jnp.abs(a - b)))
+            assert d < 2e-4, (at, bt, name, d)
+
+
+def test_idx_mode_with_eps_closure_matches_oracle(force_whole):
+    """Per-sample main arcs in idx mode + per-sample epsilon closures
+    (streamed projections) through the depth>0 recompute backward."""
+    rng = np.random.default_rng(31)
+    B, T, S, A, C = 3, 5, 8, 150, 5
+    tables = [_random_table(S, A, 5, 1, rng) for _ in range(B)]
+    stacked = ArcTable(
+        *[jnp.stack([getattr(t, f) for t in tables])
+          for f in ("src", "dst", "label", "weight", "start", "accept",
+                    "eps_src", "eps_dst", "eps_weight")],
+        eps_depth=1,
+    )
+    em = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    lens = jnp.asarray([T, T - 1, 3], jnp.int32)
+
+    def loss_new(em, w, ew):
+        t = stacked._replace(weight=w, eps_weight=ew)
+        return jnp.sum(sparse._forward_batched_pallas(em, t, lens))
+
+    def loss_ref(em, w, ew):
+        outs = [
+            forward_score(
+                em[b],
+                tables[b]._replace(weight=w[b], eps_weight=ew[b]),
+                lens[b],
+            )
+            for b in range(B)
+        ]
+        return jnp.sum(jnp.stack(outs))
+
+    args = (em, stacked.weight, stacked.eps_weight)
+    v_new, g_new = jax.value_and_grad(loss_new, argnums=(0, 1, 2))(*args)
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(*args)
+    assert abs(float(v_new - v_ref)) < 2e-4
+    for name, a, b in zip(("dem", "dw", "deps"), g_new, g_ref):
+        d = float(jnp.max(jnp.abs(a - b))) if a.size else 0.0
+        assert d < 2e-4, (name, d)
 
 
 def test_batch_tiled_whole_scan_matches_oracle():
