@@ -77,7 +77,13 @@ def ngram_variant(B, style, decoders):
     tokens = [(i,) for i in range(N)]
     graphemes_to_index = {i: i for i in range(N)}
     rng = np.random.RandomState(0)
-    inputs = jnp.asarray(rng.randn(B, T, N).astype(np.float32))
+    # the "ctc" style adds an optional blank, which is one more emission
+    # channel (the reference harness feeds N channels and lets GTN's
+    # composition silently drop the out-of-range blank label; this
+    # criterion's factored path shape-checks instead — see bench.py's
+    # matching note)
+    C = N + (1 if style == "ctc" else 0)
+    inputs = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
     targets = [rng.randint(0, N, size=L).tolist() for _ in range(B)]
 
     for ngram in [0, 1, 2]:
@@ -102,7 +108,7 @@ def ngram_variant(B, style, decoders):
             f"{style} fwd + bwd, ngram={ngram}",
         )
         decoders.append(
-            (crit, params, f"{style} viterbi, ngram={ngram}")
+            (crit, params, C, f"{style} viterbi, ngram={ngram}")
         )
 
 
@@ -114,9 +120,9 @@ if __name__ == "__main__":
     ngram_variant(B, "asg", decoders)
     # decode protocols last (first host readback degrades sync latency)
     wd_viterbi()
-    for crit, params, name in decoders:
+    for crit, params, C, name in decoders:
         inputs2 = jnp.asarray(
-            np.random.RandomState(0).randn(B, 250, 81).astype(np.float32)
+            np.random.RandomState(0).randn(B, 250, C).astype(np.float32)
         )
         time_func(
             lambda: jnp.zeros(()) if crit.viterbi(inputs2, params) else None,

@@ -33,6 +33,13 @@ from benchmarks.scaling_benchmark import _flagship_step, _step_flops
 
 
 def chained(step, params, xs, prepared, iters):
+    """Returns (seconds, live_params).  The step DONATES params: callers
+    must thread the returned params into the next measurement — reusing
+    the consumed originals executes on donated buffers, which chained
+    block_until_ready does NOT surface on this stack (the executions
+    fail async and the 'timing' measures garbage) but any readback does
+    (INVALID_ARGUMENT) — itself evidence the chained timer is broken
+    here."""
     key = jax.random.PRNGKey(1)
     p = params
     for _ in range(3):
@@ -42,20 +49,21 @@ def chained(step, params, xs, prepared, iters):
     for _ in range(iters):
         p, loss, _ = step(p, xs, prepared, key, 1.0)
     jax.block_until_ready(loss)
-    return time.perf_counter() - start
+    return time.perf_counter() - start, p
 
 
 def with_readback(step, params, xs, prepared, iters):
+    """Returns (seconds, live_params); see ``chained`` on donation."""
     key = jax.random.PRNGKey(1)
     p = params
     for _ in range(3):
         p, loss, _ = step(p, xs, prepared, key, 1.0)
-    jax.block_until_ready(loss)
+    float(loss)  # absorb the first (poisoning, ~3 s) readback untimed
     start = time.perf_counter()
     for _ in range(iters):
         p, loss, _ = step(p, xs, prepared, key, 1.0)
     _ = float(loss)  # ground truth: value must exist on the host
-    return time.perf_counter() - start
+    return time.perf_counter() - start, p
 
 
 def main():
@@ -69,18 +77,18 @@ def main():
 
     print("-- chained block_until_ready --")
     for iters in (5, 20, 80):
-        t = chained(step, params, xs, prepared, iters)
+        t, params = chained(step, params, xs, prepared, iters)
         ms = t / iters * 1e3
         tf = (flops / (t / iters)) / 1e12 if flops else float("nan")
         print(f"iters={iters:3d}: {ms:8.3f} ms/step  ({tf:8.2f} TFLOP/s)")
 
     print("-- readback-closed (ground truth; poisons the process) --")
     for iters in (20, 80, 200):
-        # the axon transfer path intermittently fails a single readback
-        # with a generic InvalidArgument; treat each measurement as
+        # the axon transfer path can intermittently fail a readback with
+        # a generic InvalidArgument; treat each measurement as
         # independent so one flake doesn't kill the whole sanity pass
         try:
-            t = with_readback(step, params, xs, prepared, iters)
+            t, params = with_readback(step, params, xs, prepared, iters)
         except Exception as e:  # pragma: no cover - tunnel flake
             print(f"iters={iters:3d}: readback FAILED "
                   f"({type(e).__name__}: {e})")
