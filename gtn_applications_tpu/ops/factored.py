@@ -411,13 +411,52 @@ def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
     if input_lengths is None:
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
 
-    alpha0 = _ctx_closure(
-        jnp.broadcast_to(ctx_start[None], (B, ctx_start.shape[0])),
-        E_exp, e_shift, eps_depth,
-    )
+    # Epsilon closures in the exp domain throughout:
+    # closure(base + log z) = base + log(sum_k z @ E_sh^k) with
+    # E_sh[c,d] = sum_{eps arcs} e^w — exact (E is nilpotent at
+    # eps_depth+1 for backoff graphs), and it removes the per-iteration
+    # where/log/exp ladder of the generic log-domain closure.  Envelope:
+    # unlike the re-shifting log-domain closure this overflows only if
+    # a learned eps weight exceeds ~+80 nats (e^w inf in f32) — far
+    # outside any trainable regime.
+    #
+    # The START closure is folded into the first scan step (gated on
+    # t == 0) so the scan's initial carry is PARAMETER-INDEPENDENT:
+    # the remote XLA compiler SIGILLs in TpuPriorityFusionQueue's cost
+    # model whenever grad-wrt-params flows through an epsilon closure
+    # feeding the scan's initial carry with the tables as traced jit
+    # arguments (the real training config) — chip-bisected; closures
+    # inside the scan body compile fine.
+    E_sh = E_exp * jnp.exp(e_shift)                            # [S_c, S_c]
+
+    def _close(z):
+        zc = z
+        for _ in range(eps_depth):
+            zc = zc @ E_sh
+            z = z + zc
+        return z
+
+    alpha0 = jnp.broadcast_to(ctx_start[None], (B, ctx_start.shape[0]))
+    if T == 0:
+        z0 = _close(jnp.exp(alpha0))
+        return logsumexp(
+            jnp.where(z0 > 0.0, jnp.log(jnp.maximum(z0, _FLOOR)), NEG)
+            + ctx_accept[None, :],
+            axis=1,
+        )
 
     def step(alpha, xs):
         em_t, t = xs                                           # [B, N]
+        # start closure at t == 0; the untaken branch still computes,
+        # so shift by a stop-grad max to keep it finite for any alpha
+        sh0 = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
+        )
+        z0 = _close(jnp.exp(alpha - sh0))
+        closed = jnp.where(
+            z0 > 0.0, sh0 + jnp.log(jnp.maximum(z0, _FLOOR)), NEG
+        )
+        alpha = jnp.where(t == 0, closed, alpha)
         sh = jax.lax.stop_gradient(
             jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
         )
@@ -428,14 +467,15 @@ def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
         e_em = jnp.exp(em_t - me)                              # [B, N]
         z_adv = eA @ W_adv_exp                                 # [B, N]
         # every term carries the common factor e^(x - sh - t_shift - me)
-        z = (z_adv * e_em) @ P_dst + eA * (e_em @ D_exp_t)     # [B, S_c]
+        z = _close((z_adv * e_em) @ P_dst + eA * (e_em @ D_exp_t))
         new = jnp.where(
             z > 0.0,
             sh + t_shift + me + jnp.log(jnp.maximum(z, _FLOOR)),
             NEG,
         )
-        new = _ctx_closure(new, E_exp, e_shift, eps_depth)
         live = (t < input_lengths)[:, None]
+        # dead (t >= length) samples keep the t==0-closed carry: their
+        # readout is exactly closure(start) + accept, as before
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
