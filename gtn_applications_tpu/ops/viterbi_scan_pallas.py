@@ -248,7 +248,10 @@ def _dense_bt_kernel(state0_ref, bp_ref, path_ref, first_ref, state_scr):
         state_scr[...] = state0_ref[...]
 
     state_oh = state_scr[...]  # [B, C_pad] one-hot f32
-    iota = jax.lax.broadcasted_iota(jnp.float32, state_oh.shape, 1)
+    # Mosaic's tpu.iota is integer-only; build i32 and convert
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, state_oh.shape, 1
+    ).astype(jnp.float32)
     s_idx = jnp.sum(state_oh * iota, axis=1, keepdims=True)  # [B, 1]
     path_ref[0] = jnp.broadcast_to(
         s_idx.astype(jnp.int32), path_ref.shape[1:]

@@ -72,6 +72,47 @@ def test_seg_lse_shared_table():
     assert g.shape == (1, A)
 
 
+def test_seg_lse_mixed_batch_dims():
+    """Per-sample endpoints with SHARED weights (composed per-sample
+    lattices whose eps weights come from the one transition graph) — the
+    dw reduction and the block specs must gate on each input's own
+    leading dim, not src's.  Regression: on-chip the composed 200wp-LM
+    leg died with an ad_util add_abstract assert ([B, E] eps cotangent
+    added to the [1, E] primal's)."""
+    rng = np.random.RandomState(3)
+    B, S, A = 4, 10, 24
+    alpha = jnp.asarray(rng.randn(B, S).astype(np.float32))
+    src = jnp.asarray(rng.randint(0, S, (B, A)), dtype=jnp.int32)
+    dst = jnp.asarray(rng.randint(0, S, (B, A)), dtype=jnp.int32)
+    w = jnp.asarray(rng.randn(1, A).astype(np.float32))
+    em = jnp.asarray(rng.randn(B, A).astype(np.float32))
+    out = seg_lse(alpha, src, dst, w, em)
+    for b in range(B):
+        contrib = alpha[b][src[b]] + w[0] + em[b]
+        ref = segment_logsumexp(contrib, dst[b], S)
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(ref), rtol=1e-4
+        )
+    ga, gw, ge = jax.grad(
+        lambda alpha, w, em: (seg_lse(alpha, src, dst, w, em) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(alpha, w, em)
+    assert gw.shape == (1, A) and ge.shape == (B, A)
+
+    def f_ref(alpha, w, em):
+        outs = []
+        for b in range(B):
+            contrib = alpha[b][src[b]] + w[0] + em[b]
+            outs.append(segment_logsumexp(contrib, dst[b], S))
+        return (jnp.stack(outs) ** 2).sum()
+
+    ra, rw, re = jax.grad(f_ref, argnums=(0, 1, 2))(alpha, w, em)
+    for a, b in zip((ga, gw, ge), (ra, rw, re)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_batched_pallas_scan_matches_vmap():
     rng = np.random.RandomState(3)
     # graph with eps backoff arcs

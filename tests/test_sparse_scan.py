@@ -383,3 +383,34 @@ def test_union_skeleton_stacking_matches_per_sample():
             arc_id=np.arange(n, dtype=np.int32),
         ))
     assert wcompile.union_stack_arc_tables(wild, max_blowup=1.2) is None
+
+
+def test_gather_channels_mxu_tiled_huge_s():
+    """Column-tiled MXU gather at composed-decode-table scale: a 200wp-LM
+    eps-removed decode table gathers ~42k arcs per frame; the un-tiled
+    kernel's [T, S] block + [S, C] one-hot blew the 16 MB scoped-VMEM
+    limit on chip.  Values and dx must match the XLA oracle, including
+    across the padded tail of the last column tile."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.ops.gathers import gather_channels_mxu
+
+    rng = np.random.default_rng(7)
+    B, T, C, S = 2, 50, 201, 5003  # S: prime, exercises ragged padding
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, C, (B, S)), dtype=jnp.int32)
+    out = gather_channels_mxu(x, idx)
+    ref = jnp.take_along_axis(
+        x, jnp.broadcast_to(idx[:, None, :], (B, T, S)), axis=2
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    g = jax.grad(lambda x: (gather_channels_mxu(x, idx) ** 2).sum())(x)
+    gr = jax.grad(
+        lambda x: (jnp.take_along_axis(
+            x, jnp.broadcast_to(idx[:, None, :], (B, T, S)), axis=2
+        ) ** 2).sum()
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(gr), rtol=1e-5, atol=1e-5
+    )
