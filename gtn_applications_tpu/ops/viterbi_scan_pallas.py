@@ -209,8 +209,9 @@ def _backtrace_kernel(D, S_pad,
     slots = slots_ref[0].astype(jnp.float32)        # [B, S_pad]
     d = jnp.sum(state_oh * slots, axis=1, keepdims=True)  # [B, 1]
     valid = d < float(_DEAD)
+    # Mosaic's tpu.iota is integer-only; build i32 and convert
     d_iota = jax.lax.broadcasted_iota(
-        jnp.float32, (state_oh.shape[0], D), 1)
+        jnp.int32, (state_oh.shape[0], D), 1).astype(jnp.float32)
     d_oh = jnp.where(d_iota == d, 1.0, 0.0)         # [B, D]
     # rows of the [D, S_pad] bucket tables for each sample's winning slot
     src_rows = jax.lax.dot_general(
@@ -227,7 +228,7 @@ def _backtrace_kernel(D, S_pad,
     lab = jnp.sum(state_oh * lab_rows, axis=1, keepdims=True)
     lab = jnp.where(valid, lab, -1.0)
     s_iota = jax.lax.broadcasted_iota(
-        jnp.float32, state_oh.shape, 1)
+        jnp.int32, state_oh.shape, 1).astype(jnp.float32)
     prev_oh = jnp.where(s_iota == prev, 1.0, 0.0)
     state_scr[...] = jnp.where(valid, prev_oh, state_oh)
     lab_ref[0] = jnp.broadcast_to(
