@@ -156,7 +156,12 @@ def _onehot_chunk(idx_c, S_pad):
 
     Built in-kernel (VPU compare against an iota), so the only resident
     projection state is one chunk; padding arcs carry idx -1 and match no
-    state (all-zero column)."""
+    state (all-zero column).  Keep the build in f32 even though every
+    consumer casts to bf16 for the dots: a direct bf16 select fails
+    Mosaic's i1 relayout to (16, 128) tiling, and f32-select-then-convert
+    measured a 40x SLOWDOWN on chip (17.5 -> 704 ms/iter word-decomps
+    fwd+bwd) — the per-chunk (8, 128) -> (16, 128) retiling lowers to a
+    pathological path."""
     Bt, Ac = idx_c.shape
     i = jax.lax.broadcasted_iota(jnp.int32, (Bt, S_pad, Ac), 1)
     return jnp.where(i == idx_c[:, None, :], 1.0, 0.0)
