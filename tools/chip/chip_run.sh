@@ -17,6 +17,10 @@ echo "=== phase 1b: factored paths + decode kernels verify ==="
 timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
   python tools/chip/chip_factored_verify.py 2>&1 | tee /tmp/chip_factored.log
 
+echo "=== phase 1c: forced-step diff at composed-LM scale ==="
+timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
+  python tools/chip/chip_step_scale_diff.py 2>&1 | tee /tmp/chip_stepscale.log
+
 echo "=== phase 2: headline bench ==="
 timeout 1800 python bench.py > /tmp/chip_bench.json 2> /tmp/chip_bench.log
 cat /tmp/chip_bench.json
