@@ -337,7 +337,11 @@ class Transducer(Criterion):
         use_factored = _FACTORED_IMPL not in _FACTORED_DISABLED and (
             self._factored_ngram
             or (
-                (self._factored_backoff or self._factored_backoff_dst)
+                (
+                    self._factored_backoff
+                    or self._factored_backoff_dst
+                    or self.transitions is None
+                )
                 and (
                     _FACTORED_IMPL == "on"
                     or jax.default_backend() == "tpu"
@@ -420,7 +424,14 @@ class Transducer(Criterion):
         S = -(-max([len(cg.start) for cg in cgs] + [1]) // 8) * 8
         B = len(cgs)
         variant = "ngram"
-        if not self._factored_ngram:
+        if self.transitions is None:
+            # no transition factor at all: the plain dense-adjacency
+            # scorer (alignment_lattice_score); gate on the [B, S, S]
+            # adjacency + [B, S, N] label working set
+            variant = "plain" if B * S * (S + N) <= 48_000_000 else None
+            if variant is None:
+                return None
+        elif not self._factored_ngram:
             # working-set gates, checked BEFORE the O(B*S^2) packing below:
             # dense form runs a per-step [B, S_a, N, S_c] einsum; the
             # destination-factored form only [B, S_a, max(N, S_c)] matmuls.
@@ -478,6 +489,8 @@ class Transducer(Criterion):
             # leafless marker: variant selection must live in the pytree
             # STRUCTURE (static under jit), not in a (traced) leaf value
             prepared["factored_dst"] = ()
+        elif variant == "plain":
+            prepared["factored_plain"] = ()
         return prepared
 
     def _transition_matrices(self, params, N):
@@ -586,6 +599,15 @@ class Transducer(Criterion):
 
             N = self._num_tokens + int(self.blank != "none")
             f = prepared["factored"]
+            if "factored_plain" in prepared:
+                # transitions=None: log_softmax normalizes per frame (as
+                # the sparse branch below), the lattice score is the loss
+                em = jax.nn.log_softmax(inputs, axis=2)
+                score = _fact.alignment_lattice_score(
+                    em, f["adj_exp"], f["lab_oh"], f["start"],
+                    f["accept"], input_lengths,
+                )
+                return self._reduce(-score, prepared)
             if self._factored_ngram:
                 ws, W, we, we0 = _fact.ngram_rows(
                     params["transitions"], self._factored_ngram, N

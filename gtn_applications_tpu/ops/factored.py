@@ -68,6 +68,69 @@ def _f32_matmuls(fn):
 
 
 @_f32_matmuls
+def alignment_lattice_score(em, adj_exp, lab_oh, start, accept,
+                            input_lengths=None):
+    """Forward score of per-sample alignment lattices with NO transition
+    factor (``transitions=None`` transducers — e.g. the 1k-wordpiece
+    decomposition marginalizer).  The dense exp-adjacency recursion of
+    ``factored_lattice_score`` with the bigram machinery dropped: one
+    [B, S] x [B, S, S] exp-matmul per frame instead of a per-arc scan —
+    on chip the sparse whole-scan's per-sample one-hot chunk builds
+    (Bt x S x A VPU writes per frame) dominate at exactly these shapes.
+    Behavioral spec: reference transducer.py:260-296 with
+    transitions=None (score term only; the caller log_softmaxes the
+    emissions, so no separate normalizer exists).
+
+    Args:
+      em: [B, T, N] emissions (N = alignment channels incl. blank).
+      adj_exp: [B, S, S] f32 — adj_exp[b, s', s] = sum_{arcs s->s'} e^w
+        (parallel arcs lse-merge exactly).
+      lab_oh: [B, S, N] f32 — one-hot of each state's unique in-label.
+      start, accept: [B, S] f32 potentials (0 / NEG).
+    Returns [B] scores.
+    """
+    B, T, N = em.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    em_state = jnp.einsum("btn,bsn->bts", em, lab_oh)         # [B, T, S]
+    has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S]
+
+    # frame 1: enter via an arc from a start state
+    z1 = jnp.einsum("bus,bs->bu", adj_exp, jnp.exp(
+        jnp.minimum(start, 0.0)) * (start > NEG / 2))
+    alpha = jnp.where(
+        (z1 > 0.0) & has_lab,
+        em_state[:, 0] + jnp.log(jnp.maximum(z1, _FLOOR)),
+        NEG,
+    )
+
+    def step(alpha, xs):
+        em_s_t, t = xs
+        sh = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
+        )
+        z = jnp.einsum("bus,bs->bu", adj_exp, jnp.exp(alpha - sh))
+        new = jnp.where(
+            (z > 0.0) & has_lab,
+            em_s_t + sh + jnp.log(jnp.maximum(z, _FLOOR)),
+            NEG,
+        )
+        live = (t < input_lengths)[:, None]
+        return jnp.where(live, new, alpha), None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha,
+        (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+    )
+    score = logsumexp(alpha + accept, axis=1)
+    # zero-frame samples: the empty path (start ∩ accept), if any
+    base0 = logsumexp(start + accept, axis=1)
+    score0 = jnp.where(base0 > DEAD, base0, NEG)
+    return jnp.where(input_lengths > 0, score, score0)
+
+
+@_f32_matmuls
 def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
                            input_lengths=None, we0=0.0):
     """Forward score of per-sample alignment lattices under a bigram

@@ -536,3 +536,46 @@ def test_backoff_dst_viterbi_hlo_has_no_gathers():
         .as_text()
     )
     assert not re.search(r"\bgather\(", txt)
+
+
+@pytest.mark.parametrize("blank", ["optional", "none"])
+def test_plain_factored_matches_sparse(monkeypatch, blank):
+    """transitions=None dense-adjacency scorer (alignment_lattice_score)
+    vs the sparse per-arc oracle: losses and emission grads must agree.
+    Multi-grapheme tokens make the decomposition lattices nontrivial
+    (the word-decomps protocol's structure)."""
+    toks = ["a", "b", "c", "ab", "bc", "abc"]
+    g2i = {c: i for i, c in enumerate("abc")}
+    rng = np.random.default_rng(11)
+    C = len(toks) + int(blank != "none")
+
+    # allow_repeats=False (the word-decomps setting) requires an optional
+    # blank; the blank="none" leg keeps repeats
+    ar = blank == "none"
+    fact = Transducer(toks, g2i, blank=blank, allow_repeats=ar)
+    twin = Transducer(toks, g2i, blank=blank, allow_repeats=ar)
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "on")
+
+    B, T = 4, 9
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    targets = [[0, 1, 2], [1, 2, 0, 1], [2], [0, 1]]
+    lens = jnp.asarray([T, T - 3, 4, 0], jnp.int32)
+    prep_f = fact.prepare(targets)
+    assert "factored" in prep_f and "factored_plain" in prep_f
+    prep_g = _prepare_generic(twin, targets)
+    assert "factored" not in prep_g
+
+    vf, gf = jax.value_and_grad(
+        lambda x: fact.loss({}, x, prep_f, lens)
+    )(inputs)
+    vg, gg = jax.value_and_grad(
+        lambda x: twin.loss({}, x, prep_g, lens)
+    )(inputs)
+    assert abs(float(vf - vg)) < 5e-4, (float(vf), float(vg))
+    assert float(jnp.max(jnp.abs(gf - gg))) < 5e-4
+
+    # decode is prep-independent; parity across the two criteria
+    outs_f = fact.viterbi(inputs, input_lengths=lens)
+    outs_g = twin.viterbi(inputs, input_lengths=lens)
+    for a, b in zip(outs_f, outs_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
