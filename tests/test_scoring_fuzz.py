@@ -134,3 +134,55 @@ def test_factored_agrees_random(seed):
     assert abs(float(vf - vg)) < 5e-4, (seed, float(vf), float(vg))
     assert float(jnp.max(jnp.abs(gf[0] - gg[0]))) < 5e-4, seed
     assert float(jnp.max(jnp.abs(gf[1] - gg[1]))) < 5e-4, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_plain_factored_agrees_random(monkeypatch, seed):
+    """Random multi-grapheme token inventories, transitions=None: the
+    plain dense-adjacency scorer vs the sparse per-arc oracle (losses +
+    emission grads), across blank modes, ragged lengths (incl. 0), and
+    repeated/unreachable targets."""
+    from gtn_applications_tpu.criterions import transducer as tmod
+    from tests.test_factored import _prepare_generic
+
+    rng = np.random.default_rng(300 + seed)
+    n_graph = int(rng.integers(2, 5))
+    graphemes = [chr(ord("a") + i) for i in range(n_graph)]
+    g2i = {g: i for i, g in enumerate(graphemes)}
+    toks = list(graphemes)
+    for _ in range(int(rng.integers(1, 4))):  # multi-grapheme pieces
+        L = int(rng.integers(2, 4))
+        toks.append("".join(rng.choice(graphemes) for _ in range(L)))
+    toks = list(dict.fromkeys(toks))
+    blank = ["optional", "none"][int(rng.integers(0, 2))]
+    ar = blank == "none"  # allow_repeats=False needs an optional blank
+    C = len(toks) + int(blank != "none")
+    B = int(rng.integers(2, 5))
+    T = int(rng.integers(5, 11))
+
+    fact = Transducer(toks, g2i, blank=blank, allow_repeats=ar)
+    twin = Transducer(toks, g2i, blank=blank, allow_repeats=ar)
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    targets = [
+        rng.integers(0, n_graph, size=rng.integers(0, 5)).tolist()
+        for _ in range(B)
+    ]
+    lens = jnp.asarray(rng.integers(0, T + 1, size=B), jnp.int32)
+
+    monkeypatch.setattr(tmod, "_FACTORED_IMPL", "on")
+    prep_f = fact.prepare(targets)
+    assert "factored_plain" in prep_f, seed
+    prep_g = _prepare_generic(twin, targets)
+
+    vf, gf = jax.value_and_grad(
+        lambda x: fact.loss({}, x, prep_f, lens)
+    )(inputs)
+    vg, gg = jax.value_and_grad(
+        lambda x: twin.loss({}, x, prep_g, lens)
+    )(inputs)
+    both_inf = not np.isfinite(float(vf)) and not np.isfinite(float(vg))
+    huge = abs(float(vf)) > 1e20 and abs(float(vg)) > 1e20
+    if both_inf or huge:
+        return  # batch-wide untransducible: both paths agree it's dead
+    assert abs(float(vf - vg)) < 5e-4, (seed, float(vf), float(vg))
+    assert float(jnp.max(jnp.abs(gf - gg))) < 5e-4, seed
