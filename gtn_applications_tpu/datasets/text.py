@@ -7,8 +7,6 @@ token list and word->wordpiece lexicon with letter fallback, the "▁"
 word separator, and the inverse maps used for CER/WER scoring.
 """
 
-import itertools
-
 import numpy as np
 
 WORDSEP = "▁"
@@ -42,48 +40,61 @@ class TextPreprocessor:
             graphemes.update(text)
         self.graphemes = sorted(graphemes)
 
-        if tokens_path is not None:
-            with open(tokens_path, "r") as fid:
-                self.tokens = [l.strip() for l in fid]
-        else:
+        if tokens_path is None:
             self.tokens = self.graphemes
-
-        if lexicon_path is not None:
-            with open(lexicon_path, "r") as fid:
-                lexicon = (l.strip().split() for l in fid)
-                self.lexicon = {l[0]: l[1:] for l in lexicon}
         else:
-            self.lexicon = None
+            with open(tokens_path, "r") as fid:
+                self.tokens = [line.strip() for line in fid]
 
-        self.graphemes_to_index = {t: i for i, t in enumerate(self.graphemes)}
-        self.tokens_to_index = {t: i for i, t in enumerate(self.tokens)}
+        self.lexicon = None
+        if lexicon_path is not None:
+            self.lexicon = {}
+            with open(lexicon_path, "r") as fid:
+                for raw in fid:
+                    fields = raw.strip().split()
+                    if fields:
+                        self.lexicon[fields[0]] = fields[1:]
+
+        self.graphemes_to_index = dict(
+            zip(self.graphemes, range(len(self.graphemes)))
+        )
+        self.tokens_to_index = dict(zip(self.tokens, range(len(self.tokens))))
 
     @property
     def num_tokens(self):
         return len(self.tokens)
 
+    def _word_pieces(self, word):
+        """Wordpiece decomposition of one word.
+
+        Out-of-lexicon words are spelled out letter by letter with the word
+        separator glued to the first letter (the reference's letter fallback,
+        iamdb.py:199) — returning the string lets the caller iterate its
+        characters exactly like a piece list.
+        """
+        pieces = self.lexicon.get(word)
+        return self.wordsep + word if pieces is None else pieces
+
     def to_index(self, line):
-        tok_to_idx = self.graphemes_to_index
-        if self.lexicon is not None:
-            if len(line) > 0:
-                line = [
-                    t
-                    for w in line.split(self.wordsep)
-                    for t in self.lexicon.get(w, self.wordsep + w)
-                ]
-            tok_to_idx = self.tokens_to_index
+        if self.lexicon is None:
+            vocab = self.graphemes_to_index
+            stream = list(line)
+        else:
+            vocab = self.tokens_to_index
+            stream = []
+            for word in line.split(self.wordsep) if line else []:
+                stream.extend(self._word_pieces(word))
         if self._prepend_wordsep:
-            line = itertools.chain([self.wordsep], line)
-        return np.asarray([tok_to_idx[t] for t in line], dtype=np.int32)
+            stream.insert(0, self.wordsep)
+        return np.asarray([vocab[t] for t in stream], dtype=np.int32)
 
     def to_text(self, indices):
-        encoding = self.graphemes
-        if self.lexicon is not None:
-            encoding = self.tokens
-        return self._post_process(encoding[int(i)] for i in indices)
+        vocab = self.tokens if self.lexicon is not None else self.graphemes
+        return self._render(vocab, indices)
 
     def tokens_to_text(self, indices):
-        return self._post_process(self.tokens[int(i)] for i in indices)
+        return self._render(self.tokens, indices)
 
-    def _post_process(self, indices):
-        return "".join(indices).strip(self.wordsep)
+    def _render(self, vocab, indices):
+        # Leading/trailing word separators carry no text.
+        return "".join(vocab[int(i)] for i in indices).strip(self.wordsep)
