@@ -3,6 +3,7 @@
 transition graph -> transducer training (the scripts/iamdb_transitions.sh
 flow on the synthetic dataset)."""
 
+import pytest
 import json
 import os
 import tempfile
@@ -68,6 +69,7 @@ def test_wordpiece_assets_then_training():
         assert os.path.exists(os.path.join(d, "model.checkpoint"))
 
 
+@pytest.mark.slow  # offline pipeline + inline training
 def test_pruned_transitions_then_transducer():
     texts, pre = _train_texts()
     tokens = pre.graphemes

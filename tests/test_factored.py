@@ -348,6 +348,7 @@ def _bigram_lm_graph(seed, ntok, blank, prune):
 @pytest.mark.parametrize(
     "blank,prune", [("optional", 0), ("forced", 1), ("none", 0)]
 )
+@pytest.mark.slow  # large composed-path differential
 def test_backoff_dst_factored_matches_generic(monkeypatch, blank, prune):
     """The destination-factored scorer (the 1k-wordpiece-LM regime, where
     the dense [N, S_c, S_c] form cannot materialize) == the generic

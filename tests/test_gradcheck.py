@@ -5,6 +5,7 @@ support (tests/gtn_ctc_test.py:82-105, gtn_asg_test.py:126-152); JAX AD
 has no such limitation, so they run here.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +73,7 @@ def test_stc_gradcheck():
     _check(lambda x: crit.loss({}, x, prep), x)
 
 
+@pytest.mark.slow  # numeric jacobian
 def test_transducer_ngram_gradcheck():
     rng = np.random.RandomState(3)
     N = 4

@@ -9,6 +9,8 @@ batch really is assembled from per-host shards, the metric decode really
 runs on local rows only, and the meter sync really crosses processes.
 """
 
+import pytest
+
 import json
 import os
 import socket
@@ -18,6 +20,9 @@ import sys
 import numpy as np
 
 _WORKER = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+
+
+pytestmark = pytest.mark.slow  # spawns real multi-process gloo clusters
 
 
 def _free_port():

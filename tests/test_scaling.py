@@ -8,12 +8,17 @@ total compute.  (Real multi-chip adds per-chip compute isolation on top;
 benchmarks/scaling_benchmark.py measures absolute chip numbers.)
 """
 
+import pytest
+
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
 
 from scaling_benchmark import run_mesh_scaling  # noqa: E402
+
+
+pytestmark = pytest.mark.slow  # timing-based efficiency measurement (~1 min)
 
 
 def test_sharding_efficiency_at_least_80pct():

@@ -14,6 +14,9 @@ at authoring time: test CER 16.2 vs the 32.8% dropped fraction.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # inline training to convergence (~minutes)
 
 
 STRIDE = 12  # glyph width: one frame per character

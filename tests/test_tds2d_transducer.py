@@ -1,5 +1,6 @@
 """TDS2dTransducer end-to-end model test (WFST conv vs plain conv control)."""
 
+import pytest
 import tempfile
 
 import jax
@@ -29,6 +30,7 @@ def _token_file():
     return f.name
 
 
+@pytest.mark.slow  # full WFST-conv model fwd+bwd
 def test_tds2d_transducer_wfst():
     tokens = _token_file()
     model = TDS2dTransducer(
@@ -69,6 +71,7 @@ def test_tds2d_transducer_control():
     assert out.shape[0] == 2 and out.shape[2] == 6
 
 
+@pytest.mark.slow  # full WFST-conv model fwd+bwd
 def test_tds2d_transducer_learned_kernels():
     tokens = _token_file()
     model = TDS2dTransducer(

@@ -60,6 +60,7 @@ def test_train_and_eval_ctc():
 
 
 @pytest.mark.parametrize("criterion", ["asg", "stc", "transducer"])
+@pytest.mark.slow  # inline driver training
 def test_train_other_criteria(criterion):
     from gtn_applications_tpu import train as train_mod
 
@@ -76,6 +77,7 @@ def test_train_other_criteria(criterion):
     assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
 
 
+@pytest.mark.slow  # inline driver training
 def test_train_ctc_assoc_impl():
     """The long-context associative-scan lattice (impl='assoc' with the
     memory-bounded chunk-transfer form — ops/lattice.py
@@ -186,6 +188,7 @@ def test_train_audio_pipeline():
     assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
 
 
+@pytest.mark.slow  # inline driver training
 def test_train_with_input_lengths():
     """use_input_lengths masks padded frames out of the lattice."""
     from gtn_applications_tpu import train as train_mod
@@ -202,6 +205,7 @@ def test_train_with_input_lengths():
     assert os.path.exists(os.path.join(tmpdir, "model.checkpoint"))
 
 
+@pytest.mark.slow  # two full driver runs back to back
 def test_restore_continues_training():
     from gtn_applications_tpu import train as train_mod
 

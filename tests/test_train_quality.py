@@ -19,6 +19,10 @@ import logging
 import os
 import tempfile
 
+import pytest
+
+pytestmark = pytest.mark.slow  # inline training to convergence (~minutes)
+
 _MODEL = {
     "depth": 2,
     "tds_groups": [

@@ -1,6 +1,7 @@
 """Transducer criterion tests, mirroring /root/reference/tests/transducer_test.py
 golden values and equivalence checks."""
 
+import pytest
 import math
 
 import jax
@@ -309,6 +310,7 @@ def test_transducer_asg_viterbi():
     assert path.tolist() == [2, 1, 0]
 
 
+@pytest.mark.slow  # numeric grad over every arc
 def test_backoff_transitions_numeric_grad():
     """Analytic vs numerical gradient of backoff transition weights
     (transducer_test.py:534-566), on a framework-built pruned bigram graph
@@ -366,6 +368,7 @@ def test_backoff_transitions_numeric_grad():
     np.testing.assert_allclose(analytic, numeric, rtol=1e-2, atol=1e-3)
 
 
+@pytest.mark.slow  # numeric grad over every arc
 def test_backoff_fixture_numeric_grad():
     """The reference's exact backoff-transitions regression
     (transducer_test.py:534-566 with tests/trans_backoff_test.txt): load

@@ -1,6 +1,7 @@
 """Host WFST library tests: compose/remove/score semantics, serialization,
 and host-vs-device forward-score parity on random lattices."""
 
+import pytest
 import math
 import tempfile
 
@@ -216,6 +217,7 @@ def test_device_viterbi_matches_host():
         assert len([l for l in labels.tolist() if l >= 0]) == T
 
 
+@pytest.mark.slow  # fuzz at scale
 def test_device_scan_fuzz_with_eps():
     """Random acceptors incl. weighted eps arcs: host forward_score vs the
     compiled device scan, 20 graphs."""
