@@ -375,20 +375,37 @@ def bench_wordpiece_bytes_per_s():
     ]
     total_bytes = sum(len(l.encode("utf-8")) for l in lines)
 
+    def measure(encode_all):
+        encode_all()  # warmup
+        iters = 5
+        start = time.perf_counter()
+        for _ in range(iters):
+            encode_all()
+        return total_bytes / ((time.perf_counter() - start) / iters)
+
     enc = model._native_encoder()
     if enc is not None:
-        encode_all = lambda: enc.encode_batch(lines)
+        rate = measure(lambda: enc.encode_batch(lines))
     else:
-        encode_all = lambda: [model.encode(l) for l in lines]
-    encode_all()  # warmup
-    iters = 5
-    start = time.perf_counter()
-    for _ in range(iters):
-        encode_all()
-    rate = total_bytes / ((time.perf_counter() - start) / iters)
+        rate = measure(lambda: [model.encode(l) for l in lines])
     log(f"wordpiece encode: {rate / 1e6:.2f} MB/s "
         f"({'native batched' if enc is not None else 'python'})")
-    return rate
+
+    # Same-host comparator: HF tokenizers' Unigram (Rust, rayon-parallel
+    # encode_batch) with the identical (piece, score) table — grounds the
+    # bytes/s north star against an independent production encoder.
+    hf_rate = None
+    try:
+        from tokenizers import Tokenizer
+        from tokenizers.models import Unigram
+
+        vocab = [("<unk>", -100.0)] + [(p, lp[p]) for p in pieces]
+        tok = Tokenizer(Unigram(vocab, unk_id=0))
+        hf_rate = measure(lambda: tok.encode_batch(lines))
+        log(f"wordpiece encode (hf tokenizers): {hf_rate / 1e6:.2f} MB/s")
+    except ImportError:
+        log("hf tokenizers unavailable; comparator skipped")
+    return rate, hf_rate
 
 
 def bench_graph_engine_cpu():
@@ -549,7 +566,8 @@ def main():
         bench_transducer_graph_engine_cpu, "graph engine transducer"
     )
     torch_ms = soft(bench_torch_cpu, "torch cpu")
-    wordpiece_rate = soft(bench_wordpiece_bytes_per_s, "wordpiece encode")
+    wp_rates = soft(bench_wordpiece_bytes_per_s, "wordpiece encode")
+    wordpiece_rate, wordpiece_hf_rate = wp_rates or (None, None)
     wd_vit = wd_viterbi and soft(wd_viterbi, "word decomps viterbi")
     wd_viterbi_ms, wd_viterbi_pipe_ms = wd_vit or (None, None)
 
@@ -601,6 +619,13 @@ def main():
         "word_decomps_viterbi_pipelined_ms": r3(wd_viterbi_pipe_ms),
         "wordpiece_bytes_per_s": (
             round(wordpiece_rate) if wordpiece_rate else None
+        ),
+        "wordpiece_hf_tokenizers_bytes_per_s": (
+            round(wordpiece_hf_rate) if wordpiece_hf_rate else None
+        ),
+        "wordpiece_vs_hf": (
+            round(wordpiece_rate / wordpiece_hf_rate, 3)
+            if wordpiece_rate and wordpiece_hf_rate else None
         ),
     }
     print(json.dumps(out))

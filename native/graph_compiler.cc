@@ -1289,6 +1289,84 @@ struct WpModel {
     auto it = pieces.find(std::string(p, p + n));
     return it == pieces.end() ? nullptr : &it->second;
   }
+
+  // Byte trie for the Viterbi encoder's forward walk: from a start
+  // boundary, extending a match one byte at a time dies after a few bytes
+  // on natural text, where the hash map costs max_cp_len full probes
+  // (memcpy + 16-byte hash each) per boundary regardless.
+  struct TrieNode {
+    int32_t child_off = 0;   // into edge_bytes / edge_next
+    int32_t piece_id = -1;   // terminal piece, -1 if none
+    float lp = 0.0f;
+    int16_t n_children = 0;
+  };
+  std::vector<TrieNode> trie;
+  std::vector<unsigned char> edge_bytes;
+  std::vector<int32_t> edge_next;
+  int32_t trie_root[256];  // first byte -> node, -1 if absent
+
+  inline int32_t trie_child(int32_t node, unsigned char c) const {
+    const TrieNode& nd = trie[node];
+    const unsigned char* b = edge_bytes.data() + nd.child_off;
+    for (int16_t i = 0; i < nd.n_children; ++i)
+      if (b[i] == c) return edge_next[nd.child_off + i];
+    return -1;
+  }
+
+  void build_trie() {
+    // Temporary pointer-free trie with per-node child maps, then flatten.
+    struct TmpNode {
+      std::map<unsigned char, int32_t> kids;
+      int32_t piece_id = -1;
+      float lp = 0.0f;
+    };
+    std::vector<TmpNode> tmp(1);  // 0 = root
+    auto insert = [&](const char* p, size_t n, float lp, int32_t id) {
+      int32_t cur = 0;
+      for (size_t i = 0; i < n; ++i) {
+        unsigned char c = (unsigned char)p[i];
+        auto it = tmp[cur].kids.find(c);
+        if (it == tmp[cur].kids.end()) {
+          tmp.push_back(TmpNode());
+          it = tmp[cur].kids.emplace(c, (int32_t)tmp.size() - 1).first;
+        }
+        cur = it->second;
+      }
+      tmp[cur].piece_id = id;
+      tmp[cur].lp = lp;
+    };
+    for (auto& kv : short_pieces) {
+      // unpack the K16 key back to bytes
+      char buf[16];
+      std::memcpy(buf, &kv.first.a, 8);
+      uint64_t b_lo = kv.first.b & 0x00FFFFFFFFFFFFFFull;
+      std::memcpy(buf + 8, &b_lo, 8);
+      size_t n = (size_t)(kv.first.b >> 56);
+      insert(buf, n, kv.second.first, kv.second.second);
+    }
+    for (auto& kv : pieces)
+      insert(kv.first.data(), kv.first.size(), kv.second.first,
+             kv.second.second);
+
+    trie.assign(tmp.size(), TrieNode());
+    edge_bytes.clear();
+    edge_next.clear();
+    for (size_t i = 0; i < tmp.size(); ++i) {
+      trie[i].piece_id = tmp[i].piece_id;
+      trie[i].lp = tmp[i].lp;
+      trie[i].child_off = (int32_t)edge_bytes.size();
+      trie[i].n_children = (int16_t)tmp[i].kids.size();
+      for (auto& kv : tmp[i].kids) {
+        edge_bytes.push_back(kv.first);
+        edge_next.push_back(kv.second);
+      }
+    }
+    for (int i = 0; i < 256; ++i) trie_root[i] = -1;
+    const TrieNode& root = trie[0];
+    for (int16_t i = 0; i < root.n_children; ++i)
+      trie_root[edge_bytes[root.child_off + i]] =
+          edge_next[root.child_off + i];
+  }
 };
 
 static int64_t utf8_cp_len(const std::string& s) {
@@ -1311,6 +1389,7 @@ void* tw_wp_model_new(const char** pieces, const float* log_probs,
     m->max_cp_len = std::max(m->max_cp_len, utf8_cp_len(p));
     m->max_bytes = std::max(m->max_bytes, (int64_t)p.size());
   }
+  m->build_trie();
   return m;
 }
 
@@ -1343,28 +1422,44 @@ int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,
   std::vector<int64_t> back(n + 1, -1);
   std::vector<int32_t> back_id(n + 1, -1);
   best[0] = 0.0;
-  std::string buf;
-  for (int64_t e = 1; e <= n; ++e) {
-    int64_t s0 = std::max<int64_t>(0, e - m->max_cp_len);
-    for (int64_t s = s0; s < e; ++s) {
-      if (best[s] <= kNegS / 2) continue;
-      auto* ent = m->find(text + bounds[s], bounds[e] - bounds[s]);
-      double lp;
-      int32_t id;
-      if (ent) {
-        lp = ent->first;
-        id = ent->second;
-      } else if (e - s == 1) {
-        lp = kUnk;
-        id = -1;
-      } else {
-        continue;
+  // Forward relaxation: from each start boundary walk the byte trie; the
+  // walk ends as soon as no piece continues (a few bytes on natural text),
+  // where the substring-hash formulation pays max_cp_len full-key probes
+  // per boundary unconditionally.  Same DP, same tie-breaking (a strictly
+  // better score replaces; the hash loop's s-ascending order corresponds
+  // to relaxing longer pieces first at each e, which the > test makes
+  // order-independent).
+  for (int64_t s = 0; s < n; ++s) {
+    if (best[s] <= kNegS / 2) continue;
+    const int64_t base = bounds[s];
+    int64_t j = s;              // codepoints completed so far
+    bool first_cp_in_vocab = false;
+    int32_t node = -1;
+    for (int64_t bi = base; bi < text_len; ++bi) {
+      unsigned char c = (unsigned char)text[bi];
+      node = (bi == base) ? m->trie_root[c] : m->trie_child(node, c);
+      if (node < 0) break;
+      if (bi + 1 == bounds[j + 1]) {  // completed codepoint j
+        ++j;
+        const WpModel::TrieNode& nd = m->trie[node];
+        if (nd.piece_id >= 0) {
+          if (j == s + 1) first_cp_in_vocab = true;
+          double cand = best[s] + nd.lp;
+          if (cand > best[j]) {
+            best[j] = cand;
+            back[j] = s;
+            back_id[j] = nd.piece_id;
+          }
+        }
+        if (j >= n) break;
       }
-      double cand = best[s] + lp;
-      if (cand > best[e]) {
-        best[e] = cand;
-        back[e] = s;
-        back_id[e] = id;
+    }
+    if (!first_cp_in_vocab) {  // single-codepoint unk fallback
+      double cand = best[s] + kUnk;
+      if (cand > best[s + 1]) {
+        best[s + 1] = cand;
+        back[s + 1] = s;
+        back_id[s + 1] = -1;
       }
     }
   }

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Quantify vocabulary-INDUCTION divergence (VERDICT r2 missing #3).
+"""Quantify vocabulary-INDUCTION divergence (VERDICT r2 missing #3, r3 weak #4).
 
 Encoding conformance is closed (byte-exact vs HF Unigram given scores —
 tests/test_wordpiece_conformance.py); what remained unquantified is how
@@ -8,21 +8,35 @@ lands from (a) the reference's published 1000-piece inventory and (b) an
 independent SentencePiece-family trainer (HF tokenizers' UnigramTrainer)
 when all are given the same corpus.
 
-Protocol (deterministic):
-  1. corpus = zipf_corpus over the published inventory (pseudo-English
-     text whose statistics come from the published pieces — the closest
-     public stand-in for the unavailable WSJ training text);
-  2. induce a 1000-piece vocab with train_unigram; induce another with
-     HF's UnigramTrainer on the same corpus when available;
-  3. report piece-inventory overlap and held-out encoding divergence
-     (sentence-level exact segmentation match + piece-level Jaccard)
-     between every pair.
+Two corpus legs, same three pairings each:
+
+  zipf leg      — pseudo-corpus sampled FROM the published inventory.
+                  NOTE: this structurally favors any trainer that keeps
+                  long frequent substrings, so ours-vs-published numbers
+                  on this leg are biased upward; they are kept for
+                  continuity, not as evidence.
+  natural leg   — fixed English prose checked into this repo (README.md,
+                  SURVEY.md, docs/*.md), normalized to lowercase
+                  wordsep-joined words. No trainer saw this text during
+                  development; it is the unbiased trainer-divergence
+                  measurement.
+
+Headline finding (stated up front so the notes can't spin it): on
+IDENTICAL corpora, this repo's trainer and HF's UnigramTrainer produce
+largely different vocabularies and segmentations (piece-Jaccard ~0.04 on
+the zipf leg; see the JSON for the natural leg). Unigram-EM training is
+highly sensitive to seeding/pruning schedules, so *trainer divergence is
+large* between any two independent implementations; the conformance
+tests pin what actually matters downstream (byte-exact ENCODING given an
+inventory+scores).
 
 Writes docs/vocab_divergence.json (tracked artifact).
 """
 
+import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -32,12 +46,15 @@ from gtn_applications_tpu.scripts.fit_piece_scores import (  # noqa: E402
     load_scores, zipf_corpus,
 )
 from gtn_applications_tpu.scripts.wordpiece import (  # noqa: E402
-    UnigramModel, train_unigram,
+    WORDSEP, UnigramModel, train_unigram,
 )
 
 SCORES = os.path.join(REPO, "benchmarks", "word_pieces_scores_1000.tsv")
 OUT = os.path.join(REPO, "docs", "vocab_divergence.json")
 VOCAB = 1000
+DOC_FILES = ["README.md", "SURVEY.md"] + sorted(
+    os.path.relpath(p, REPO) for p in glob.glob(os.path.join(REPO, "docs", "*.md"))
+)
 
 
 def log(*a):
@@ -65,69 +82,129 @@ def encoding_divergence(model_a, model_b, sentences):
     }
 
 
-def main():
-    pieces_pub, lp_pub = load_scores(SCORES)
-    model_pub = UnigramModel(lp_pub)
+def natural_corpus():
+    """Deterministic natural-English corpus from this repo's own docs.
 
-    train = zipf_corpus(pieces_pub, num_sentences=1500, seed=0)
-    heldout = zipf_corpus(pieces_pub, num_sentences=300, seed=999)
+    Lowercased word sequences (a-z plus apostrophe), 8 words per
+    sentence, joined with the word separator — the same surface format
+    the zipf leg and the reference's transcripts use. The text is
+    tracked in-repo, so the measurement is reproducible byte-for-byte.
+    """
+    words = []
+    for rel in DOC_FILES:
+        with open(os.path.join(REPO, rel), encoding="utf-8") as fh:
+            words.extend(re.findall(r"[a-z']+", fh.read().lower()))
+    sentences = [
+        WORDSEP.join(words[i : i + 8]) for i in range(0, len(words) - 8, 8)
+    ]
+    # Deal every 7th sentence to the held-out split (deterministic,
+    # interleaved so train/heldout share topic distribution).
+    heldout = sentences[::7]
+    train = [s for i, s in enumerate(sentences) if i % 7]
+    return train, heldout
 
+
+def train_hf(train):
+    """HF tokenizers UnigramTrainer on the same corpus, or None."""
+    try:
+        from tokenizers import Tokenizer
+        from tokenizers.models import Unigram
+        from tokenizers.trainers import UnigramTrainer
+    except ImportError:
+        return None
+    tok = Tokenizer(Unigram())
+    trainer = UnigramTrainer(
+        vocab_size=VOCAB + 1, special_tokens=["<unk>"], unk_token="<unk>",
+        show_progress=False,
+    )
+    tok.train_from_iterator(train, trainer=trainer)
+    # pieces + scores via the model json (vocab: list of [piece, score])
+    model_json = json.loads(tok.to_str())["model"]["vocab"]
+    lp_hf = {p: s for p, s in model_json if p != "<unk>"}
+    return UnigramModel(lp_hf)
+
+
+def run_leg(train, heldout, model_pub, pieces_pub, cross_corpus_note):
+    """Train ours + HF on `train`, report all three pairings on `heldout`."""
     log(f"training in-repo unigram ({VOCAB} pieces) ...")
     model_ours = train_unigram(
         train, VOCAB, max_piece_len=12, seed_size=20000, verbose=False
     )
     pieces_ours = sorted(model_ours.log_probs)
 
-    result = {
-        "protocol": {
-            "corpus": "zipf_corpus(published_1k_inventory, 1500 sents, seed 0)",
-            "heldout": "zipf_corpus(seed 999, 300 sents)",
-            "vocab_size": VOCAB,
-            "published_inventory": "benchmarks/word_pieces_scores_1000.tsv "
-            "(= reference benchmarks/word_pieces_tokens_1000.txt set)",
-        },
+    leg = {
         "ours_vs_published": {
             "piece_overlap": overlap(pieces_ours, pieces_pub),
             **encoding_divergence(model_ours, model_pub, heldout),
-            "note": "the published vocab was trained on real WSJ text, "
-            "not this pseudo-corpus; this bounds protocol+trainer "
-            "divergence together",
-        },
+            "note": cross_corpus_note,
+        }
     }
 
-    try:
-        from tokenizers import Tokenizer
-        from tokenizers.models import Unigram
-        from tokenizers.trainers import UnigramTrainer
-
-        log("training HF UnigramTrainer on the same corpus ...")
-        tok = Tokenizer(Unigram())
-        trainer = UnigramTrainer(
-            vocab_size=VOCAB + 1, special_tokens=["<unk>"], unk_token="<unk>",
-            show_progress=False,
-        )
-        tok.train_from_iterator(train, trainer=trainer)
-        # pieces + scores via the model json (vocab: list of [piece, score])
-        model_json = json.loads(tok.to_str())["model"]["vocab"]
-        lp_hf = {p: s for p, s in model_json if p != "<unk>"}
-        model_hf = UnigramModel(lp_hf)
-        pieces_hf = sorted(lp_hf)
-        result["ours_vs_hf_trainer"] = {
-            "piece_overlap": overlap(pieces_ours, pieces_hf),
-            **encoding_divergence(model_ours, model_hf, heldout),
-            "note": "same corpus, same family, independent trainer — the "
-            "direct measure of trainer divergence",
-        }
-        result["hf_trainer_vs_published"] = {
-            "piece_overlap": overlap(pieces_hf, pieces_pub),
-            **encoding_divergence(model_hf, model_pub, heldout),
-            "note": "even an independent production trainer diverges "
-            "from the published inventory on this corpus — the corpus "
-            "gap dominates",
-        }
-    except ImportError:
-        result["ours_vs_hf_trainer"] = None
+    log("training HF UnigramTrainer on the same corpus ...")
+    model_hf = train_hf(train)
+    if model_hf is None:
+        leg["ours_vs_hf_trainer"] = None
         log("tokenizers not available; HF comparison skipped")
+        return leg
+    pieces_hf = sorted(model_hf.log_probs)
+    leg["ours_vs_hf_trainer"] = {
+        "piece_overlap": overlap(pieces_ours, pieces_hf),
+        **encoding_divergence(model_ours, model_hf, heldout),
+        "note": "same corpus, same family, independent trainer — the "
+        "direct measure of trainer divergence; low agreement means the "
+        "two trainers genuinely induce different vocabularies",
+    }
+    leg["hf_trainer_vs_published"] = {
+        "piece_overlap": overlap(pieces_hf, pieces_pub),
+        **encoding_divergence(model_hf, model_pub, heldout),
+        "note": cross_corpus_note,
+    }
+    return leg
+
+
+def main():
+    pieces_pub, lp_pub = load_scores(SCORES)
+    model_pub = UnigramModel(lp_pub)
+
+    result = {
+        "protocol": {
+            "vocab_size": VOCAB,
+            "published_inventory": "benchmarks/word_pieces_scores_1000.tsv "
+            "(= reference benchmarks/word_pieces_tokens_1000.txt set)",
+            "zipf_leg": "zipf_corpus(published_1k_inventory, 1500 sents, "
+            "seed 0); heldout seed 999, 300 sents. BIASED: corpus is "
+            "sampled from the published pieces, which favors trainers "
+            "that memorize long frequent substrings — keep for "
+            "continuity only",
+            "natural_leg": "fixed English prose tracked in-repo "
+            f"({', '.join(DOC_FILES)}), lowercased [a-z'] words, 8-word "
+            "sentences, every 7th held out — the unbiased "
+            "trainer-divergence measurement",
+            "finding": "trainer divergence between independent unigram-EM "
+            "implementations is LARGE on identical corpora (see "
+            "ours_vs_hf_trainer in both legs); cross-corpus pairings "
+            "against the published WSJ-trained inventory additionally "
+            "fold in the corpus gap and cannot separate the two",
+        }
+    }
+
+    zipf_note = (
+        "cross-corpus AND biased: the corpus is generated from the "
+        "published inventory itself, which structurally favors this "
+        "pairing — do not read as trainer quality"
+    )
+    train = zipf_corpus(pieces_pub, num_sentences=1500, seed=0)
+    heldout = zipf_corpus(pieces_pub, num_sentences=300, seed=999)
+    result["zipf_leg"] = run_leg(train, heldout, model_pub, pieces_pub, zipf_note)
+
+    nat_note = (
+        "cross-corpus: published inventory was trained on WSJ text, these "
+        "models on repo prose; folds corpus gap and trainer divergence "
+        "together"
+    )
+    ntrain, nheld = natural_corpus()
+    log(f"natural corpus: {len(ntrain)} train / {len(nheld)} heldout sentences")
+    result["natural_leg"] = run_leg(ntrain, nheld, model_pub, pieces_pub, nat_note)
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fid:
