@@ -478,6 +478,132 @@ def bench_transducer_graph_engine_cpu():
     return ms
 
 
+def bench_word_decomps_graph_engine_cpu():
+    """Same-algorithm denominator for the reference's heaviest protocol:
+    marginalized word-decomposition transducer at T=100, L=15, N=1001 —
+    per-sample alignment-graph compose through the 1k-piece lexicon +
+    log-semiring autodiff on the host C++ tier."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.transducer import Transducer
+    from gtn_applications_tpu.wfst import native
+
+    if not native.available():
+        return None
+    with open(os.path.join(_DIR, "benchmarks",
+                           "word_pieces_scores_1000.tsv")) as fid:
+        tokens = sorted(l.rstrip("\n").split("\t")[0] for l in fid)
+    graphemes = sorted(set(c for t in tokens for c in t))
+    g2i = {t: i for i, t in enumerate(graphemes)}
+    Tw, Lw = 100, 15
+    rng = random.Random(0)
+    nprng = np.random.RandomState(0)
+    Nw = len(tokens) + 1
+    x = nprng.randn(B, Tw, Nw).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(x), 2))
+    targets = []
+    for _ in range(B):
+        pieces = (rng.choice(tokens) for _ in range(Lw))
+        targets.append([g2i[l] for wp in pieces for l in wp])
+    crit = Transducer(
+        tokens, g2i, blank="optional", allow_repeats=False, reduction="mean",
+    )
+
+    def run():
+        native.transducer_engine_batch(lp, crit.lexicon, crit.tokens, targets)
+
+    ms = _time(run, iters=2, warmup=1)
+    log(f"graph-engine-cpu word-decomps fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
+def bench_transducer_ngram2_graph_engine_cpu():
+    """Same-algorithm denominator for the ngram-2 protocol: per-sample
+    normalizer (em ∘ transitions) and aligned (em ∘ (transitions ∘
+    alignment)) compositions with autodiff for emissions AND transition
+    arc weights, threaded over the batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.transducer import Transducer
+    from gtn_applications_tpu.wfst import native
+
+    if not native.available():
+        return None
+    tokens = [(i,) for i in range(N)]
+    crit = Transducer(
+        tokens, {i: i for i in range(N)}, ngram=2, reduction="mean",
+    )
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, N).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(x), 2))
+    targets = [rng.randint(0, N, size=L).tolist() for _ in range(B)]
+
+    def run():
+        native.transducer_ngram_engine_batch(
+            lp, crit.lexicon, crit.tokens, crit.transitions, targets
+        )
+
+    ms = _time(run, iters=2, warmup=1)
+    log(f"graph-engine-cpu transducer ngram2 fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
+def bench_stc_graph_engine_cpu():
+    """Same-algorithm STC denominator: per-call star-graph construction
+    (the reference rebuilds the label graph every forward — the annealed
+    penalty changes per step) + per-sample compose + log-semiring autodiff
+    over star-augmented emissions, threaded over the batch."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions import STC
+    from gtn_applications_tpu.criterions.stc import (
+        _STAR_SENTINEL, STC_BLANK_IDX, make_stc_graph,
+    )
+    from gtn_applications_tpu.wfst import native
+
+    if not native.available():
+        return None
+    Ls = 30
+    rng = np.random.RandomState(0)
+    crit = STC(0, p0=1.0, plast=0.1, thalf=100, reduction="mean",
+               shift_targets=1)
+    x = rng.randn(B, T, N + 1).astype(np.float32)
+    raw_targets = [rng.randint(0, N, size=Ls).tolist() for _ in range(B)]
+    prepared = crit.prepare(raw_targets)
+    # star-augmented emissions (tensor work, same as the device path)
+    em = np.asarray(crit.star_channels(
+        jax.nn.log_softmax(jnp.asarray(x), 2), prepared["select"]
+    ))
+    log_pen = float(prepared["log_penalty"])
+    # mirror prepare's remapping so the engine composes the same graphs
+    targets = [[t + 1 for t in tgt] for tgt in raw_targets]
+    select = [STC_BLANK_IDX] + sorted(set(t for tgt in targets for t in tgt))
+    tmap = {t: i for i, t in enumerate(select)}
+    Csel = ((len(select) + 7) // 8) * 8
+    remapped = [[tmap[t] for t in tgt] for tgt in targets]
+
+    def run():
+        graphs = []
+        for tgt in remapped:
+            g = make_stc_graph(tgt, Csel)
+            g.arc_weight = [
+                log_pen if w == _STAR_SENTINEL else w for w in g.arc_weight
+            ]
+            graphs.append(g)
+        native.acceptor_engine_batch(em, graphs)
+
+    ms = _time(run, iters=3, warmup=1)
+    log(f"graph-engine-cpu stc fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
 def bench_torch_cpu():
     try:
         import torch
@@ -565,6 +691,13 @@ def main():
     trans_engine_ms = soft(
         bench_transducer_graph_engine_cpu, "graph engine transducer"
     )
+    wd_engine_ms = soft(
+        bench_word_decomps_graph_engine_cpu, "graph engine word decomps"
+    )
+    ngram2_engine_ms = soft(
+        bench_transducer_ngram2_graph_engine_cpu, "graph engine ngram2"
+    )
+    stc_engine_ms = soft(bench_stc_graph_engine_cpu, "graph engine stc")
     torch_ms = soft(bench_torch_cpu, "torch cpu")
     wp_rates = soft(bench_wordpiece_bytes_per_s, "wordpiece encode")
     wordpiece_rate, wordpiece_hf_rate = wp_rates or (None, None)
@@ -611,10 +744,25 @@ def main():
         ),
         "transducer_ngram2_fwd_bwd_ms": r3(trans2_ms),
         "transducer_ngram2_dispatch_ms": r3(sections["transducer_ngram2"][0]),
+        "transducer_ngram2_graph_engine_cpu_ms": r3(ngram2_engine_ms),
+        "transducer_ngram2_vs_baseline": (
+            round(ngram2_engine_ms / trans2_ms, 3)
+            if ngram2_engine_ms and trans2_ms else None
+        ),
         "stc_fwd_bwd_ms": r3(primary["stc"]),
         "stc_dispatch_ms": r3(sections["stc"][0]),
+        "stc_graph_engine_cpu_ms": r3(stc_engine_ms),
+        "stc_vs_baseline": (
+            round(stc_engine_ms / primary["stc"], 3)
+            if stc_engine_ms and primary["stc"] else None
+        ),
         "word_decomps_fwd_bwd_ms": r3(primary["word_decomps"]),
         "word_decomps_dispatch_ms": r3(sections["word_decomps"][0]),
+        "word_decomps_graph_engine_cpu_ms": r3(wd_engine_ms),
+        "word_decomps_vs_baseline": (
+            round(wd_engine_ms / primary["word_decomps"], 3)
+            if wd_engine_ms and primary["word_decomps"] else None
+        ),
         "word_decomps_viterbi_ms": r3(wd_viterbi_ms),
         "word_decomps_viterbi_pipelined_ms": r3(wd_viterbi_pipe_ms),
         "wordpiece_bytes_per_s": (

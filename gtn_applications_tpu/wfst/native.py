@@ -109,6 +109,21 @@ def load_library():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.tw_transducer_ngram_engine_batch.restype = ctypes.c_int64
+    lib.tw_transducer_ngram_engine_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.tw_acceptor_engine_batch.restype = ctypes.c_int64
+    lib.tw_acceptor_engine_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     return lib
 
@@ -344,6 +359,72 @@ def transducer_engine_batch(log_probs, lexicon, tokens, targets):
     )
     if fails:
         raise ValueError(f"{fails} samples had no accepting alignment path")
+    return losses, grad
+
+
+def transducer_ngram_engine_batch(log_probs, lexicon, tokens, transitions,
+                                  targets):
+    """Graph-engine transducer fwd+bwd WITH a transition model on the host.
+
+    Per sample: loss = logZ(em ∘ trans) - logZ(em ∘ (trans ∘ align(target)))
+    — the reference's normalizer pipeline (transducer.py:239-309 with
+    transitions) with graph autodiff for both the emissions and the
+    learnable transition arc weights, thread pool over the batch.
+    bench.py's same-algorithm CPU denominator for the ngram-1/2 protocols.
+
+    Args: log_probs [B, T, C]; lexicon / tokens / transitions: host
+    ``Graph``s (the criterion's attributes); targets: grapheme id lists.
+    Returns (losses [B], grad_em [B, T, C], grad_trans [num_arcs]).
+    """
+    lib = load_library()
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    B, T, C = lp.shape
+    hl = to_native(lexicon, warm=True)
+    ht = to_native(tokens, warm=True)
+    htr = to_native(transitions, warm=True)
+    lens = np.array([len(t) for t in targets], dtype=np.int64)
+    lmax = max(1, int(lens.max()) if B else 1)
+    tg = np.zeros((B, lmax), dtype=np.int32)
+    for b, t in enumerate(targets):
+        tg[b, : len(t)] = t
+    losses = np.zeros(B, dtype=np.float32)
+    grad_em = np.zeros((B, T, C), dtype=np.float32)
+    grad_trans = np.zeros(transitions.num_arcs(), dtype=np.float32)
+    fails = lib.tw_transducer_ngram_engine_batch(
+        B, T, C, _ptr(lp, ctypes.c_float), hl.h, ht.h, htr.h,
+        _ptr(tg, ctypes.c_int32), _ptr(lens, ctypes.c_int64), lmax,
+        _ptr(losses, ctypes.c_float), _ptr(grad_em, ctypes.c_float),
+        _ptr(grad_trans, ctypes.c_float),
+    )
+    if fails:
+        raise ValueError(f"{fails} samples had no accepting ngram path")
+    return losses, grad_em, grad_trans
+
+
+def acceptor_engine_batch(log_probs, graphs):
+    """Generic per-sample acceptor engine: losses[b] = -logZ(em_b ∘ g_b).
+
+    The reference's per-sample compose + forward_score + gtn.backward
+    execution model for criteria whose graphs are built per batch (STC's
+    star graphs, stc.py:84-118) — bench.py's same-algorithm CPU
+    denominator.  graphs: list of B host ``Graph``s.  Returns
+    (losses [B], grad [B, T, C]).
+    """
+    lib = load_library()
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    B, T, C = lp.shape
+    handles = [to_native(g) for g in graphs]  # keep alive until the call ends
+    harr = (ctypes.c_void_p * B)(*[h.h for h in handles])
+    losses = np.zeros(B, dtype=np.float32)
+    grad = np.zeros((B, T, C), dtype=np.float32)
+    fails = lib.tw_acceptor_engine_batch(
+        B, T, C, _ptr(lp, ctypes.c_float),
+        ctypes.cast(harr, ctypes.POINTER(ctypes.c_void_p)),
+        _ptr(losses, ctypes.c_float), _ptr(grad, ctypes.c_float),
+    )
+    del handles
+    if fails:
+        raise ValueError(f"{fails} samples had no accepting path")
     return losses, grad
 
 

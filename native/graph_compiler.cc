@@ -1105,6 +1105,147 @@ int64_t tw_transducer_engine_batch(int64_t B, int64_t T, int64_t C,
   return total;
 }
 
+// Batched graph-engine transducer WITH a transition model: per sample,
+// loss = logZ(em ∘ trans) - logZ(em ∘ (trans ∘ alignment_graph(target)))
+// (the reference's transitions pipeline, transducer.py:239-309 with the
+// normalizer term), with emission grads via provenance and transition
+// arc-weight grads via the prov2 chain — bench.py's same-algorithm CPU
+// denominator for the ngram-1/2 protocols.  grad_trans has
+// trans->num_arcs() entries (batch-summed d loss / d arc weight).
+// Returns the number of failed samples.
+int64_t tw_transducer_ngram_engine_batch(
+    int64_t B, int64_t T, int64_t C, const float* log_probs, void* lexicon_h,
+    void* tokens_h, void* trans_h, const int32_t* targets,
+    const int64_t* lens, int64_t Lmax, float* losses, float* grad_em,
+    float* grad_trans) {
+  std::memset(grad_em, 0, (size_t)(B * T * C) * sizeof(float));
+  Graph* lexicon = (Graph*)lexicon_h;
+  Graph* tokens = (Graph*)tokens_h;
+  Graph* trans = (Graph*)trans_h;
+  int64_t n_trans_arcs = trans->num_arcs();
+  std::memset(grad_trans, 0, (size_t)n_trans_arcs * sizeof(float));
+  lexicon->compose_index();  // warm shared indexes before the pool
+  tokens->compose_index();
+  trans->compose_index();
+  std::vector<int64_t> fails(B, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  // each in-flight sample holds an em ∘ trans product — cap like ASG
+  int64_t n_threads = std::min<int64_t>(std::min<int64_t>(hw ? hw : 1, 8), B);
+  std::vector<std::vector<float>> gt_local(
+      n_threads, std::vector<float>((size_t)n_trans_arcs, 0.0f));
+  auto task = [&](int64_t tid, int64_t lo, int64_t hi) {
+    float* gt = gt_local[tid].data();
+    for (int64_t b = lo; b < hi; ++b) {
+      bool ok = false;
+      Graph* em = emission_graph(T, C, log_probs + b * T * C);
+      // normalizer: logZ(em ∘ trans)
+      Graph* fcc = compose(*em, *trans, true);
+      double z_fcc = 0.0;
+      std::vector<double> g_fcc;
+      ok = fcc && fcc->num_arcs() > 0 && score_with_grad(*fcc, &z_fcc, &g_fcc);
+      // aligned term: logZ(em ∘ (trans ∘ align))
+      Graph* ta = nullptr;
+      Graph* full = nullptr;
+      double z_al = 0.0;
+      std::vector<double> g_al;
+      if (ok) {
+        Graph* align =
+            alignment_graph(*lexicon, *tokens, targets + b * Lmax, lens[b]);
+        ta = align ? compose(*trans, *align, true) : nullptr;
+        delete align;
+        full = ta ? compose(*em, *ta, true) : nullptr;
+        ok = full && full->num_arcs() > 0 &&
+             score_with_grad(*full, &z_al, &g_al);
+      }
+      if (ok) {
+        losses[b] = (float)(z_fcc - z_al);
+        float* ge = grad_em + b * T * C;
+        for (int64_t a = 0; a < fcc->num_arcs(); ++a) {
+          if (fcc->prov1[a] >= 0) ge[fcc->prov1[a]] += (float)g_fcc[a];
+          if (fcc->prov2[a] >= 0) gt[fcc->prov2[a]] += (float)g_fcc[a];
+        }
+        for (int64_t a = 0; a < full->num_arcs(); ++a) {
+          if (full->prov1[a] >= 0) ge[full->prov1[a]] -= (float)g_al[a];
+          int64_t taa = full->prov2[a];
+          if (taa >= 0 && ta->prov1[taa] >= 0)
+            gt[ta->prov1[taa]] -= (float)g_al[a];
+        }
+      } else {
+        fails[b] = 1;
+        losses[b] = 0.0f;
+      }
+      delete full;
+      delete ta;
+      delete fcc;
+      delete em;
+    }
+  };
+  if (n_threads <= 1) {
+    task(0, 0, B);
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t)
+      pool.emplace_back(task, t, B * t / n_threads, B * (t + 1) / n_threads);
+    for (auto& th : pool) th.join();
+  }
+  for (int64_t t = 0; t < n_threads; ++t)
+    for (int64_t a = 0; a < n_trans_arcs; ++a)
+      grad_trans[a] += gt_local[t][a];
+  int64_t total = 0;
+  for (auto f : fails) total += f;
+  return total;
+}
+
+// Batched generic acceptor engine: per sample b, loss = -logZ(em_b ∘ g_b)
+// for a caller-built acceptor graph (STC's per-sample star graphs, or any
+// criterion graph), with emission grads via provenance.  Mirrors the
+// reference's per-sample compose + forward_score + backward under a
+// thread pool.  Returns the number of failed samples.
+int64_t tw_acceptor_engine_batch(int64_t B, int64_t T, int64_t C,
+                                 const float* log_probs, void** graphs,
+                                 float* losses, float* grad) {
+  std::memset(grad, 0, (size_t)(B * T * C) * sizeof(float));
+  std::vector<int64_t> fails(B, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(std::min<int64_t>(hw ? hw : 1, 16), B);
+  auto task = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      bool ok = false;
+      Graph* em = emission_graph(T, C, log_probs + b * T * C);
+      Graph* full = compose(*em, *(Graph*)graphs[b], true);
+      delete em;
+      if (full && full->num_arcs() > 0) {
+        double logz = 0.0;
+        std::vector<double> arc_grad;
+        ok = score_with_grad(*full, &logz, &arc_grad);
+        if (ok) {
+          losses[b] = (float)(-logz);
+          float* gb = grad + b * T * C;
+          for (int64_t a = 0; a < full->num_arcs(); ++a)
+            if (full->prov1[a] >= 0)
+              gb[full->prov1[a]] -= (float)arc_grad[a];
+        }
+      }
+      delete full;
+      if (!ok) {
+        fails[b] = 1;
+        losses[b] = 0.0f;
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    task(0, B);
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t)
+      pool.emplace_back(task, B * t / n_threads, B * (t + 1) / n_threads);
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto f : fails) total += f;
+  return total;
+}
+
 int64_t tw_wp_encode(void* h, const char* text, int64_t text_len,
                      int32_t* out, int64_t out_cap);
 
