@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gtn_applications_tpu.criterions.transducer import Transducer
-from time_utils import time_func
+from time_utils import time_func, time_func_readback
 
 TOKENS_TSV = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "word_pieces_scores_1000.tsv"
@@ -66,13 +66,20 @@ def word_decompositions(B):
         return jax.value_and_grad(lambda x: crit.loss({}, x, prep))(x)
 
     time_func(lambda: fwd_bwd(inputs, prepared)[1], 20, "word decomps fwd + bwd")
-    return lambda: time_func(
+    # readback-closed re-measure deferred to phase 2 (first readback
+    # degrades sync latency process-wide); fetch only the scalar loss —
+    # the grad is still computed, just not transferred
+    rb = lambda: time_func_readback(
+        lambda: fwd_bwd(inputs, prepared)[0], 200, "word decomps fwd + bwd"
+    )
+    viterbi = lambda: time_func(
         lambda: jnp.zeros(()) if crit.viterbi(inputs) else None, 20,
         "word decomps viterbi",
     )
+    return rb, viterbi
 
 
-def ngram_variant(B, style, decoders):
+def ngram_variant(B, style, decoders, rb_timers):
     N, T, L = 81, 250, 44
     tokens = [(i,) for i in range(N)]
     graphemes_to_index = {i: i for i in range(N)}
@@ -107,6 +114,13 @@ def ngram_variant(B, style, decoders):
             lambda: fwd_bwd(params, inputs, prepared)[1], 20,
             f"{style} fwd + bwd, ngram={ngram}",
         )
+        rb_timers.append(
+            lambda fwd_bwd=fwd_bwd, params=params, inputs=inputs,
+            prepared=prepared, name=f"{style} fwd + bwd, ngram={ngram}":
+            time_func_readback(
+                lambda: fwd_bwd(params, inputs, prepared)[0], 200, name
+            )
+        )
         decoders.append(
             (crit, params, C, f"{style} viterbi, ngram={ngram}")
         )
@@ -115,10 +129,18 @@ def ngram_variant(B, style, decoders):
 if __name__ == "__main__":
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     decoders = []
-    wd_viterbi = word_decompositions(B)
-    ngram_variant(B, "ctc", decoders)
-    ngram_variant(B, "asg", decoders)
-    # decode protocols last (first host readback degrades sync latency)
+    rb_timers = []
+    # Phase 1: dispatch-timed (the reference harness's own shape), while
+    # the process is still readback-free.
+    wd_rb, wd_viterbi = word_decompositions(B)
+    ngram_variant(B, "ctc", decoders, rb_timers)
+    ngram_variant(B, "asg", decoders, rb_timers)
+    # Phase 2: readback-closed ground truth for every fwd+bwd variant.
+    print("-- readback-closed (ground truth on this stack) --")
+    wd_rb()
+    for rb in rb_timers:
+        rb()
+    # Phase 3: decode protocols (each decode reads back per call).
     wd_viterbi()
     for crit, params, C, name in decoders:
         inputs2 = jnp.asarray(
