@@ -363,13 +363,40 @@ def run_host_scaling(local_batch=2, iters=5, nprocs=2, total_devices=8):
         assert pr.wait(timeout=600) == 0, "host-scaling worker failed"
     ranks = [json_mod.load(open(o)) for o in outs]
     t_multi = max(r["step_s"] for r in ranks)
-    return {
+    out = {
         "step_s_1proc": t_one,
         "step_s_nproc": t_multi,
         "nprocs": nprocs,
         "global_batch": Bg,
         "host_scaling_efficiency": t_one / t_multi,
     }
+    if all("allreduce_s" in r for r in ranks):
+        # decomposition (VERDICT r3 #6): where the lost seconds go.
+        #   local_step_s — same per-process work on a LOCAL mesh (no
+        #     process boundary): its excess over t_one is pure core
+        #     oversubscription / scheduling;
+        #   allreduce_s — the cross-process gradient psum alone;
+        #   assembly_s — per-step host->global-array data plumbing
+        #     (overlappable; the train loop dispatches async).
+        t_local = max(r["local_step_s"] for r in ranks)
+        t_coll = max(r["allreduce_s"] for r in ranks)
+        t_asm = max(r["assembly_s"] for r in ranks)
+        lost = t_multi - t_one
+        out["breakdown"] = {
+            "local_step_s": t_local,
+            "grad_allreduce_s": t_coll,
+            "batch_assembly_s": t_asm,
+            "grad_bytes": ranks[0].get("grad_bytes"),
+            "lost_s_total": lost,
+            "lost_s_oversubscription": t_local - t_one,
+            "lost_s_boundary_residual": lost - (t_local - t_one),
+            "note": "max over ranks; oversubscription = excess of the "
+            "collective-free local-mesh step over the 1-process step on "
+            "the same shared cores; the residual bounds process-boundary "
+            "cost (gradient psum + sync skew). assembly_s overlaps with "
+            "device compute in the real train loop (async dispatch).",
+        }
+    return out
 
 
 def main(argv=None):

@@ -66,8 +66,69 @@ def main():
         jax.block_until_ready(loss)
         sec = (time.perf_counter() - start) / iters
 
+        # ---- decomposition probes (VERDICT r3 #6) ----
+        # (a) cross-process gradient allreduce alone: psum of a
+        # param-shaped pytree over the global 'data' axis — the exact
+        # collective the replicated-param step performs.
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as _P
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:
+            from jax.shard_map import shard_map
+
+        grad_like = jax.tree_util.tree_map(jnp.ones_like, p)
+        grad_bytes = sum(
+            a.size * a.dtype.itemsize
+            for a in jax.tree_util.tree_leaves(grad_like)
+        )
+        allreduce = jax.jit(shard_map(
+            lambda t: jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, "data"), t),
+            mesh=mesh, in_specs=_P(), out_specs=_P(),
+        ))
+        r = allreduce(grad_like)
+        jax.block_until_ready(r)
+        start = time.perf_counter()
+        for _ in range(max(iters, 10)):
+            r = allreduce(grad_like)
+        jax.block_until_ready(r)
+        allreduce_s = (time.perf_counter() - start) / max(iters, 10)
+
+        # (b) per-step global-array assembly (host data plumbing)
+        start = time.perf_counter()
+        for _ in range(max(iters, 10)):
+            xa = pmesh.global_batch_from_local(x_global[sl], mesh)
+        jax.block_until_ready(xa)
+        assembly_s = (time.perf_counter() - start) / max(iters, 10)
+
+    # (c) compute-only reference: the SAME per-process work on a LOCAL
+    # mesh (no cross-process collectives) — on shared physical cores
+    # this isolates pure oversubscription from boundary cost.
+    local_devs = jax.local_devices()
+    lstep, lparams, lx, lprep, _ = _flagship_step(
+        local_batch, len(local_devs)
+    )
+    lmesh = pmesh.make_mesh(local_devs)
+    with lmesh:
+        lp = pmesh.replicate(lparams, lmesh)
+        lxs = pmesh.shard_batch(lx, lmesh)
+        lpr = pmesh.shard_pytree_batch(lprep, lmesh)
+        for _ in range(3):
+            lp, lloss, _ = lstep(lp, lxs, lpr, key, 1.0)
+        jax.block_until_ready(lloss)
+        start = time.perf_counter()
+        for _ in range(iters):
+            lp, lloss, _ = lstep(lp, lxs, lpr, key, 1.0)
+        jax.block_until_ready(lloss)
+        local_s = (time.perf_counter() - start) / iters
+
     with open(outfile, "w") as fid:
-        json.dump({"pid": pid, "step_s": sec, "global_batch": Bg}, fid)
+        json.dump({
+            "pid": pid, "step_s": sec, "global_batch": Bg,
+            "allreduce_s": allreduce_s, "assembly_s": assembly_s,
+            "local_step_s": local_s, "grad_bytes": grad_bytes,
+        }, fid)
 
 
 if __name__ == "__main__":
