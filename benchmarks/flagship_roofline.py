@@ -108,9 +108,13 @@ def layer_specs(B, H, W, depth, groups, kernel, out_size, packed=False):
 
         @nn.compact
         def __call__(self, x):
-            x = nn.Conv(self.feats, kernel_size=(kh, kw),
-                        strides=self.stride,
-                        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)))(x)
+            if packed and self.feats < 128:
+                x = m2d.PackedConv(self.feats, kernel_size=(kh, kw),
+                                   strides=self.stride)(x)
+            else:
+                x = nn.Conv(self.feats, kernel_size=(kh, kw),
+                            strides=self.stride,
+                            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)))(x)
             x = nn.relu(x)
             return InstanceNorm(features=self.feats, axes=(1, 2))(x)
 
@@ -133,7 +137,7 @@ def layer_specs(B, H, W, depth, groups, kernel, out_size, packed=False):
         })
         h, w, c = ho, wo, feats
         for bi in range(g["num_blocks"]):
-            blk = m2d.TDSBlock2d(C, depth, (kh, kw), 0.0)
+            blk = m2d.TDSBlock2d(C, depth, (kh, kw), 0.0, lane_pack=packed)
             act = B * h * w * c
             flops = (2 * B * h * w * depth * C * kh * kw * C
                      + 2 * 2 * B * h * w * c * c)
@@ -172,7 +176,36 @@ def layer_specs(B, H, W, depth, groups, kernel, out_size, packed=False):
     return specs
 
 
-def run_layers(specs, peak_tflops, hbm_gbps, iters=200):
+def _scan_layer(module, params, x, K, with_grad):
+    """K data-chained evaluations of the layer inside ONE executable: a
+    scalar carry perturbs the input each iteration (x + c*1e-38, never
+    foldable), so per-launch dispatch floor (~0.3 ms via the tunnel)
+    amortizes to noise and the quotient is true device time per eval."""
+    import jax
+    import jax.numpy as jnp
+
+    if with_grad:
+        def one(p, xi):
+            val, grads = jax.value_and_grad(
+                lambda p, x: jnp.sum(module.apply(p, x)) * 1e-6,
+                argnums=(0, 1))(p, xi)
+            # fold the grads into the scalar carry (keeps backward alive)
+            leaves = jax.tree_util.tree_leaves(grads)
+            return val + sum(jnp.sum(l) * 1e-9 for l in leaves)
+    else:
+        def one(p, xi):
+            return jnp.sum(module.apply(p, xi))
+
+    @jax.jit
+    def scan(p, x):
+        def body(c, _):
+            return one(p, x + c * 1e-38), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return c
+    return lambda: scan(params, x)
+
+
+def run_layers(specs, peak_tflops, hbm_gbps, iters=200, scan_k=24):
     import jax
     import jax.numpy as jnp
 
@@ -182,15 +215,11 @@ def run_layers(specs, peak_tflops, hbm_gbps, iters=200):
         x = jnp.asarray(rng.randn(*s["in_shape"]).astype(np.float32))
         params = s["module"].init(jax.random.PRNGKey(0), x)
 
-        # timed fns lead with a scalar: time_rb fetches only leaves[0], so
-        # the closing device->host transfer stays tiny; the full outputs
-        # remain jit outputs (nothing is DCE'd)
-        fwd = jax.jit(lambda p, x, m=s["module"]: jnp.sum(m.apply(p, x)))
-        grad = jax.jit(jax.value_and_grad(
-            lambda p, x, m=s["module"]: jnp.sum(m.apply(p, x)) * 1e-6,
-            argnums=(0, 1)))
-        t_f = time_rb(lambda: fwd(params, x), iters)
-        t_fb = time_rb(lambda: grad(params, x), iters)
+        it = max(iters // scan_k, 10)
+        t_f = time_rb(
+            _scan_layer(s["module"], params, x, scan_k, False), it) / scan_k
+        t_fb = time_rb(
+            _scan_layer(s["module"], params, x, scan_k, True), it) / scan_k
 
         eff = s.get("eff", mxu_eff(s.get("K", 128), s.get("N", 128)))
         t_mxu = s["flops_fwd"] / (peak_tflops * 1e12 * eff) * 1e3
@@ -289,6 +318,10 @@ def main(argv=None):
     ap.add_argument("--peak-n", type=int, default=4096,
                     help="matmul-peak probe size (small for CPU smoke)")
     ap.add_argument("--hbm-mb", type=int, default=256)
+    ap.add_argument("--lane-pack", action="store_true",
+                    help="per-layer table for the PackedConv variant")
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default docs/flagship_roofline.json)")
     args = ap.parse_args(argv)
 
     import jax
@@ -307,7 +340,9 @@ def main(argv=None):
     from __graft_entry__ import _flagship
     model, _ = _flagship()
     specs = layer_specs(B, 64, 128, model.depth, model.tds_groups,
-                        tuple(model.kernel_size), model.output_size)
+                        tuple(model.kernel_size), model.output_size,
+                        packed=args.lane_pack)
+    result["lane_pack"] = args.lane_pack
     result["layers"] = run_layers(specs, peak, bw, args.iters)
     result["layer_fwd_bwd_sum_ms"] = round(
         sum(r["fwd_bwd_ms"] for r in result["layers"]), 4)
@@ -315,7 +350,7 @@ def main(argv=None):
     if not args.skip_step:
         result["step_decomposition"] = run_step_decomposition(B, args.iters)
 
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
+    out_path = args.out or os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "flagship_roofline.json")
     with open(out_path, "w") as fid:
         json.dump(result, fid, indent=2)

@@ -46,7 +46,7 @@ _PEAK_FLOPS = {
 }
 
 
-def _flagship_step(local_batch, n_devices, dtype=None):
+def _flagship_step(local_batch, n_devices, dtype=None, lane_pack=False):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +55,7 @@ def _flagship_step(local_batch, n_devices, dtype=None):
     from gtn_applications_tpu.parallel import mesh as pmesh
     from gtn_applications_tpu.train import make_train_step
 
-    model, criterion = _flagship(dtype=dtype)
+    model, criterion = _flagship(dtype=dtype, lane_pack=lane_pack)
     B = local_batch * n_devices
     H, W = 64, 128
     rng = np.random.RandomState(0)
@@ -221,7 +221,7 @@ def run_mesh_scaling(local_batch=2, iters=10):
     return out
 
 
-def run_chip_throughput(local_batch=8, iters=20):
+def run_chip_throughput(local_batch=8, iters=20, lane_pack=False):
     """Absolute single-chip samples/s + MFU, fp32 and bf16 encoder."""
     import jax
     import jax.numpy as jnp
@@ -240,7 +240,7 @@ def run_chip_throughput(local_batch=8, iters=20):
     cases = []
     for tag, dtype in (("", None), ("_bf16", jnp.bfloat16)):
         step, params, x, prepared, B = _flagship_step(
-            local_batch, 1, dtype=dtype
+            local_batch, 1, dtype=dtype, lane_pack=lane_pack
         )
         xs = jnp.asarray(x)
         flops = _step_flops(step, params, xs, prepared)
@@ -268,7 +268,7 @@ def run_chip_throughput(local_batch=8, iters=20):
     # Pass 3: the honest MFU denominator — the chip's MEASURED achievable
     # matmul throughput per dtype (readback-closed), plus an analytic
     # cross-check of XLA's cost-analysis FLOPs.
-    model, _ = _flagship()
+    model, _ = _flagship(lane_pack=lane_pack)
     analytic_fwd = _analytic_fwd_flops(model, local_batch, 64, 128)
     out["flops_analytic_fwd"] = analytic_fwd
     if out.get("flops_per_step"):
@@ -408,6 +408,8 @@ def main(argv=None):
     parser.add_argument("--local_batch", type=int, default=None,
                     help="per-device batch (default: 2 mesh / 8 chip)")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--lane_pack", action="store_true",
+                        help="width-pack small-channel convs (PackedConv)")
     args = parser.parse_args(argv)
 
     if args.mesh or args.hosts:
@@ -438,8 +440,11 @@ def main(argv=None):
     on_tpu = jax.default_backend() == "tpu" and not args.mesh
     if on_tpu:
         result.update(
-            run_chip_throughput(args.local_batch or 8, iters=args.iters)
+            run_chip_throughput(args.local_batch or 8, iters=args.iters,
+                                lane_pack=args.lane_pack)
         )
+        if args.lane_pack:
+            result["lane_pack"] = True
     else:
         jax.config.update("jax_platforms", "cpu")
         result.update(run_mesh_scaling(args.local_batch or 2, args.iters))

@@ -14,6 +14,41 @@ import jax.numpy as jnp
 import numpy as np
 
 from .tds import InstanceNorm
+from ..ops.packed_conv import packing_factor, width_packed_conv
+
+
+class PackedConv(nn.Module):
+    """Drop-in nn.Conv replacement that width-packs output columns into
+    the 128-lane MXU feature axis (ops/packed_conv.py; VERDICT r3 #1).
+
+    Param tree is IDENTICAL to the nn.Conv it replaces (same names,
+    shapes, and init), so packed and unpacked checkpoints are
+    interchangeable.  ``depth_kernel`` mirrors the TDS block's 3-D
+    (kh, kw, 1) kernel shape; the size-1 depth axis is squeezed before
+    packing (the depth axis is folded into the batch by the caller)."""
+
+    features: int
+    kernel_size: Sequence[int]  # (kh, kw)
+    strides: Sequence[int] = (1, 1)
+    depth_kernel: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        c_in = x.shape[-1]
+        shape = ((kh, kw, 1, c_in, self.features) if self.depth_kernel
+                 else (kh, kw, c_in, self.features))
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.depth_kernel:
+            kernel = kernel.reshape(kh, kw, c_in, self.features)
+        cd = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        f = packing_factor(self.features)
+        y = width_packed_conv(
+            x.astype(cd), kernel.astype(cd), tuple(self.strides), f)
+        return y + bias.astype(cd)
 
 
 class TDSBlock2d(nn.Module):
@@ -24,20 +59,33 @@ class TDSBlock2d(nn.Module):
     kernel_size: Sequence[int]
     dropout: float
     dtype: Any = None
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         B, H, W, CD = x.shape
         C, D = self.in_channels, self.img_depth
         kh, kw = self.kernel_size
-        # torch views [B, CD, H, W] as [B, C, D, H, W] (C major); here:
-        y = x.reshape(B, H, W, C, D).transpose(0, 1, 2, 4, 3)  # [B,H,W,D,C]
-        y = nn.Conv(
-            features=C,
-            kernel_size=(kh, kw, 1),
-            padding=((kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
-            dtype=self.dtype,
-        )(y)
+        if self.lane_pack and C < 128:
+            # fold depth into batch, pack output columns into MXU lanes
+            y = x.reshape(B, H, W, C, D).transpose(0, 4, 1, 2, 3)
+            y = y.reshape(B * D, H, W, C)
+            y = PackedConv(
+                features=C, kernel_size=(kh, kw), depth_kernel=True,
+                dtype=self.dtype, name="Conv_0",
+            )(y)
+            # [B,D,H,W,C] -> [B,H,W,D,C], same layout the 3-D conv emits
+            y = y.reshape(B, D, H, W, C).transpose(0, 2, 3, 1, 4)
+        else:
+            # torch views [B, CD, H, W] as [B, C, D, H, W] (C major); here:
+            y = x.reshape(B, H, W, C, D).transpose(0, 1, 2, 4, 3)  # [B,H,W,D,C]
+            y = nn.Conv(
+                features=C,
+                kernel_size=(kh, kw, 1),
+                padding=((kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+                dtype=self.dtype,
+                name="Conv_0",
+            )(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = y.transpose(0, 1, 2, 4, 3).reshape(B, H, W, CD)
@@ -65,6 +113,7 @@ class TDS2d(nn.Module):
     dropout: float
     in_channels: int = 1
     dtype: Any = None  # compute dtype, e.g. jnp.bfloat16 (params stay fp32)
+    lane_pack: bool = False  # width-pack small-channel convs onto MXU lanes
 
     @property
     def time_stride(self):
@@ -85,22 +134,32 @@ class TDS2d(nn.Module):
         x = inputs.reshape(B, c_in, H // c_in, W).transpose(0, 2, 3, 1)
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        for tds_group in self.tds_groups:
+        for gi, tds_group in enumerate(self.tds_groups):
             out_channels = self.depth * tds_group["channels"]
-            x = nn.Conv(
-                features=out_channels,
-                kernel_size=(kh, kw),
-                strides=tuple(tds_group["stride"]),
-                padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
-                dtype=self.dtype,
-            )(x)
+            if self.lane_pack and out_channels < 128:
+                x = PackedConv(
+                    features=out_channels,
+                    kernel_size=(kh, kw),
+                    strides=tuple(tds_group["stride"]),
+                    dtype=self.dtype,
+                    name=f"Conv_{gi}",
+                )(x)
+            else:
+                x = nn.Conv(
+                    features=out_channels,
+                    kernel_size=(kh, kw),
+                    strides=tuple(tds_group["stride"]),
+                    padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                    dtype=self.dtype,
+                    name=f"Conv_{gi}",
+                )(x)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = InstanceNorm(features=out_channels, axes=(1, 2))(x)
             for _ in range(tds_group["num_blocks"]):
                 x = TDSBlock2d(
                     tds_group["channels"], self.depth, self.kernel_size,
-                    self.dropout, dtype=self.dtype,
+                    self.dropout, dtype=self.dtype, lane_pack=self.lane_pack,
                 )(x, train=train)
         # [B, H', W', C] -> [B, W', C*H'] (C major, matching torch
         # reshape(B, C*H, W)) -> Dense
