@@ -385,6 +385,12 @@ def run_host_scaling(local_batch=2, iters=5, nprocs=2, total_devices=8):
         out["breakdown"] = {
             "local_step_s": t_local,
             "grad_allreduce_s": t_coll,
+            "grad_allreduce_flat_s": max(
+                r.get("allreduce_flat_s", 0) for r in ranks) or None,
+            "grad_allreduce_scalar_s": max(
+                r.get("allreduce_scalar_s", 0) for r in ranks) or None,
+            "grad_allreduce_bf16_s": max(
+                r.get("allreduce_bf16_s", 0) for r in ranks) or None,
             "batch_assembly_s": t_asm,
             "grad_bytes": ranks[0].get("grad_bytes"),
             "lost_s_total": lost,

@@ -73,27 +73,41 @@ def main():
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as _P
         try:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
         except ImportError:
-            from jax.shard_map import shard_map
+            from jax.experimental.shard_map import shard_map
 
         grad_like = jax.tree_util.tree_map(jnp.ones_like, p)
         grad_bytes = sum(
             a.size * a.dtype.itemsize
             for a in jax.tree_util.tree_leaves(grad_like)
         )
-        allreduce = jax.jit(shard_map(
-            lambda t: jax.tree_util.tree_map(
-                lambda a: jax.lax.psum(a, "data"), t),
-            mesh=mesh, in_specs=_P(), out_specs=_P(),
-        ))
-        r = allreduce(grad_like)
-        jax.block_until_ready(r)
-        start = time.perf_counter()
-        for _ in range(max(iters, 10)):
-            r = allreduce(grad_like)
-        jax.block_until_ready(r)
-        allreduce_s = (time.perf_counter() - start) / max(iters, 10)
+
+        def _time_psum(tree, n):
+            fn = jax.jit(shard_map(
+                lambda t: jax.tree_util.tree_map(
+                    lambda a: jax.lax.psum(a, "data"), t),
+                mesh=mesh, in_specs=_P(), out_specs=_P(),
+            ))
+            r = fn(tree)
+            jax.block_until_ready(r)
+            start = time.perf_counter()
+            for _ in range(n):
+                r = fn(tree)
+            jax.block_until_ready(r)
+            return (time.perf_counter() - start) / n
+
+        n = max(iters, 10)
+        allreduce_s = _time_psum(grad_like, n)           # the real shape
+        # discriminators: one flat buffer of the same bytes (is the cost
+        # leaf fragmentation?) and a scalar (per-collective floor)
+        flat = jnp.ones((grad_bytes // 4,), jnp.float32)
+        allreduce_flat_s = _time_psum(flat, n)
+        allreduce_scalar_s = _time_psum(jnp.float32(1.0), n)
+        # bf16 compression leg: same tree at half the bytes
+        half = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), grad_like)
+        allreduce_bf16_s = _time_psum(half, n)
 
         # (b) per-step global-array assembly (host data plumbing)
         start = time.perf_counter()
@@ -127,6 +141,9 @@ def main():
         json.dump({
             "pid": pid, "step_s": sec, "global_batch": Bg,
             "allreduce_s": allreduce_s, "assembly_s": assembly_s,
+            "allreduce_flat_s": allreduce_flat_s,
+            "allreduce_scalar_s": allreduce_scalar_s,
+            "allreduce_bf16_s": allreduce_bf16_s,
             "local_step_s": local_s, "grad_bytes": grad_bytes,
         }, fid)
 
