@@ -119,12 +119,9 @@ def clip_global_norm(grads, max_norm):
     return jax.tree_util.tree_map(lambda g: g * scale, grads)
 
 
-def make_train_step(model, criterion, lr_model, lr_crit, max_grad_norm):
-    """Build the jitted SPMD train step: forward, loss, grads, clip, SGD.
-
-    ``input_lengths`` (None for reference parity — the reference scores
-    zero-padded frames, train.py:259-265) masks padded frames out of the
-    lattice when the config sets optim.use_input_lengths."""
+def _train_step_body(model, criterion, lr_model, lr_crit, max_grad_norm):
+    """The pure (unjitted) train-step function shared by the per-step and
+    fused-scan entry points."""
 
     def step(params, inputs, prepared, dropout_rng, lr_scale, input_lengths=None):
         def loss_fn(p):
@@ -149,10 +146,49 @@ def make_train_step(model, criterion, lr_model, lr_crit, max_grad_norm):
         )
         return {"model": new_model, "criterion": new_crit}, loss, outputs
 
+    return step
+
+
+def make_train_step(model, criterion, lr_model, lr_crit, max_grad_norm):
+    """Build the jitted SPMD train step: forward, loss, grads, clip, SGD.
+
+    ``input_lengths`` (None for reference parity — the reference scores
+    zero-padded frames, train.py:259-265) masks padded frames out of the
+    lattice when the config sets optim.use_input_lengths."""
+    step = _train_step_body(model, criterion, lr_model, lr_crit,
+                            max_grad_norm)
     # donate the params pytree: the SGD update writes in place instead of
     # allocating a fresh copy of every weight each step (the train loop
     # rebinds `params` to the returned pytree, never reusing the old one)
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_fused_train_steps(model, criterion, lr_model, lr_crit,
+                           max_grad_norm, num_steps):
+    """``num_steps`` SGD steps fused into ONE executable via lax.scan.
+
+    Each per-step dispatch through a remote-attached TPU costs ~0.3 ms
+    of launch floor (docs/flagship_roofline.json); fusing K steps
+    amortizes it K-fold.  Inputs carry a leading [K] axis: ``inputs``
+    [K, B, ...], ``prepared`` leaves stacked on axis 0 (same bucket
+    shape), ``dropout_rng`` is split per step inside.  Returns
+    (new_params, mean_loss).  Semantically identical to calling the
+    plain step K times on the K batches (same update order)."""
+    step = _train_step_body(model, criterion, lr_model, lr_crit,
+                            max_grad_norm)
+
+    def fused(params, inputs_k, prepared_k, dropout_rng, lr_scale):
+        keys = jax.random.split(dropout_rng, inputs_k.shape[0])
+
+        def body(p, xs):
+            x, prep, key = xs
+            new_p, loss, _ = step(p, x, prep, key, lr_scale)
+            return new_p, loss
+        new_params, losses = jax.lax.scan(
+            body, params, (inputs_k, prepared_k, keys))
+        return new_params, jnp.mean(losses)
+
+    return jax.jit(fused, donate_argnums=(0,))
 
 
 def make_eval_step(model, criterion):
