@@ -243,6 +243,51 @@ def run_layers(specs, peak_tflops, hbm_gbps, iters=200, scan_k=24):
     return rows
 
 
+def run_layers_prefix(specs, iters=200):
+    """Per-layer attribution by cumulative-prefix differencing: time the
+    chain of the first k layers (one executable, readback-closed), then
+    diff adjacent prefixes.  The constant per-launch floor cancels in the
+    diffs, and each layer is measured in its real fusion context (its
+    input produced on-device by the previous layer)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(*specs[0]["in_shape"]).astype(np.float32))
+
+    rows, prev_f, prev_fb = [], None, None
+    for k in range(len(specs)):
+        mods = [s["module"] for s in specs[:k + 1]]
+        plist = []
+        xi = x0
+        for m in mods:
+            plist.append(m.init(jax.random.PRNGKey(0), xi))
+            xi = m.apply(plist[-1], xi)
+
+        def chain(ps, x, mods=tuple(mods)):
+            for m, p in zip(mods, ps):
+                x = m.apply(p, x)
+            return jnp.sum(x)
+
+        fwd = jax.jit(chain)
+        grad = jax.jit(jax.value_and_grad(
+            lambda ps, x: chain(ps, x) * 1e-6, argnums=(0, 1)))
+        t_f = time_rb(lambda: fwd(plist, x0), iters)
+        t_fb = time_rb(lambda: grad(plist, x0), iters)
+        row = {
+            "prefix": specs[k]["name"],
+            "prefix_fwd_ms": round(t_f, 4),
+            "prefix_fwd_bwd_ms": round(t_fb, 4),
+            "layer_fwd_ms": round(t_f - prev_f, 4) if prev_f else None,
+            "layer_fwd_bwd_ms": (round(t_fb - prev_fb, 4)
+                                 if prev_fb else None),
+        }
+        prev_f, prev_fb = t_f, t_fb
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr, flush=True)
+    return rows
+
+
 def run_step_decomposition(B, iters=200):
     """Account for every ms between model fwd+bwd and the full step."""
     import jax
@@ -320,6 +365,9 @@ def main(argv=None):
     ap.add_argument("--hbm-mb", type=int, default=256)
     ap.add_argument("--lane-pack", action="store_true",
                     help="per-layer table for the PackedConv variant")
+    ap.add_argument("--prefix", action="store_true",
+                    help="cumulative-prefix attribution instead of "
+                         "standalone in-jit scans")
     ap.add_argument("--out", default=None,
                     help="artifact path (default docs/flagship_roofline.json)")
     args = ap.parse_args(argv)
@@ -343,9 +391,12 @@ def main(argv=None):
                         tuple(model.kernel_size), model.output_size,
                         packed=args.lane_pack)
     result["lane_pack"] = args.lane_pack
-    result["layers"] = run_layers(specs, peak, bw, args.iters)
-    result["layer_fwd_bwd_sum_ms"] = round(
-        sum(r["fwd_bwd_ms"] for r in result["layers"]), 4)
+    if args.prefix:
+        result["layers_prefix"] = run_layers_prefix(specs, args.iters)
+    else:
+        result["layers"] = run_layers(specs, peak, bw, args.iters)
+        result["layer_fwd_bwd_sum_ms"] = round(
+            sum(r["fwd_bwd_ms"] for r in result["layers"]), 4)
 
     if not args.skip_step:
         result["step_decomposition"] = run_step_decomposition(B, args.iters)
