@@ -51,6 +51,37 @@ class PackedConv(nn.Module):
         return y + bias.astype(cd)
 
 
+class DimNumsConv(nn.Module):
+    """The TDS block's depth-shared conv with C contracted IN PLACE:
+    input [B, H, W, C, D] (feature axis 3, D a size-1-kernel spatial
+    axis), so neither input nor output needs a transpose — the [C, D]
+    split/merge against the flat CD axis is a free minor-dim reshape.
+    Same kernel tensor ((kh, kw, 1, C, C)) and param names as the flax
+    nn.Conv it replaces."""
+
+    features: int
+    kernel_size: Sequence[int]  # (kh, kw)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.lax as lax
+
+        kh, kw = self.kernel_size
+        C = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kh, kw, 1, C, C))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        cd = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        y = lax.conv_general_dilated(
+            x.astype(cd), kernel.astype(cd),
+            window_strides=(1, 1, 1),
+            padding=((kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+            dimension_numbers=("NHWCD", "HWDIO", "NHWCD"),
+        )
+        return y + bias.astype(cd)[None, None, None, :, None]
+
+
 class TDSBlock2d(nn.Module):
     """2-D TDS block (tds2d.py:17-58) in [B, H, W, C*D] layout."""
 
@@ -60,13 +91,25 @@ class TDSBlock2d(nn.Module):
     dropout: float
     dtype: Any = None
     lane_pack: bool = False
+    conv_layout: str = "transpose"  # "transpose" | "dimnums"
 
     @nn.compact
     def __call__(self, x, train=False):
         B, H, W, CD = x.shape
         C, D = self.in_channels, self.img_depth
         kh, kw = self.kernel_size
-        if self.lane_pack and C < 128:
+        cd_layout = self.conv_layout == "dimnums" and not self.lane_pack
+        if cd_layout:
+            # transpose-free: contract C in place ([B,H,W,C,D] feature at
+            # axis 3, D a size-1-kernel spatial axis) — the CD split is a
+            # free minor-dim reshape, so no data movement enters the
+            # graph.  Same kernel tensor and param tree as the flax path;
+            # the residual/reshape below consumes [B,H,W,C,D] directly.
+            y = DimNumsConv(
+                features=C, kernel_size=(kh, kw), dtype=self.dtype,
+                name="Conv_0",
+            )(x.reshape(B, H, W, C, D))
+        elif self.lane_pack and C < 128:
             # fold depth into batch, pack output columns into MXU lanes
             y = x.reshape(B, H, W, C, D).transpose(0, 4, 1, 2, 3)
             y = y.reshape(B * D, H, W, C)
@@ -88,7 +131,10 @@ class TDSBlock2d(nn.Module):
             )(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = y.transpose(0, 1, 2, 4, 3).reshape(B, H, W, CD)
+        if cd_layout:
+            y = y.reshape(B, H, W, CD)  # [B,H,W,C,D]: CD split is minor
+        else:
+            y = y.transpose(0, 1, 2, 4, 3).reshape(B, H, W, CD)
         x = y + x
         x = InstanceNorm(features=CD, axes=(1, 2))(x)
 
@@ -114,6 +160,7 @@ class TDS2d(nn.Module):
     in_channels: int = 1
     dtype: Any = None  # compute dtype, e.g. jnp.bfloat16 (params stay fp32)
     lane_pack: bool = False  # width-pack small-channel convs onto MXU lanes
+    conv_layout: str = "transpose"  # block conv: "transpose" | "dimnums"
 
     @property
     def time_stride(self):
@@ -160,6 +207,7 @@ class TDS2d(nn.Module):
                 x = TDSBlock2d(
                     tds_group["channels"], self.depth, self.kernel_size,
                     self.dropout, dtype=self.dtype, lane_pack=self.lane_pack,
+                    conv_layout=self.conv_layout,
                 )(x, train=train)
         # [B, H', W', C] -> [B, W', C*H'] (C major, matching torch
         # reshape(B, C*H, W)) -> Dense
