@@ -91,7 +91,8 @@ def time_rb(fn, iters=200, warmup=3):
     return (time.perf_counter() - start) / iters * 1e3
 
 
-def layer_specs(B, H, W, depth, groups, kernel, out_size, packed=False):
+def layer_specs(B, H, W, depth, groups, kernel, out_size, packed=False,
+                dtype=None, conv_layout="transpose"):
     """Build (name, module, input_shape, analytic) for every flagship
     layer at its true intermediate shape."""
     import flax.linen as nn
@@ -108,13 +109,16 @@ def layer_specs(B, H, W, depth, groups, kernel, out_size, packed=False):
 
         @nn.compact
         def __call__(self, x):
+            if dtype is not None:
+                x = x.astype(dtype)
             if packed and self.feats < 128:
                 x = m2d.PackedConv(self.feats, kernel_size=(kh, kw),
-                                   strides=self.stride)(x)
+                                   strides=self.stride, dtype=dtype)(x)
             else:
                 x = nn.Conv(self.feats, kernel_size=(kh, kw),
                             strides=self.stride,
-                            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)))(x)
+                            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                            dtype=dtype)(x)
             x = nn.relu(x)
             return InstanceNorm(features=self.feats, axes=(1, 2))(x)
 
@@ -137,7 +141,8 @@ def layer_specs(B, H, W, depth, groups, kernel, out_size, packed=False):
         })
         h, w, c = ho, wo, feats
         for bi in range(g["num_blocks"]):
-            blk = m2d.TDSBlock2d(C, depth, (kh, kw), 0.0, lane_pack=packed)
+            blk = m2d.TDSBlock2d(C, depth, (kh, kw), 0.0, lane_pack=packed,
+                                 dtype=dtype, conv_layout=conv_layout)
             act = B * h * w * c
             flops = (2 * B * h * w * depth * C * kh * kw * C
                      + 2 * 2 * B * h * w * c * c)
@@ -205,7 +210,8 @@ def _scan_layer(module, params, x, K, with_grad):
     return lambda: scan(params, x)
 
 
-def run_layers(specs, peak_tflops, hbm_gbps, iters=200, scan_k=24):
+def run_layers(specs, peak_tflops, hbm_gbps, iters=200, scan_k=24,
+               dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -213,6 +219,8 @@ def run_layers(specs, peak_tflops, hbm_gbps, iters=200, scan_k=24):
     for s in specs:
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.randn(*s["in_shape"]).astype(np.float32))
+        if dtype is not None and s["name"] != "final_dense":
+            x = x.astype(dtype)  # bf16 IO between layers
         params = s["module"].init(jax.random.PRNGKey(0), x)
 
         it = max(iters // scan_k, 10)
@@ -368,6 +376,11 @@ def main(argv=None):
     ap.add_argument("--prefix", action="store_true",
                     help="cumulative-prefix attribution instead of "
                          "standalone in-jit scans")
+    ap.add_argument("--dtype", default=None, choices=[None, "bf16"],
+                    help="encoder compute dtype for the layer tables")
+    ap.add_argument("--conv-layout", default="transpose",
+                    choices=["transpose", "dimnums"],
+                    help="TDS block conv layout variant")
     ap.add_argument("--out", default=None,
                     help="artifact path (default docs/flagship_roofline.json)")
     args = ap.parse_args(argv)
@@ -387,14 +400,21 @@ def main(argv=None):
 
     from __graft_entry__ import _flagship
     model, _ = _flagship()
+    import jax.numpy as jnp
     specs = layer_specs(B, 64, 128, model.depth, model.tds_groups,
                         tuple(model.kernel_size), model.output_size,
-                        packed=args.lane_pack)
+                        packed=args.lane_pack,
+                        dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
+                        conv_layout=args.conv_layout)
     result["lane_pack"] = args.lane_pack
+    result["dtype"] = args.dtype or "fp32"
+    result["conv_layout"] = args.conv_layout
     if args.prefix:
         result["layers_prefix"] = run_layers_prefix(specs, args.iters)
     else:
-        result["layers"] = run_layers(specs, peak, bw, args.iters)
+        result["layers"] = run_layers(
+            specs, peak, bw, args.iters,
+            dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
         result["layer_fwd_bwd_sum_ms"] = round(
             sum(r["fwd_bwd_ms"] for r in result["layers"]), 4)
 
