@@ -46,7 +46,8 @@ _PEAK_FLOPS = {
 }
 
 
-def _flagship_step(local_batch, n_devices, dtype=None, lane_pack=False):
+def _flagship_step(local_batch, n_devices, dtype=None, lane_pack=False,
+                   conv_layout="transpose"):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +56,8 @@ def _flagship_step(local_batch, n_devices, dtype=None, lane_pack=False):
     from gtn_applications_tpu.parallel import mesh as pmesh
     from gtn_applications_tpu.train import make_train_step
 
-    model, criterion = _flagship(dtype=dtype, lane_pack=lane_pack)
+    model, criterion = _flagship(dtype=dtype, lane_pack=lane_pack,
+                                 conv_layout=conv_layout)
     B = local_batch * n_devices
     H, W = 64, 128
     rng = np.random.RandomState(0)
@@ -221,7 +223,8 @@ def run_mesh_scaling(local_batch=2, iters=10):
     return out
 
 
-def run_chip_throughput(local_batch=8, iters=20, lane_pack=False):
+def run_chip_throughput(local_batch=8, iters=20, lane_pack=False,
+                        conv_layout="transpose"):
     """Absolute single-chip samples/s + MFU, fp32 and bf16 encoder."""
     import jax
     import jax.numpy as jnp
@@ -240,7 +243,8 @@ def run_chip_throughput(local_batch=8, iters=20, lane_pack=False):
     cases = []
     for tag, dtype in (("", None), ("_bf16", jnp.bfloat16)):
         step, params, x, prepared, B = _flagship_step(
-            local_batch, 1, dtype=dtype, lane_pack=lane_pack
+            local_batch, 1, dtype=dtype, lane_pack=lane_pack,
+            conv_layout=conv_layout,
         )
         xs = jnp.asarray(x)
         flops = _step_flops(step, params, xs, prepared)
@@ -416,6 +420,9 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--lane_pack", action="store_true",
                         help="width-pack small-channel convs (PackedConv)")
+    parser.add_argument("--conv_layout", default="transpose",
+                        choices=["transpose", "dimnums"],
+                        help="TDS block conv layout")
     args = parser.parse_args(argv)
 
     if args.mesh or args.hosts:
@@ -447,10 +454,13 @@ def main(argv=None):
     if on_tpu:
         result.update(
             run_chip_throughput(args.local_batch or 8, iters=args.iters,
-                                lane_pack=args.lane_pack)
+                                lane_pack=args.lane_pack,
+                                conv_layout=args.conv_layout)
         )
         if args.lane_pack:
             result["lane_pack"] = True
+        if args.conv_layout != "transpose":
+            result["conv_layout"] = args.conv_layout
     else:
         jax.config.update("jax_platforms", "cpu")
         result.update(run_mesh_scaling(args.local_batch or 2, args.iters))
