@@ -47,7 +47,7 @@ _PEAK_FLOPS = {
 
 
 def _flagship_step(local_batch, n_devices, dtype=None, lane_pack=False,
-                   conv_layout="transpose"):
+                   conv_layout="transpose", blocks_per_group=1):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +57,8 @@ def _flagship_step(local_batch, n_devices, dtype=None, lane_pack=False,
     from gtn_applications_tpu.train import make_train_step
 
     model, criterion = _flagship(dtype=dtype, lane_pack=lane_pack,
-                                 conv_layout=conv_layout)
+                                 conv_layout=conv_layout,
+                                 blocks_per_group=blocks_per_group)
     B = local_batch * n_devices
     H, W = 64, 128
     rng = np.random.RandomState(0)
@@ -224,7 +225,7 @@ def run_mesh_scaling(local_batch=2, iters=10):
 
 
 def run_chip_throughput(local_batch=8, iters=20, lane_pack=False,
-                        conv_layout="transpose"):
+                        conv_layout="transpose", blocks_per_group=1):
     """Absolute single-chip samples/s + MFU, fp32 and bf16 encoder."""
     import jax
     import jax.numpy as jnp
@@ -244,7 +245,7 @@ def run_chip_throughput(local_batch=8, iters=20, lane_pack=False,
     for tag, dtype in (("", None), ("_bf16", jnp.bfloat16)):
         step, params, x, prepared, B = _flagship_step(
             local_batch, 1, dtype=dtype, lane_pack=lane_pack,
-            conv_layout=conv_layout,
+            conv_layout=conv_layout, blocks_per_group=blocks_per_group,
         )
         xs = jnp.asarray(x)
         flops = _step_flops(step, params, xs, prepared)
@@ -272,7 +273,8 @@ def run_chip_throughput(local_batch=8, iters=20, lane_pack=False,
     # Pass 3: the honest MFU denominator — the chip's MEASURED achievable
     # matmul throughput per dtype (readback-closed), plus an analytic
     # cross-check of XLA's cost-analysis FLOPs.
-    model, _ = _flagship(lane_pack=lane_pack)
+    model, _ = _flagship(lane_pack=lane_pack,
+                         blocks_per_group=blocks_per_group)
     analytic_fwd = _analytic_fwd_flops(model, local_batch, 64, 128)
     out["flops_analytic_fwd"] = analytic_fwd
     if out.get("flops_per_step"):
@@ -423,6 +425,9 @@ def main(argv=None):
     parser.add_argument("--conv_layout", default="transpose",
                         choices=["transpose", "dimnums"],
                         help="TDS block conv layout")
+    parser.add_argument("--blocks", type=int, default=1,
+                        help="TDS blocks per group (3 = the full iamdb "
+                             "recipe; 1 = the fast benchmark flagship)")
     args = parser.parse_args(argv)
 
     if args.mesh or args.hosts:
@@ -455,12 +460,14 @@ def main(argv=None):
         result.update(
             run_chip_throughput(args.local_batch or 8, iters=args.iters,
                                 lane_pack=args.lane_pack,
-                                conv_layout=args.conv_layout)
+                                conv_layout=args.conv_layout,
+                                blocks_per_group=args.blocks)
         )
         if args.lane_pack:
             result["lane_pack"] = True
         if args.conv_layout != "transpose":
             result["conv_layout"] = args.conv_layout
+        result["blocks_per_group"] = args.blocks
     else:
         jax.config.update("jax_platforms", "cpu")
         result.update(run_mesh_scaling(args.local_batch or 2, args.iters))
