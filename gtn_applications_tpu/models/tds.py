@@ -30,8 +30,14 @@ class InstanceNorm(nn.Module):
         # x: [..., features] with spatial axes self.axes
         dtype = x.dtype
         x32 = x.astype(jnp.float32)
+        # E[x^2] - E[x]^2 instead of jnp.var: the two reductions share one
+        # read pass (jnp.var's centered pass depends on the mean and costs
+        # a second full read — measurable on an HBM-bound step).  fp32
+        # accumulation keeps the cancellation error ~2^-24 * E[x^2], below
+        # the 1e-5 epsilon for activation-scale inputs.
         mean = jnp.mean(x32, axis=self.axes, keepdims=True)
-        var = jnp.var(x32, axis=self.axes, keepdims=True)
+        m2 = jnp.mean(x32 * x32, axis=self.axes, keepdims=True)
+        var = jnp.maximum(m2 - mean * mean, 0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
