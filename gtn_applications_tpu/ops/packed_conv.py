@@ -23,6 +23,16 @@ The scatter is expressed as an einsum with a constant 0/1 numpy tensor,
 so Wp is a linear function of W: gradients flow through unchanged and
 the packed conv is a drop-in replacement (exact same math, verified to
 fp32 tolerance in tests/test_packed_conv.py).
+
+MEASURED VERDICT (real chip, B=64 flagship, docs/flagship_roofline.json):
+packing LOSES — full step 4.67 ms packed vs 3.99 unpacked; achieved
+TFLOP/s stayed ~32 while the Toeplitz zeros inflated FLOPs 17%.  XLA's
+TPU conv emitter is NOT output-lane-bound at these shapes (its achieved
+throughput on the 4-16-channel convs already exceeds the naive
+(K/128)*(N/128) lane model), so adding arithmetic only adds time.  Kept
+as an opt-in (`lane_pack`) with its tests: it is the measurement that
+retires docs/roadmap.md gap 3's hypothesis, and the packing transform
+itself is useful on hardware whose conv emitter IS lane-bound.
 """
 
 import numpy as np
