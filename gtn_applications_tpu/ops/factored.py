@@ -40,6 +40,7 @@ full-dynamic-range fallback.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,11 @@ import jax.numpy as jnp
 from .semiring import DEAD, NEG, logaddexp, logsumexp
 
 _FLOOR = 1e-37
+# frame-scan unroll factor: each factored scorer runs a T-step lax.scan
+# of small batched matmuls, where per-iteration while-loop overhead can
+# rival the math; unrolling fuses several frames per loop iteration.
+# A/B'd on chip via GTN_FACTORED_UNROLL (tools/chip/chip_ngram2_profile).
+_SCAN_UNROLL = int(os.environ.get("GTN_FACTORED_UNROLL", "1"))
 
 
 def _f32_matmuls(fn):
@@ -122,6 +128,7 @@ def alignment_lattice_score(em, adj_exp, lab_oh, start, accept,
     alpha, _ = jax.lax.scan(
         step, alpha,
         (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+        unroll=_SCAN_UNROLL,
     )
     score = logsumexp(alpha + accept, axis=1)
     # zero-frame samples: the empty path (start ∩ accept), if any
@@ -189,6 +196,7 @@ def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
     alpha, _ = jax.lax.scan(
         step, alpha,
         (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+        unroll=_SCAN_UNROLL,
     )
     final = alpha + accept + we_state
     score = logsumexp(final, axis=1)
@@ -225,7 +233,8 @@ def dense_ngram_norm(em, ws, W, we, input_lengths=None, we0=0.0):
         return jnp.where((t < input_lengths)[:, None], new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha, (em.transpose(1, 0, 2)[1:], jnp.arange(1, T))
+        step, alpha, (em.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+        unroll=_SCAN_UNROLL,
     )
     final = alpha + we[None, :]
     return jnp.where(
@@ -319,6 +328,7 @@ def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
     alpha, _ = jax.lax.scan(
         step, alpha0,
         (em_state.transpose(1, 0, 2), jnp.arange(T)),
+        unroll=_SCAN_UNROLL,
     )
     final = alpha + a_accept[:, :, None] + ctx_accept[None, None, :]
     score = logsumexp(final.reshape(B, -1), axis=1)
@@ -395,6 +405,7 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
     alpha, _ = jax.lax.scan(
         step, alpha0,
         (em_state.transpose(1, 0, 2), jnp.arange(T)),
+        unroll=_SCAN_UNROLL,
     )
     final = alpha + a_accept[:, :, None] + ctx_accept[None, None, :]
     score = logsumexp(final.reshape(B, -1), axis=1)
@@ -448,7 +459,8 @@ def backoff_dense_norm(em, ctx_start, ctx_accept, T_exp, t_shift,
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T))
+        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T)),
+        unroll=_SCAN_UNROLL,
     )
     return logsumexp(alpha + ctx_accept[None, :], axis=1)
 
@@ -542,7 +554,8 @@ def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T))
+        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T)),
+        unroll=_SCAN_UNROLL,
     )
     return logsumexp(alpha + ctx_accept[None, :], axis=1)
 
