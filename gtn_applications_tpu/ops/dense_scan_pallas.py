@@ -1,0 +1,228 @@
+"""Whole-scan Pallas kernel for the dense-adjacency lattice recursion.
+
+ops.factored.alignment_lattice_score runs T sequential lax.scan steps of
+tiny batched matvecs ([B, S] x [B, S, S]); on this chip each while-loop
+iteration costs ~26-30 us regardless of the ~2 us of math in it
+(docs/captures_r04: word-decomps 3 ms/iter, ngram-2 numerator 6.6 ms
+fwd+bwd at T=250), so the scorer is scan-LATENCY-bound.  This kernel
+runs the whole recursion as ONE Pallas launch — grid (batch-tile, T),
+alpha carried in VMEM scratch, trajectory streamed to HBM — the same
+shape as ops/sparse_scan_pallas (chip-verified r3) with a dense [S, S]
+exp-adjacency instead of arc projections.
+
+Forward recursion (exact oracle semantics, factored.py:86-133):
+
+    t = 0 : e = exp(min(start, 0)) * (start > NEG/2)
+    t > 0 : sh = max(alpha) (stop-grad), e = exp(alpha - sh)
+    z[u]  = sum_s adj_exp[u, s] * e[s]                       (MXU)
+    new   = em_state[t] + sh + log(max(z, floor))  where (z > 0) & has_lab
+            else NEG;   alpha = new if t < len else alpha
+
+custom_vjp: cotangents flow to ``em_state`` and ``adj_exp`` (the
+backward kernel replays the trajectory in reverse, recomputing z).
+``start`` / ``has_lab`` / ``lengths`` are prepared DATA (never model
+params) and receive zero cotangents — asserted by the dispatch gate in
+ops.factored, and differential-tested in tests/test_dense_scan.py.
+
+In-kernel dots use Precision.HIGHEST (Mosaic lowers it to 6 bf16
+passes); the per-step dot is ~2 MFLOP so the x6 is noise here, unlike
+the arc-projection kernels that needed manual bf16x3.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .semiring import NEG
+
+_FLOOR = 1e-30
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _compiler_params():
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
+
+
+def _bmv(adj, e):
+    """z[b, u] = sum_s adj[b, u, s] * e[b, s] (batched matvec, MXU)."""
+    z = jax.lax.dot_general(
+        e[:, None, :], adj,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    return z[:, 0, :]
+
+
+def _bmv_t(adj, g):
+    """w[b, s] = sum_u adj[b, u, s] * g[b, u] (transposed contraction)."""
+    w = jax.lax.dot_general(
+        g[:, None, :], adj,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+    return w[:, 0, :]
+
+
+def _start_e(start):
+    return jnp.exp(jnp.minimum(start, 0.0)) * (start > NEG / 2)
+
+
+def _fwd_kernel(em_ref, adj_ref, start_ref, lab_ref, len_ref,
+                traj_ref, alpha_scr):
+    i = pl.program_id(1)
+    adj = adj_ref[...]
+    lab = lab_ref[...] > 0.0
+    em = em_ref[:, 0, :]
+
+    @pl.when(i == 0)
+    def _():
+        z = _bmv(adj, _start_e(start_ref[...]))
+        alpha_scr[...] = jnp.where(
+            (z > 0.0) & lab, em + jnp.log(jnp.maximum(z, _FLOOR)), NEG)
+
+    @pl.when(i > 0)
+    def _():
+        alpha = alpha_scr[...]
+        sh = jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
+        z = _bmv(adj, jnp.exp(alpha - sh))
+        new = jnp.where(
+            (z > 0.0) & lab,
+            em + sh + jnp.log(jnp.maximum(z, _FLOOR)),
+            NEG,
+        )
+        live = (i * jnp.ones_like(len_ref[...])) < len_ref[...]  # [Bt, 1]
+        alpha_scr[...] = jnp.where(live, new, alpha)
+
+    traj_ref[:, 0, :] = alpha_scr[...]
+
+
+def _bwd_kernel(T, adj_ref, start_ref, lab_ref, len_ref,
+                traj_prev_ref, g_final_ref,
+                dem_ref, dadj_ref, g_scr, dadj_scr):
+    j = pl.program_id(1)
+    t = T - 1 - j
+    adj = adj_ref[...]
+    lab = lab_ref[...] > 0.0
+
+    @pl.when(j == 0)
+    def _():
+        g_scr[...] = g_final_ref[...]
+        dadj_scr[...] = jnp.zeros_like(dadj_scr)
+
+    g = g_scr[...]
+    # e: the exp-domain input of frame t (previous alpha, or the start row)
+    prev = traj_prev_ref[:, 0, :]  # traj[t-1]; garbage at t == 0 (unused)
+    sh = jnp.maximum(jnp.max(prev, axis=1, keepdims=True), NEG)
+    e = jnp.where(t > 0, jnp.exp(prev - sh), _start_e(start_ref[...]))
+    z = _bmv(adj, e)
+    live = jnp.where(
+        t > 0,
+        (t * jnp.ones_like(len_ref[...])) < len_ref[...],
+        jnp.ones_like(len_ref[...]) > 0,
+    )  # [Bt, 1]
+    applied = live & (z > 0.0) & lab  # [Bt, S]
+    ga = jnp.where(applied, g, 0.0)
+    dem_ref[:, 0, :] = ga
+    dz = ga / jnp.maximum(z, _FLOOR)
+    dadj_scr[...] += dz[:, :, None] * e[:, None, :]
+    dadj_ref[...] = dadj_scr[...]
+    # propagate to alpha_{t-1}: the applied branch via the contraction,
+    # the frozen branch (not live) passes g through; at t == 0 the chain
+    # ends (start potentials get no cotangent by contract)
+    g_prev = _bmv_t(adj, dz) * e + jnp.where(live, 0.0, g)
+    g_scr[...] = jnp.where(t > 0, g_prev, g)
+
+
+def _tiles(B):
+    return 8 if (B % 8 == 0 and B > 8) else B
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def dense_scan(em_state, adj_exp, start, has_lab, lengths_f):
+    alpha, _ = _fwd(em_state, adj_exp, start, has_lab, lengths_f)
+    return alpha
+
+
+def _fwd(em_state, adj_exp, start, has_lab, lengths_f):
+    B, T, S = em_state.shape
+    Bt = _tiles(B)
+    grid = (B // Bt, T)
+    traj = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, 1, S), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((Bt, S, S), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((Bt, S), lambda b, t: (b, 0)),
+            pl.BlockSpec((Bt, S), lambda b, t: (b, 0)),
+            pl.BlockSpec((Bt, 1), lambda b, t: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((Bt, 1, S), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bt, S), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(em_state, adj_exp, start, has_lab,
+      lengths_f.reshape(B, 1))
+    return traj[:, T - 1], traj
+
+
+def _fwd_vjp(em_state, adj_exp, start, has_lab, lengths_f):
+    alpha, traj = _fwd(em_state, adj_exp, start, has_lab, lengths_f)
+    return alpha, (traj, adj_exp, start, has_lab, lengths_f)
+
+
+def _bwd_vjp(res, g_final):
+    traj, adj_exp, start, has_lab, lengths_f = res
+    B, T, S = traj.shape
+    Bt = _tiles(B)
+    grid = (B // Bt, T)
+    # traj_prev block t-1 (clamped at 0; the t==0 value is never read)
+    dem, dadj = pl.pallas_call(
+        functools.partial(_bwd_kernel, T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, S, S), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
+            pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
+            pl.BlockSpec((Bt, 1), lambda b, j: (b, 0)),
+            pl.BlockSpec((Bt, 1, S),
+                         lambda b, j, T=T: (b, jnp.maximum(T - 2 - j, 0), 0)),
+            pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bt, 1, S), lambda b, j, T=T: (b, T - 1 - j, 0)),
+            pl.BlockSpec((Bt, S, S), lambda b, j: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, S), jnp.float32),
+            pltpu.VMEM((Bt, S, S), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(adj_exp, start, has_lab, lengths_f.reshape(B, 1), traj, g_final)
+    return (dem, dadj, jnp.zeros_like(start), jnp.zeros_like(has_lab),
+            jnp.zeros_like(lengths_f))
+
+
+dense_scan.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+def fits(B, S_pad, budget_bytes=100 * 1024 * 1024):
+    """Dispatch gate: the backward tile holds adj + dadj accumulator +
+    Mosaic double-buffering (~4x Bt*S^2 floats observed headroom)."""
+    Bt = _tiles(B)
+    return 6 * Bt * S_pad * S_pad * 4 <= budget_bytes

@@ -53,6 +53,34 @@ _FLOOR = 1e-37
 # rival the math; unrolling fuses several frames per loop iteration.
 # A/B'd on chip via GTN_FACTORED_UNROLL (tools/chip/chip_ngram2_profile).
 _SCAN_UNROLL = int(os.environ.get("GTN_FACTORED_UNROLL", "1"))
+# rematerialize the frame step in the backward pass: the scans' per-step
+# residuals ([B, S, N] intermediates) dominate backward HBM traffic at
+# ngram scale, while the step's FLOPs are tiny — storing only the
+# [B, S] carry and recomputing is the classic trade.  A/B'd on chip.
+_SCAN_REMAT = os.environ.get("GTN_FACTORED_REMAT", "1") not in ("0", "off")
+
+
+def _maybe_remat(step):
+    return jax.checkpoint(step) if _SCAN_REMAT else step
+
+
+# whole-scan Pallas dispatch for the plain dense-adjacency scorer:
+# auto = on TPU when the [Bt, S, S] tiles fit VMEM; on = everywhere
+# (interpret-mode on CPU — the differential-test path); off = never.
+_DENSE_SCAN_IMPL = os.environ.get("GTN_DENSE_SCAN", "auto")
+
+
+def _use_dense_scan(B, S):
+    if _DENSE_SCAN_IMPL in ("off", "0"):
+        return False
+    from . import dense_scan_pallas as dsp
+
+    S_pad = S + (-S) % 128
+    if not dsp.fits(B, S_pad):
+        return False
+    if _DENSE_SCAN_IMPL == "on":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _f32_matmuls(fn):
@@ -102,6 +130,37 @@ def alignment_lattice_score(em, adj_exp, lab_oh, start, accept,
     em_state = jnp.einsum("btn,bsn->bts", em, lab_oh)         # [B, T, S]
     has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S]
 
+    if _use_dense_scan(B, em_state.shape[-1]):
+        # whole-scan Pallas kernel: one launch instead of T while-loop
+        # iterations (each ~26-30 us on this chip regardless of the
+        # ~2 us of math — dense_scan_pallas.py).  Cotangents flow to
+        # emissions and adjacency only; start/lab/lengths are prepared
+        # data, never parameters.
+        from . import dense_scan_pallas as dsp
+
+        S = em_state.shape[-1]
+        pad = (-S) % 128
+        if pad:
+            em_p = jnp.pad(em_state, ((0, 0), (0, 0), (0, pad)))
+            adj_p = jnp.pad(adj_exp, ((0, 0), (0, pad), (0, pad)))
+            start_p = jnp.pad(start, ((0, 0), (0, pad)),
+                              constant_values=NEG)
+            lab_p = jnp.pad(has_lab.astype(jnp.float32),
+                            ((0, 0), (0, pad)))
+            acc_p = jnp.pad(accept, ((0, 0), (0, pad)),
+                            constant_values=NEG)
+        else:
+            em_p, adj_p, start_p = em_state, adj_exp, start
+            lab_p, acc_p = has_lab.astype(jnp.float32), accept
+        alpha = dsp.dense_scan(
+            em_p, adj_p, start_p, lab_p,
+            input_lengths.astype(jnp.float32),
+        )
+        score = logsumexp(alpha + acc_p, axis=1)
+        base0 = logsumexp(start + accept, axis=1)
+        score0 = jnp.where(base0 > DEAD, base0, NEG)
+        return jnp.where(input_lengths > 0, score, score0)
+
     # frame 1: enter via an arc from a start state
     z1 = jnp.einsum("bus,bs->bu", adj_exp, jnp.exp(
         jnp.minimum(start, 0.0)) * (start > NEG / 2))
@@ -126,7 +185,7 @@ def alignment_lattice_score(em, adj_exp, lab_oh, start, accept,
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha,
+        _maybe_remat(step), alpha,
         (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
         unroll=_SCAN_UNROLL,
     )
@@ -194,7 +253,7 @@ def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha,
+        _maybe_remat(step), alpha,
         (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
         unroll=_SCAN_UNROLL,
     )
@@ -233,7 +292,7 @@ def dense_ngram_norm(em, ws, W, we, input_lengths=None, we0=0.0):
         return jnp.where((t < input_lengths)[:, None], new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha, (em.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+        _maybe_remat(step), alpha, (em.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
         unroll=_SCAN_UNROLL,
     )
     final = alpha + we[None, :]
@@ -326,7 +385,7 @@ def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha0,
+        _maybe_remat(step), alpha0,
         (em_state.transpose(1, 0, 2), jnp.arange(T)),
         unroll=_SCAN_UNROLL,
     )
@@ -403,7 +462,7 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha0,
+        _maybe_remat(step), alpha0,
         (em_state.transpose(1, 0, 2), jnp.arange(T)),
         unroll=_SCAN_UNROLL,
     )
@@ -459,7 +518,7 @@ def backoff_dense_norm(em, ctx_start, ctx_accept, T_exp, t_shift,
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T)),
+        _maybe_remat(step), alpha0, (em.transpose(1, 0, 2), jnp.arange(T)),
         unroll=_SCAN_UNROLL,
     )
     return logsumexp(alpha + ctx_accept[None, :], axis=1)
@@ -554,7 +613,7 @@ def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
         return jnp.where(live, new, alpha), None
 
     alpha, _ = jax.lax.scan(
-        step, alpha0, (em.transpose(1, 0, 2), jnp.arange(T)),
+        _maybe_remat(step), alpha0, (em.transpose(1, 0, 2), jnp.arange(T)),
         unroll=_SCAN_UNROLL,
     )
     return logsumexp(alpha + ctx_accept[None, :], axis=1)

@@ -1,0 +1,123 @@
+"""dense_scan_pallas vs the pure-JAX alignment_lattice_score oracle:
+values and gradients (emissions AND adjacency), ragged lengths, padded
+state axes, and the criterion-level word-decomps shape."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtn_applications_tpu.ops import factored as F
+
+
+def _random_case(rng, B, T, S, N):
+    """A well-formed random lattice family: every state has one in-label,
+    adjacency from exp of bounded weights with random sparsity, start /
+    accept potentials on random subsets."""
+    adj = np.where(rng.rand(B, S, S) < 0.3,
+                   np.exp(rng.randn(B, S, S).clip(-3, 3)), 0.0)
+    lab = np.zeros((B, S, N), np.float32)
+    labels = rng.randint(0, N, size=(B, S))
+    has = rng.rand(B, S) < 0.9
+    for b in range(B):
+        for s in range(S):
+            if has[b, s]:
+                lab[b, s, labels[b, s]] = 1.0
+    start = np.where(rng.rand(B, S) < 0.4, 0.0, F.NEG).astype(np.float32)
+    accept = np.where(rng.rand(B, S) < 0.4,
+                      rng.randn(B, S) * 0.1, F.NEG).astype(np.float32)
+    em = rng.randn(B, T, N).astype(np.float32)
+    lens = rng.randint(1, T + 1, size=(B,)).astype(np.int32)
+    lens[0] = T
+    return (jnp.asarray(em), jnp.asarray(adj.astype(np.float32)),
+            jnp.asarray(lab), jnp.asarray(start), jnp.asarray(accept),
+            jnp.asarray(lens))
+
+
+def _with_impl(impl):
+    """Temporarily force the dense-scan dispatch mode."""
+    class _Ctx:
+        def __enter__(self):
+            self.saved = F._DENSE_SCAN_IMPL
+            F._DENSE_SCAN_IMPL = impl
+
+        def __exit__(self, *a):
+            F._DENSE_SCAN_IMPL = self.saved
+    return _Ctx()
+
+
+CASES = [(3, 7, 10, 6), (2, 12, 40, 9), (4, 5, 130, 5)]
+
+
+@pytest.mark.parametrize("B,T,S,N", CASES)
+def test_values_and_grads_match_oracle(B, T, S, N):
+    rng = np.random.RandomState(B * 100 + S)
+    em, adj, lab, start, accept, lens = _random_case(rng, B, T, S, N)
+
+    def score(em, adj):
+        return jnp.sum(F.alignment_lattice_score(
+            em, adj, lab, start, accept, lens))
+
+    with _with_impl("off"):
+        v_ref, (ge_ref, ga_ref) = jax.value_and_grad(
+            score, argnums=(0, 1))(em, adj)
+    with _with_impl("on"):
+        v_new, (ge_new, ga_new) = jax.value_and_grad(
+            score, argnums=(0, 1))(em, adj)
+
+    np.testing.assert_allclose(float(v_new), float(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ge_new), np.asarray(ge_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_new), np.asarray(ga_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_zero_length_sample():
+    rng = np.random.RandomState(0)
+    em, adj, lab, start, accept, lens = _random_case(rng, 3, 6, 12, 5)
+    lens = lens.at[1].set(0)
+    with _with_impl("off"):
+        ref = F.alignment_lattice_score(em, adj, lab, start, accept, lens)
+    with _with_impl("on"):
+        new = F.alignment_lattice_score(em, adj, lab, start, accept, lens)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_word_decomps_criterion_matches():
+    # the real consumer: transitions-free multi-grapheme transducer
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    tokens = ["ab", "ba", "a", "b", "bb"]
+    g2i = {"a": 0, "b": 1}
+    crit = Transducer(tokens, g2i, blank="optional", allow_repeats=False,
+                      reduction="mean")
+    rng = np.random.RandomState(1)
+    B, T, N = 4, 9, len(tokens) + 1
+    x = jnp.asarray(rng.randn(B, T, N).astype(np.float32))
+    targets = [[0, 1, 0], [1, 1], [0, 0, 1, 1], [1]]
+    saved_f = getattr(__import__(
+        "gtn_applications_tpu.criterions.transducer", fromlist=["x"]),
+        "_FACTORED_IMPL")
+    import gtn_applications_tpu.criterions.transducer as tmod
+    tmod._FACTORED_IMPL = "on"
+    try:
+        prepared = crit.prepare(targets)
+    finally:
+        tmod._FACTORED_IMPL = saved_f
+    assert "factored_plain" in prepared
+
+    def loss(x):
+        return crit.loss({}, x, prepared)
+
+    with _with_impl("off"):
+        v_ref, g_ref = jax.value_and_grad(loss)(x)
+    with _with_impl("on"):
+        v_new, g_new = jax.value_and_grad(loss)(x)
+    np.testing.assert_allclose(float(v_new), float(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
