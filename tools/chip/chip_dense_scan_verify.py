@@ -1,0 +1,69 @@
+"""Chip verify + bench of the dense whole-scan kernel
+(ops/dense_scan_pallas.py) at the word-decomps protocol (B=32, T=100,
+N=1001, 1k-wordpiece vocabulary): loss/grad parity vs the XLA-scan
+oracle ON THE REAL CHIP, then readback-closed timings for both paths.
+"""
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from gtn_applications_tpu.criterions.transducer import Transducer
+from gtn_applications_tpu.ops import factored as F
+
+with open("/root/repo/benchmarks/word_pieces_scores_1000.tsv") as fid:
+    tokens = sorted(l.rstrip("\n").split("\t")[0] for l in fid)
+graphemes = sorted(set(c for t in tokens for c in t))
+g2i = {t: i for i, t in enumerate(graphemes)}
+B, Tw, Lw = 32, 100, 15
+Nw = len(tokens) + 1
+
+rng = random.Random(0)
+nprng = np.random.RandomState(0)
+inputs = jnp.asarray(nprng.randn(B, Tw, Nw).astype(np.float32))
+targets = []
+for _ in range(B):
+    pieces = (rng.choice(tokens) for _ in range(Lw))
+    targets.append([g2i[l] for wp in pieces for l in wp])
+
+crit = Transducer(tokens, g2i, blank="optional", allow_repeats=False,
+                  reduction="mean")
+prepared = crit.prepare(targets)
+assert "factored_plain" in prepared
+S = int(np.asarray(prepared["factored"]["adj_exp"]).shape[1])
+out = {"metric": "dense_scan_verify", "B": B, "T": Tw, "N": Nw, "S": S}
+
+res = {}
+for impl in ("off", "auto"):
+    F._DENSE_SCAN_IMPL = impl
+    fwd_bwd = jax.jit(lambda x, prep: jax.value_and_grad(
+        lambda x: crit.loss({}, x, prep))(x))
+    t0 = time.perf_counter()
+    v, g = fwd_bwd(inputs, prepared)
+    v = float(v)
+    print(f"{impl}: compile+run {time.perf_counter()-t0:.1f}s "
+          f"loss={v:.6f}", file=sys.stderr, flush=True)
+    start = time.perf_counter()
+    for _ in range(200):
+        vv, g = fwd_bwd(inputs, prepared)
+    float(vv)
+    ms = (time.perf_counter() - start) / 200 * 1e3
+    res[impl] = (v, np.asarray(g), ms)
+    out[f"{impl}_fwd_bwd_ms"] = round(ms, 4)
+
+dv = abs(res["off"][0] - res["auto"][0])
+dg = float(np.max(np.abs(res["off"][1] - res["auto"][1])))
+out["dloss"] = dv
+out["max_dgrad"] = dg
+out["speedup"] = round(res["off"][2] / res["auto"][2], 3)
+assert dv < 5e-4 and dg < 5e-4, (dv, dg)
+print("DENSE SCAN VERIFY OK", file=sys.stderr, flush=True)
+print(json.dumps(out))
