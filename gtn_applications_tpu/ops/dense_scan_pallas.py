@@ -226,3 +226,214 @@ def fits(B, S_pad, budget_bytes=100 * 1024 * 1024):
     Mosaic double-buffering (~4x Bt*S^2 floats observed headroom)."""
     Bt = _tiles(B)
     return 6 * Bt * S_pad * S_pad * 4 <= budget_bytes
+
+
+# ---------------------------------------------------------------------
+# Full-ngram factored recursion (factored.factored_lattice_score): the
+# bigram-selected variant — per frame one batched [S, S] x [S, N]
+# exp-matmul instead of the plain matvec.  Same launch structure;
+# cotangents flow to em_state, adj_exp, wsel (the lab_oh @ W selection,
+# which carries the learnable transition rows) and ws_state (init row).
+# ---------------------------------------------------------------------
+
+
+def _bmm(adj, E):
+    """z[b, u, l] = sum_s adj[b, u, s] * E[b, s, l]."""
+    return jax.lax.dot_general(
+        adj, E, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+
+
+def _bmm_tA(adj, dz):
+    """dE[b, s, l] = sum_u adj[b, u, s] * dz[b, u, l]."""
+    return jax.lax.dot_general(
+        adj, dz, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+
+
+def _bmm_tB(dz, E):
+    """dadj[b, u, s] = sum_l dz[b, u, l] * E[b, s, l]."""
+    return jax.lax.dot_general(
+        dz, E, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+
+
+def _fact_fwd_kernel(em_ref, adj_ref, wsel_ref, lab_ref, ws_ref,
+                     start_ref, len_ref, traj_ref, alpha_scr):
+    i = pl.program_id(1)
+    adj = adj_ref[...]
+    lab = lab_ref[...]
+    has = jnp.sum(lab, axis=-1) > 0.0
+    em = em_ref[:, 0, :]
+
+    @pl.when(i == 0)
+    def _():
+        z = _bmv(adj, _start_e(start_ref[...]))
+        alpha_scr[...] = jnp.where(
+            (z > 0.0) & has,
+            em + ws_ref[...] + jnp.log(jnp.maximum(z, _FLOOR)),
+            NEG,
+        )
+
+    @pl.when(i > 0)
+    def _():
+        alpha = alpha_scr[...]
+        v = alpha[:, :, None] + wsel_ref[...]              # [Bt, S, N]
+        sh = jnp.maximum(jnp.max(v, axis=1, keepdims=True), NEG)
+        z = _bmm(adj, jnp.exp(v - sh))                     # [Bt, S, N]
+        m = jnp.where(z > 0.0, sh + jnp.log(jnp.maximum(z, _FLOOR)), NEG)
+        pick = jnp.sum(m * lab, axis=-1)                   # [Bt, S]
+        new = jnp.where(has, em + pick, NEG)
+        live = (i * jnp.ones_like(len_ref[...])) < len_ref[...]
+        alpha_scr[...] = jnp.where(live, new, alpha)
+
+    traj_ref[:, 0, :] = alpha_scr[...]
+
+
+def _fact_bwd_kernel(T, adj_ref, wsel_ref, lab_ref, ws_ref, start_ref,
+                     len_ref, traj_prev_ref, g_final_ref,
+                     dem_ref, dadj_ref, dwsel_ref, dws_ref,
+                     g_scr, dadj_scr, dwsel_scr):
+    j = pl.program_id(1)
+    t = T - 1 - j
+    adj = adj_ref[...]
+    lab = lab_ref[...]
+    has = jnp.sum(lab, axis=-1) > 0.0
+
+    @pl.when(j == 0)
+    def _():
+        g_scr[...] = g_final_ref[...]
+        dadj_scr[...] = jnp.zeros_like(dadj_scr)
+        dwsel_scr[...] = jnp.zeros_like(dwsel_scr)
+
+    g = g_scr[...]
+    prev = traj_prev_ref[:, 0, :]
+
+    @pl.when(t > 0)
+    def _():
+        v = prev[:, :, None] + wsel_ref[...]
+        sh = jnp.maximum(jnp.max(v, axis=1, keepdims=True), NEG)
+        E = jnp.exp(v - sh)
+        z = _bmm(adj, E)
+        live = (t * jnp.ones_like(len_ref[...])) < len_ref[...]
+        ga = jnp.where(live & has, g, 0.0)                 # [Bt, S]
+        dem_ref[:, 0, :] = ga
+        dm = ga[:, :, None] * lab                          # [Bt, S, N]
+        dz = jnp.where(z > 0.0, dm / jnp.maximum(z, _FLOOR), 0.0)
+        dadj_scr[...] += _bmm_tB(dz, E)
+        dv = _bmm_tA(adj, dz) * E                          # [Bt, S, N]
+        dwsel_scr[...] += dv
+        g_prev = jnp.sum(dv, axis=-1) + jnp.where(live, 0.0, g)
+        g_scr[...] = g_prev
+        dws_ref[...] = jnp.zeros_like(ws_ref[...])
+
+    @pl.when(t == 0)
+    def _():
+        z1 = _bmv(adj, e := _start_e(start_ref[...]))
+        valid0 = (z1 > 0.0) & has
+        ga = jnp.where(valid0, g, 0.0)
+        dem_ref[:, 0, :] = ga
+        dws_ref[...] = ga
+        dz1 = ga / jnp.maximum(z1, _FLOOR)
+        dadj_scr[...] += dz1[:, :, None] * e[:, None, :]
+
+    dadj_ref[...] = dadj_scr[...]
+    dwsel_ref[...] = dwsel_scr[...]
+
+
+@jax.custom_vjp
+def factored_scan(em_state, adj_exp, wsel, lab_oh, ws_state, start,
+                  lengths_f):
+    alpha, _ = _fact_fwd(em_state, adj_exp, wsel, lab_oh, ws_state,
+                         start, lengths_f)
+    return alpha
+
+
+def _fact_fwd(em_state, adj_exp, wsel, lab_oh, ws_state, start, lengths_f):
+    B, T, S = em_state.shape
+    N = wsel.shape[-1]
+    Bt = _tiles(B)
+    grid = (B // Bt, T)
+    traj = pl.pallas_call(
+        _fact_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, 1, S), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((Bt, S, S), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((Bt, S, N), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((Bt, S, N), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((Bt, S), lambda b, t: (b, 0)),
+            pl.BlockSpec((Bt, S), lambda b, t: (b, 0)),
+            pl.BlockSpec((Bt, 1), lambda b, t: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((Bt, 1, S), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bt, S), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(em_state, adj_exp, wsel, lab_oh, ws_state, start,
+      lengths_f.reshape(B, 1))
+    return traj[:, T - 1], traj
+
+
+def _fact_fwd_vjp(em_state, adj_exp, wsel, lab_oh, ws_state, start,
+                  lengths_f):
+    alpha, traj = _fact_fwd(em_state, adj_exp, wsel, lab_oh, ws_state,
+                            start, lengths_f)
+    return alpha, (traj, adj_exp, wsel, lab_oh, ws_state, start, lengths_f)
+
+
+def _fact_bwd_vjp(res, g_final):
+    traj, adj_exp, wsel, lab_oh, ws_state, start, lengths_f = res
+    B, T, S = traj.shape
+    N = wsel.shape[-1]
+    Bt = _tiles(B)
+    grid = (B // Bt, T)
+    dem, dadj, dwsel, dws = pl.pallas_call(
+        functools.partial(_fact_bwd_kernel, T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, S, S), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((Bt, S, N), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((Bt, S, N), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
+            pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
+            pl.BlockSpec((Bt, 1), lambda b, j: (b, 0)),
+            pl.BlockSpec((Bt, 1, S),
+                         lambda b, j, T=T: (b, jnp.maximum(T - 2 - j, 0), 0)),
+            pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bt, 1, S), lambda b, j, T=T: (b, T - 1 - j, 0)),
+            pl.BlockSpec((Bt, S, S), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((Bt, S, N), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, S), jnp.float32),
+            pltpu.VMEM((Bt, S, S), jnp.float32),
+            pltpu.VMEM((Bt, S, N), jnp.float32),
+        ],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(adj_exp, wsel, lab_oh, ws_state, start, lengths_f.reshape(B, 1),
+      traj, g_final)
+    return (dem, dadj, dwsel, jnp.zeros_like(lab_oh), dws,
+            jnp.zeros_like(start), jnp.zeros_like(lengths_f))
+
+
+factored_scan.defvjp(_fact_fwd_vjp, _fact_bwd_vjp)
+
+
+def fits_factored(B, S_pad, N_pad, budget_bytes=100 * 1024 * 1024):
+    Bt = _tiles(B)
+    return (4 * Bt * S_pad * (2 * S_pad + 4 * N_pad)) * 4 <= budget_bytes

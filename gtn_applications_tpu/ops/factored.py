@@ -83,6 +83,20 @@ def _use_dense_scan(B, S):
     return jax.default_backend() == "tpu"
 
 
+def _use_factored_scan(B, S, N):
+    if _DENSE_SCAN_IMPL in ("off", "0"):
+        return False
+    from . import dense_scan_pallas as dsp
+
+    S_pad = S + (-S) % 128
+    N_pad = N + (-N) % 128
+    if not dsp.fits_factored(B, S_pad, N_pad):
+        return False
+    if _DENSE_SCAN_IMPL == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _f32_matmuls(fn):
     """Pin every contraction traced inside ``fn`` to float32 MXU passes.
 
@@ -224,6 +238,31 @@ def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
     we_state = jnp.einsum("n,bsn->bs", we, lab_oh)
     wsel = jnp.einsum("bsn,nl->bsl", lab_oh, W)               # [B, S, N]
     has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S]
+
+    S = em_state.shape[-1]
+    if _use_factored_scan(B, S, N):
+        # whole-scan Pallas kernel (dense_scan_pallas.factored_scan):
+        # one launch for the T-frame recursion; grads flow to em_state /
+        # adj_exp / wsel / ws_state, which autodiff routes back to em,
+        # W, ws through the einsums above.
+        from . import dense_scan_pallas as dsp
+
+        ps, pn = (-S) % 128, (-N) % 128
+        em_p = jnp.pad(em_state, ((0, 0), (0, 0), (0, ps)))
+        adj_p = jnp.pad(adj_exp, ((0, 0), (0, ps), (0, ps)))
+        wsel_p = jnp.pad(wsel, ((0, 0), (0, ps), (0, pn)))
+        lab_p = jnp.pad(lab_oh, ((0, 0), (0, ps), (0, pn)))
+        ws_p = jnp.pad(ws_state, ((0, 0), (0, ps)))
+        start_p = jnp.pad(start, ((0, 0), (0, ps)), constant_values=NEG)
+        alpha = dsp.factored_scan(
+            em_p, adj_p, wsel_p, lab_p, ws_p, start_p,
+            input_lengths.astype(jnp.float32),
+        )[:, :S]
+        final = alpha + accept + we_state
+        score = logsumexp(final, axis=1)
+        base0 = logsumexp(start + accept, axis=1)
+        score0 = jnp.where(base0 > DEAD, base0 + we0, NEG)
+        return jnp.where(input_lengths > 0, score, score0)
 
     # frame 1: enter via an arc from a start state, paying ws(l)
     z1 = jnp.einsum("bus,bs->bu", adj_exp, jnp.exp(

@@ -87,6 +87,64 @@ def test_zero_length_sample():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("B,T,S,N", [(3, 8, 12, 6), (2, 10, 50, 9),
+                                     (4, 6, 96, 80)])
+def test_factored_scan_matches_oracle(B, T, S, N):
+    rng = np.random.RandomState(B + S + N)
+    em, adj, lab, start, accept, lens = _random_case(rng, B, T, S, N)
+    ws = jnp.asarray(rng.randn(N).astype(np.float32) * 0.3)
+    W = jnp.asarray(rng.randn(N, N).astype(np.float32) * 0.3)
+    we = jnp.asarray(rng.randn(N).astype(np.float32) * 0.3)
+
+    def score(em, adj, ws, W, we):
+        return jnp.sum(F.factored_lattice_score(
+            em, adj, lab, start, accept, ws, W, we, lens))
+
+    with _with_impl("off"):
+        v_ref, g_ref = jax.value_and_grad(
+            score, argnums=(0, 1, 2, 3, 4))(em, adj, ws, W, we)
+    with _with_impl("on"):
+        v_new, g_new = jax.value_and_grad(
+            score, argnums=(0, 1, 2, 3, 4))(em, adj, ws, W, we)
+
+    np.testing.assert_allclose(float(v_new), float(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    for name, a, b in zip("em adj ws W we".split(), g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_factored_scan_ngram2_criterion_matches():
+    # the real consumer: full-bigram transducer at a reduced bench shape
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    Nt = 12
+    crit = Transducer([(i,) for i in range(Nt)],
+                      {i: i for i in range(Nt)}, ngram=2, reduction="mean")
+    rng = np.random.RandomState(3)
+    B, T = 4, 20
+    x = jnp.asarray(rng.randn(B, T, Nt).astype(np.float32))
+    prepared = crit.prepare(
+        [rng.randint(0, Nt, size=6).tolist() for _ in range(B)])
+    assert "factored" in prepared
+    params = crit.init_params()
+
+    def loss(p, x):
+        return crit.loss(p, x, prepared)
+
+    with _with_impl("off"):
+        v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    with _with_impl("on"):
+        v_new, g_new = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(v_new), float(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_new[0]["transitions"]),
+        np.asarray(g_ref[0]["transitions"]), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_new[1]), np.asarray(g_ref[1]),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_word_decomps_criterion_matches():
     # the real consumer: transitions-free multi-grapheme transducer
     from gtn_applications_tpu.criterions.transducer import Transducer

@@ -66,4 +66,40 @@ out["max_dgrad"] = dg
 out["speedup"] = round(res["off"][2] / res["auto"][2], 3)
 assert dv < 5e-4 and dg < 5e-4, (dv, dg)
 print("DENSE SCAN VERIFY OK", file=sys.stderr, flush=True)
+
+# ---- factored_scan at the ngram-2 bench protocol (B=32 T=250 N=80) ----
+T2, L2, N2 = 250, 44, 80
+crit2 = Transducer([(i,) for i in range(N2)], {i: i for i in range(N2)},
+                   ngram=2, reduction="mean")
+x2 = jnp.asarray(nprng.randn(B, T2, N2).astype(np.float32))
+prep2 = crit2.prepare(
+    [nprng.randint(0, N2, size=L2).tolist() for _ in range(B)])
+p2 = crit2.init_params()
+res2 = {}
+for impl in ("off", "auto"):
+    F._DENSE_SCAN_IMPL = impl
+    fb = jax.jit(lambda p, x, prep: jax.value_and_grad(
+        lambda p, x: crit2.loss(p, x, prep), argnums=(0, 1))(p, x))
+    t0 = time.perf_counter()
+    v, g = fb(p2, x2, prep2)
+    v = float(v)
+    print(f"ngram2 {impl}: compile+run {time.perf_counter()-t0:.1f}s "
+          f"loss={v:.6f}", file=sys.stderr, flush=True)
+    start = time.perf_counter()
+    for _ in range(200):
+        vv, g = fb(p2, x2, prep2)
+    float(vv)
+    ms = (time.perf_counter() - start) / 200 * 1e3
+    res2[impl] = (v, np.asarray(g[0]["transitions"]), np.asarray(g[1]), ms)
+    out[f"ngram2_{impl}_fwd_bwd_ms"] = round(ms, 4)
+
+dv2 = abs(res2["off"][0] - res2["auto"][0])
+dgp2 = float(np.max(np.abs(res2["off"][1] - res2["auto"][1])))
+dge2 = float(np.max(np.abs(res2["off"][2] - res2["auto"][2])))
+out["ngram2_dloss"] = dv2
+out["ngram2_max_dgrad_params"] = dgp2
+out["ngram2_max_dgrad_em"] = dge2
+out["ngram2_speedup"] = round(res2["off"][3] / res2["auto"][3], 3)
+assert dv2 < 5e-3 and dgp2 < 5e-3 and dge2 < 5e-3, (dv2, dgp2, dge2)
+print("FACTORED SCAN VERIFY OK", file=sys.stderr, flush=True)
 print(json.dumps(out))
