@@ -48,7 +48,8 @@ def _with_impl(impl):
     return _Ctx()
 
 
-CASES = [(3, 7, 10, 6), (2, 12, 40, 9), (4, 5, 130, 5)]
+CASES = [(3, 7, 10, 6), (2, 12, 40, 9), (4, 5, 130, 5),
+         (16, 6, 20, 7)]  # 16 = two batch tiles: scratch must re-init
 
 
 @pytest.mark.parametrize("B,T,S,N", CASES)
@@ -88,7 +89,7 @@ def test_zero_length_sample():
 
 
 @pytest.mark.parametrize("B,T,S,N", [(3, 8, 12, 6), (2, 10, 50, 9),
-                                     (4, 6, 96, 80)])
+                                     (4, 6, 96, 80), (16, 5, 14, 6)])
 def test_factored_scan_matches_oracle(B, T, S, N):
     rng = np.random.RandomState(B + S + N)
     em, adj, lab, start, accept, lens = _random_case(rng, B, T, S, N)
