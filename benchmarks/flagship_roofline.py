@@ -196,15 +196,16 @@ def _scan_layer(module, params, x, K, with_grad):
                 argnums=(0, 1))(p, xi)
             # fold the grads into the scalar carry (keeps backward alive)
             leaves = jax.tree_util.tree_leaves(grads)
-            return val + sum(jnp.sum(l) * 1e-9 for l in leaves)
+            return (val + sum(jnp.sum(l) * 1e-9 for l in leaves)
+                    ).astype(jnp.float32)
     else:
         def one(p, xi):
-            return jnp.sum(module.apply(p, xi))
+            return jnp.sum(module.apply(p, xi)).astype(jnp.float32)
 
     @jax.jit
     def scan(p, x):
         def body(c, _):
-            return one(p, x + c * 1e-38), None
+            return one(p, (x + c.astype(x.dtype) * 1e-38)), None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
         return c
     return lambda: scan(params, x)
