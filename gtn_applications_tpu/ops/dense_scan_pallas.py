@@ -81,7 +81,7 @@ def _fwd_kernel(em_ref, adj_ref, start_ref, lab_ref, len_ref,
     i = pl.program_id(1)
     adj = adj_ref[...]
     lab = lab_ref[...] > 0.0
-    em = em_ref[:, 0, :]
+    em = em_ref[0]
 
     @pl.when(i == 0)
     def _():
@@ -102,7 +102,7 @@ def _fwd_kernel(em_ref, adj_ref, start_ref, lab_ref, len_ref,
         live = (i * jnp.ones_like(len_ref[...])) < len_ref[...]  # [Bt, 1]
         alpha_scr[...] = jnp.where(live, new, alpha)
 
-    traj_ref[:, 0, :] = alpha_scr[...]
+    traj_ref[0] = alpha_scr[...]
 
 
 def _bwd_kernel(T, adj_ref, start_ref, lab_ref, len_ref,
@@ -120,7 +120,7 @@ def _bwd_kernel(T, adj_ref, start_ref, lab_ref, len_ref,
 
     g = g_scr[...]
     # e: the exp-domain input of frame t (previous alpha, or the start row)
-    prev = traj_prev_ref[:, 0, :]  # traj[t-1]; garbage at t == 0 (unused)
+    prev = traj_prev_ref[0]  # traj[t-1]; garbage at t == 0 (unused)
     sh = jnp.maximum(jnp.max(prev, axis=1, keepdims=True), NEG)
     e = jnp.where(t > 0, jnp.exp(prev - sh), _start_e(start_ref[...]))
     z = _bmv(adj, e)
@@ -131,7 +131,7 @@ def _bwd_kernel(T, adj_ref, start_ref, lab_ref, len_ref,
     )  # [Bt, 1]
     applied = live & (z > 0.0) & lab  # [Bt, S]
     ga = jnp.where(applied, g, 0.0)
-    dem_ref[:, 0, :] = ga
+    dem_ref[0] = ga
     dz = ga / jnp.maximum(z, _FLOOR)
     dadj_scr[...] += dz[:, :, None] * e[:, None, :]
     dadj_ref[...] = dadj_scr[...]
@@ -156,24 +156,27 @@ def _fwd(em_state, adj_exp, start, has_lab, lengths_f):
     B, T, S = em_state.shape
     Bt = _tiles(B)
     grid = (B // Bt, T)
+    # time-major blocks: Mosaic requires the last two block dims to be
+    # (div 8, div 128) or whole-array — a [Bt, 1, S] block is illegal
+    em_tbs = em_state.transpose(1, 0, 2)
     traj = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Bt, 1, S), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Bt, S), lambda b, t: (t, b, 0)),
             pl.BlockSpec((Bt, S, S), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((Bt, S), lambda b, t: (b, 0)),
             pl.BlockSpec((Bt, S), lambda b, t: (b, 0)),
             pl.BlockSpec((Bt, 1), lambda b, t: (b, 0)),
         ],
-        out_specs=pl.BlockSpec((Bt, 1, S), lambda b, t: (b, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+        out_specs=pl.BlockSpec((1, Bt, S), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Bt, S), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(em_state, adj_exp, start, has_lab,
+    )(em_tbs, adj_exp, start, has_lab,
       lengths_f.reshape(B, 1))
-    return traj[:, T - 1], traj
+    return traj[T - 1], traj
 
 
 def _fwd_vjp(em_state, adj_exp, start, has_lab, lengths_f):
@@ -183,7 +186,7 @@ def _fwd_vjp(em_state, adj_exp, start, has_lab, lengths_f):
 
 def _bwd_vjp(res, g_final):
     traj, adj_exp, start, has_lab, lengths_f = res
-    B, T, S = traj.shape
+    T, B, S = traj.shape
     Bt = _tiles(B)
     grid = (B // Bt, T)
     # traj_prev block t-1 (clamped at 0; the t==0 value is never read)
@@ -195,16 +198,16 @@ def _bwd_vjp(res, g_final):
             pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
             pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
             pl.BlockSpec((Bt, 1), lambda b, j: (b, 0)),
-            pl.BlockSpec((Bt, 1, S),
-                         lambda b, j, T=T: (b, jnp.maximum(T - 2 - j, 0), 0)),
+            pl.BlockSpec((1, Bt, S),
+                         lambda b, j, T=T: (jnp.maximum(T - 2 - j, 0), b, 0)),
             pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((Bt, 1, S), lambda b, j, T=T: (b, T - 1 - j, 0)),
+            pl.BlockSpec((1, Bt, S), lambda b, j, T=T: (T - 1 - j, b, 0)),
             pl.BlockSpec((Bt, S, S), lambda b, j: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
             jax.ShapeDtypeStruct((B, S, S), jnp.float32),
         ],
         scratch_shapes=[
@@ -214,8 +217,8 @@ def _bwd_vjp(res, g_final):
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(adj_exp, start, has_lab, lengths_f.reshape(B, 1), traj, g_final)
-    return (dem, dadj, jnp.zeros_like(start), jnp.zeros_like(has_lab),
-            jnp.zeros_like(lengths_f))
+    return (dem.transpose(1, 0, 2), dadj, jnp.zeros_like(start),
+            jnp.zeros_like(has_lab), jnp.zeros_like(lengths_f))
 
 
 dense_scan.defvjp(_fwd_vjp, _bwd_vjp)
@@ -267,7 +270,7 @@ def _fact_fwd_kernel(em_ref, adj_ref, wsel_ref, lab_ref, ws_ref,
     adj = adj_ref[...]
     lab = lab_ref[...]
     has = jnp.sum(lab, axis=-1) > 0.0
-    em = em_ref[:, 0, :]
+    em = em_ref[0]
 
     @pl.when(i == 0)
     def _():
@@ -290,7 +293,7 @@ def _fact_fwd_kernel(em_ref, adj_ref, wsel_ref, lab_ref, ws_ref,
         live = (i * jnp.ones_like(len_ref[...])) < len_ref[...]
         alpha_scr[...] = jnp.where(live, new, alpha)
 
-    traj_ref[:, 0, :] = alpha_scr[...]
+    traj_ref[0] = alpha_scr[...]
 
 
 def _fact_bwd_kernel(T, adj_ref, wsel_ref, lab_ref, ws_ref, start_ref,
@@ -310,7 +313,7 @@ def _fact_bwd_kernel(T, adj_ref, wsel_ref, lab_ref, ws_ref, start_ref,
         dwsel_scr[...] = jnp.zeros_like(dwsel_scr)
 
     g = g_scr[...]
-    prev = traj_prev_ref[:, 0, :]
+    prev = traj_prev_ref[0]
 
     @pl.when(t > 0)
     def _():
@@ -320,7 +323,7 @@ def _fact_bwd_kernel(T, adj_ref, wsel_ref, lab_ref, ws_ref, start_ref,
         z = _bmm(adj, E)
         live = (t * jnp.ones_like(len_ref[...])) < len_ref[...]
         ga = jnp.where(live & has, g, 0.0)                 # [Bt, S]
-        dem_ref[:, 0, :] = ga
+        dem_ref[0] = ga
         dm = ga[:, :, None] * lab                          # [Bt, S, N]
         dz = jnp.where(z > 0.0, dm / jnp.maximum(z, _FLOOR), 0.0)
         dadj_scr[...] += _bmm_tB(dz, E)
@@ -335,7 +338,7 @@ def _fact_bwd_kernel(T, adj_ref, wsel_ref, lab_ref, ws_ref, start_ref,
         z1 = _bmv(adj, e := _start_e(start_ref[...]))
         valid0 = (z1 > 0.0) & has
         ga = jnp.where(valid0, g, 0.0)
-        dem_ref[:, 0, :] = ga
+        dem_ref[0] = ga
         dws_ref[...] = ga
         dz1 = ga / jnp.maximum(z1, _FLOOR)
         dadj_scr[...] += dz1[:, :, None] * e[:, None, :]
@@ -357,11 +360,12 @@ def _fact_fwd(em_state, adj_exp, wsel, lab_oh, ws_state, start, lengths_f):
     N = wsel.shape[-1]
     Bt = _tiles(B)
     grid = (B // Bt, T)
+    em_tbs = em_state.transpose(1, 0, 2)
     traj = pl.pallas_call(
         _fact_fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Bt, 1, S), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Bt, S), lambda b, t: (t, b, 0)),
             pl.BlockSpec((Bt, S, S), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((Bt, S, N), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((Bt, S, N), lambda b, t: (b, 0, 0)),
@@ -369,14 +373,14 @@ def _fact_fwd(em_state, adj_exp, wsel, lab_oh, ws_state, start, lengths_f):
             pl.BlockSpec((Bt, S), lambda b, t: (b, 0)),
             pl.BlockSpec((Bt, 1), lambda b, t: (b, 0)),
         ],
-        out_specs=pl.BlockSpec((Bt, 1, S), lambda b, t: (b, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+        out_specs=pl.BlockSpec((1, Bt, S), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Bt, S), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(em_state, adj_exp, wsel, lab_oh, ws_state, start,
+    )(em_tbs, adj_exp, wsel, lab_oh, ws_state, start,
       lengths_f.reshape(B, 1))
-    return traj[:, T - 1], traj
+    return traj[T - 1], traj
 
 
 def _fact_fwd_vjp(em_state, adj_exp, wsel, lab_oh, ws_state, start,
@@ -388,7 +392,7 @@ def _fact_fwd_vjp(em_state, adj_exp, wsel, lab_oh, ws_state, start,
 
 def _fact_bwd_vjp(res, g_final):
     traj, adj_exp, wsel, lab_oh, ws_state, start, lengths_f = res
-    B, T, S = traj.shape
+    T, B, S = traj.shape
     N = wsel.shape[-1]
     Bt = _tiles(B)
     grid = (B // Bt, T)
@@ -402,18 +406,18 @@ def _fact_bwd_vjp(res, g_final):
             pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
             pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
             pl.BlockSpec((Bt, 1), lambda b, j: (b, 0)),
-            pl.BlockSpec((Bt, 1, S),
-                         lambda b, j, T=T: (b, jnp.maximum(T - 2 - j, 0), 0)),
+            pl.BlockSpec((1, Bt, S),
+                         lambda b, j, T=T: (jnp.maximum(T - 2 - j, 0), b, 0)),
             pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((Bt, 1, S), lambda b, j, T=T: (b, T - 1 - j, 0)),
+            pl.BlockSpec((1, Bt, S), lambda b, j, T=T: (T - 1 - j, b, 0)),
             pl.BlockSpec((Bt, S, S), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((Bt, S, N), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((Bt, S), lambda b, j: (b, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
             jax.ShapeDtypeStruct((B, S, S), jnp.float32),
             jax.ShapeDtypeStruct((B, S, N), jnp.float32),
             jax.ShapeDtypeStruct((B, S), jnp.float32),
@@ -427,8 +431,8 @@ def _fact_bwd_vjp(res, g_final):
         compiler_params=_compiler_params(),
     )(adj_exp, wsel, lab_oh, ws_state, start, lengths_f.reshape(B, 1),
       traj, g_final)
-    return (dem, dadj, dwsel, jnp.zeros_like(lab_oh), dws,
-            jnp.zeros_like(start), jnp.zeros_like(lengths_f))
+    return (dem.transpose(1, 0, 2), dadj, dwsel, jnp.zeros_like(lab_oh),
+            dws, jnp.zeros_like(start), jnp.zeros_like(lengths_f))
 
 
 factored_scan.defvjp(_fact_fwd_vjp, _fact_bwd_vjp)
