@@ -124,11 +124,9 @@ def _bwd_kernel(T, adj_ref, start_ref, lab_ref, len_ref,
     sh = jnp.maximum(jnp.max(prev, axis=1, keepdims=True), NEG)
     e = jnp.where(t > 0, jnp.exp(prev - sh), _start_e(start_ref[...]))
     z = _bmv(adj, e)
-    live = jnp.where(
-        t > 0,
-        (t * jnp.ones_like(len_ref[...])) < len_ref[...],
-        jnp.ones_like(len_ref[...]) > 0,
-    )  # [Bt, 1]
+    # frame 0 is always applied; Mosaic cannot legalize select over i1
+    # vectors, so express the t==0 case with | instead of jnp.where
+    live = ((t * jnp.ones_like(len_ref[...])) < len_ref[...]) | (t == 0)
     applied = live & (z > 0.0) & lab  # [Bt, S]
     ga = jnp.where(applied, g, 0.0)
     dem_ref[0] = ga
