@@ -53,11 +53,13 @@ _FLOOR = 1e-37
 # rival the math; unrolling fuses several frames per loop iteration.
 # A/B'd on chip via GTN_FACTORED_UNROLL (tools/chip/chip_ngram2_profile).
 _SCAN_UNROLL = int(os.environ.get("GTN_FACTORED_UNROLL", "1"))
-# rematerialize the frame step in the backward pass: the scans' per-step
-# residuals ([B, S, N] intermediates) dominate backward HBM traffic at
-# ngram scale, while the step's FLOPs are tiny — storing only the
-# [B, S] carry and recomputing is the classic trade.  A/B'd on chip.
-_SCAN_REMAT = os.environ.get("GTN_FACTORED_REMAT", "1") not in ("0", "off")
+# rematerialize the frame step in the backward pass: stores only the
+# [B, S] carry and recomputes the step's intermediates.  Measured on
+# chip: LOSES at the ngram-2 protocol (the scan is latency-bound, not
+# residual-traffic-bound, so the recompute only adds per-step work) —
+# default off; the whole-scan Pallas kernels (dense_scan_pallas.py) are
+# the real fix for the scan-latency bound.
+_SCAN_REMAT = os.environ.get("GTN_FACTORED_REMAT", "0") not in ("0", "off")
 
 
 def _maybe_remat(step):
