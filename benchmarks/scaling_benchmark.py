@@ -364,6 +364,9 @@ def run_host_scaling(local_batch=2, iters=5, nprocs=2, total_devices=8):
             [sys.executable, worker, str(pid), str(nprocs), str(port), out,
              str(local_batch), str(iters)],
             env=env,
+            # workers report via their JSON files; keep gloo's connection
+            # chatter off this process's stdout (it must stay one JSON line)
+            stdout=subprocess.DEVNULL,
         ))
     for pr in procs:
         assert pr.wait(timeout=600) == 0, "host-scaling worker failed"
