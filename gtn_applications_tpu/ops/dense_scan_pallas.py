@@ -53,23 +53,19 @@ def _compiler_params():
 
 
 def _bmv(adj, e):
-    """z[b, u] = sum_s adj[b, u, s] * e[b, s] (batched matvec, MXU)."""
-    z = jax.lax.dot_general(
-        e[:, None, :], adj,
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )
-    return z[:, 0, :]
+    """z[b, u] = sum_s adj[b, u, s] * e[b, s].
+
+    VPU multiply+reduce, NOT a dot: Mosaic lowers a per-sample matvec
+    (M=1) to a loop of tiny MXU passes — measured 2x SLOWER than the
+    XLA scan at word-decomps scale (6.2 vs 3.1 ms/iter).  The
+    elementwise product over the VMEM-resident [Bt, S, S] tile is exact
+    f32 and ~Bt*S^2 FMAs per frame."""
+    return jnp.sum(adj * e[:, None, :], axis=2)
 
 
 def _bmv_t(adj, g):
     """w[b, s] = sum_u adj[b, u, s] * g[b, u] (transposed contraction)."""
-    w = jax.lax.dot_general(
-        g[:, None, :], adj,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )
-    return w[:, 0, :]
+    return jnp.sum(adj * g[:, :, None], axis=1)
 
 
 def _start_e(start):
