@@ -10,6 +10,16 @@ alpha carried in VMEM scratch, trajectory streamed to HBM — the same
 shape as ops/sparse_scan_pallas (chip-verified r3) with a dense [S, S]
 exp-adjacency instead of arc projections.
 
+CHIP VERDICT (round 4, tools/chip/chip_dense_scan_verify.py): exact
+parity with the oracle (plain dloss = 0.0, max dgrad 1e-8 at the
+word-decomps protocol) but SLOWER — plain 4.45 vs 2.11 ms/iter, ngram-2
+8.93 vs 6.95.  Mosaic's per-grid-step overhead (~40 us at these tiny
+frame bodies) exceeds XLA's while-loop overhead (~20 us), the opposite
+balance from the per-arc sparse case where the r3 whole-scan kernel won
+7.6x.  Kept opt-in (GTN_DENSE_SCAN=on) with full differential tests:
+the negative result bounds what kernel fusion can buy on latency-bound
+scans on this stack.
+
 Forward recursion (exact oracle semantics, factored.py:86-133):
 
     t = 0 : e = exp(min(start, 0)) * (start > NEG/2)

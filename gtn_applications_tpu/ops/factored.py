@@ -55,10 +55,10 @@ _FLOOR = 1e-37
 _SCAN_UNROLL = int(os.environ.get("GTN_FACTORED_UNROLL", "1"))
 # rematerialize the frame step in the backward pass: stores only the
 # [B, S] carry and recomputes the step's intermediates.  Measured on
-# chip: LOSES at the ngram-2 protocol (the scan is latency-bound, not
-# residual-traffic-bound, so the recompute only adds per-step work) —
-# default off; the whole-scan Pallas kernels (dense_scan_pallas.py) are
-# the real fix for the scan-latency bound.
+# chip: helps the ngram-2 XLA scan ~10% alone (6.95 -> 6.22 ms/iter)
+# but HURTS the plain path (2.11 -> 3.12) and explodes with unroll=4
+# (10.4) — the scans are latency-bound with path-dependent residual
+# shapes.  Default off (the r3-parity configuration).
 _SCAN_REMAT = os.environ.get("GTN_FACTORED_REMAT", "0") not in ("0", "off")
 
 
@@ -66,37 +66,33 @@ def _maybe_remat(step):
     return jax.checkpoint(step) if _SCAN_REMAT else step
 
 
-# whole-scan Pallas dispatch for the plain dense-adjacency scorer:
-# auto = on TPU when the [Bt, S, S] tiles fit VMEM; on = everywhere
-# (interpret-mode on CPU — the differential-test path); off = never.
-_DENSE_SCAN_IMPL = os.environ.get("GTN_DENSE_SCAN", "auto")
+# whole-scan Pallas dispatch for the dense-adjacency / full-ngram
+# scorers (ops/dense_scan_pallas.py).  Chip-measured verdict (round 4,
+# tools/chip/chip_dense_scan_verify.py): the kernels LOSE to the XLA
+# lax.scan at both protocols — plain word-decomps 4.45 vs 2.11 ms/iter,
+# ngram-2 8.93 vs 6.95 — Mosaic's per-grid-step overhead (~40 us)
+# exceeds XLA's while-loop overhead (~20 us) for these tiny frame
+# bodies, the opposite of the sparse per-arc case the r3 whole-scan
+# kernel won.  Default OFF everywhere; "on" keeps the kernels reachable
+# (differential-tested in tests/test_dense_scan.py) for stacks where
+# the loop-overhead balance differs.
+_DENSE_SCAN_IMPL = os.environ.get("GTN_DENSE_SCAN", "off")
 
 
 def _use_dense_scan(B, S):
-    if _DENSE_SCAN_IMPL in ("off", "0"):
+    if _DENSE_SCAN_IMPL != "on":
         return False
     from . import dense_scan_pallas as dsp
 
-    S_pad = S + (-S) % 128
-    if not dsp.fits(B, S_pad):
-        return False
-    if _DENSE_SCAN_IMPL == "on":
-        return True
-    return jax.default_backend() == "tpu"
+    return dsp.fits(B, S + (-S) % 128)
 
 
 def _use_factored_scan(B, S, N):
-    if _DENSE_SCAN_IMPL in ("off", "0"):
+    if _DENSE_SCAN_IMPL != "on":
         return False
     from . import dense_scan_pallas as dsp
 
-    S_pad = S + (-S) % 128
-    N_pad = N + (-N) % 128
-    if not dsp.fits_factored(B, S_pad, N_pad):
-        return False
-    if _DENSE_SCAN_IMPL == "on":
-        return True
-    return jax.default_backend() == "tpu"
+    return dsp.fits_factored(B, S + (-S) % 128, N + (-N) % 128)
 
 
 def _f32_matmuls(fn):
@@ -147,11 +143,10 @@ def alignment_lattice_score(em, adj_exp, lab_oh, start, accept,
     has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S]
 
     if _use_dense_scan(B, em_state.shape[-1]):
-        # whole-scan Pallas kernel: one launch instead of T while-loop
-        # iterations (each ~26-30 us on this chip regardless of the
-        # ~2 us of math — dense_scan_pallas.py).  Cotangents flow to
-        # emissions and adjacency only; start/lab/lengths are prepared
-        # data, never parameters.
+        # whole-scan Pallas kernel (opt-in; chip-measured slower than
+        # the XLA scan here — see _DENSE_SCAN_IMPL note).  Cotangents
+        # flow to emissions and adjacency only; start/lab/lengths are
+        # prepared data, never parameters.
         from . import dense_scan_pallas as dsp
 
         S = em_state.shape[-1]
