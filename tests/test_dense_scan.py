@@ -180,3 +180,12 @@ def test_word_decomps_criterion_matches():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_gate_defaults_off():
+    # the kernels are chip-measured SLOWER than the XLA scan (see
+    # dense_scan_pallas docstring); the shipped default must stay "off"
+    # unless GTN_DENSE_SCAN=on is set explicitly
+    if os.environ.get("GTN_DENSE_SCAN") in (None, "off", "0"):
+        assert not F._use_dense_scan(32, 376)
+        assert not F._use_factored_scan(32, 96, 80)
