@@ -252,7 +252,7 @@ def run_layers(specs, peak_tflops, hbm_gbps, iters=200, scan_k=24,
     return rows
 
 
-def run_layers_prefix(specs, iters=200):
+def run_layers_prefix(specs, iters=200, only=None):
     """Per-layer attribution by cumulative-prefix differencing: time the
     chain of the first k layers (one executable, readback-closed), then
     diff adjacent prefixes.  The constant per-launch floor cancels in the
@@ -266,6 +266,8 @@ def run_layers_prefix(specs, iters=200):
 
     rows, prev_f, prev_fb = [], None, None
     for k in range(len(specs)):
+        if only is not None and specs[k]["name"] not in only:
+            continue
         mods = [s["module"] for s in specs[:k + 1]]
         plist = []
         xi = x0
@@ -377,6 +379,9 @@ def main(argv=None):
     ap.add_argument("--prefix", action="store_true",
                     help="cumulative-prefix attribution instead of "
                          "standalone in-jit scans")
+    ap.add_argument("--prefix-layers", default=None,
+                    help="comma-separated prefix names to time (subset "
+                         "mode: adjacent diffs only where both ends ran)")
     ap.add_argument("--dtype", default=None, choices=[None, "bf16"],
                     help="encoder compute dtype for the layer tables")
     ap.add_argument("--conv-layout", default="transpose",
@@ -411,7 +416,10 @@ def main(argv=None):
     result["dtype"] = args.dtype or "fp32"
     result["conv_layout"] = args.conv_layout
     if args.prefix:
-        result["layers_prefix"] = run_layers_prefix(specs, args.iters)
+        only = (set(args.prefix_layers.split(","))
+                if args.prefix_layers else None)
+        result["layers_prefix"] = run_layers_prefix(specs, args.iters,
+                                                    only=only)
     else:
         result["layers"] = run_layers(
             specs, peak, bw, args.iters,
