@@ -189,3 +189,30 @@ def test_kernel_gate_defaults_off():
     if os.environ.get("GTN_DENSE_SCAN") in (None, "off", "0"):
         assert not F._use_dense_scan(32, 376)
         assert not F._use_factored_scan(32, 96, 80)
+
+
+def test_remat_knob_is_pure_speed_tradeoff():
+    # GTN_FACTORED_REMAT changes the backward's recompute schedule only;
+    # losses and gradients must be identical
+    rng = np.random.RandomState(9)
+    em, adj, lab, start, accept, lens = _random_case(rng, 3, 10, 14, 6)
+    ws = jnp.asarray(rng.randn(6).astype(np.float32) * 0.3)
+    W = jnp.asarray(rng.randn(6, 6).astype(np.float32) * 0.3)
+    we = jnp.asarray(rng.randn(6).astype(np.float32) * 0.3)
+
+    def score(em, W):
+        return jnp.sum(F.factored_lattice_score(
+            em, adj, lab, start, accept, ws, W, we, lens))
+
+    saved = F._SCAN_REMAT
+    try:
+        F._SCAN_REMAT = False
+        v0, g0 = jax.value_and_grad(score, argnums=(0, 1))(em, W)
+        F._SCAN_REMAT = True
+        v1, g1 = jax.value_and_grad(score, argnums=(0, 1))(em, W)
+    finally:
+        F._SCAN_REMAT = saved
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
