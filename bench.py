@@ -405,6 +405,9 @@ def bench_wordpiece_bytes_per_s():
         log(f"wordpiece encode (hf tokenizers): {hf_rate / 1e6:.2f} MB/s")
     except ImportError:
         log("hf tokenizers unavailable; comparator skipped")
+    except Exception as e:  # noqa: BLE001 — comparator failure must not
+        # null the PRIMARY wordpiece rate through soft()'s blanket catch
+        log(f"hf tokenizers comparator failed ({e!r}); skipped")
     return rate, hf_rate
 
 

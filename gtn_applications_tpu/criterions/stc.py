@@ -48,33 +48,45 @@ def logsubexp(a, b):
 
 
 def make_stc_graph(target, star_idx):
-    """STC label graph (stc.py:22-64): self-less CTC over the target plus a
-    star state per gap; star arcs carry the sentinel weight."""
+    """STC label graph — behavioral spec: reference stc.py:22-64.
+
+    Topology (pinned by the closed-form goldens in tests/test_stc.py and
+    the NFA-spec oracle in tests/test_bruteforce.py): a *self-less* CTC
+    chain over the target — blank states ``bk[0..L]`` interleaved with
+    token states ``tk[0..L-1]``, only blanks self-loop, tokens may skip
+    the intervening blank — plus one star state per inter-token gap.
+    Gap ``i`` (before token i; gap L is the tail) accepts the channel
+    ``<star>\\target[i]`` (star minus that token; plain ``<star>`` at the
+    tail), reachable from the gap's chain neighbors, self-looping, and
+    exiting either forward into token i or back to blank i.  Star arcs
+    carry the sentinel weight that ``loss`` later swaps for the annealed
+    log insertion penalty."""
     g = Graph()
     L = len(target)
-    S = 2 * L + 1
-    for l in range(S):
-        idx = (l - 1) // 2
-        g.add_node(l == 0, l == S - 1 or l == S - 2)
-        label = target[idx] if l % 2 else STC_BLANK_IDX
-        if label == STC_BLANK_IDX:
-            g.add_arc(l, l, label)
-        if l > 0:
-            g.add_arc(l - 1, l, label)
-        if l % 2 and l > 1:
-            g.add_arc(l - 2, l, label)
-    for l in range(L + 1):
-        p1 = 2 * l - 1
-        p2 = 2 * l
-        c1 = g.add_node(False, l == L)
-        idx = star_idx if l == L else (star_idx + target[l])
-        if p1 >= 0:
-            g.add_arc(p1, c1, idx, idx, _STAR_SENTINEL)
-        g.add_arc(p2, c1, idx, idx, _STAR_SENTINEL)
-        g.add_arc(c1, c1, idx, idx, _STAR_SENTINEL)
-        if l < L:
-            g.add_arc(c1, 2 * l + 1, target[l])
-        g.add_arc(c1, p2, STC_BLANK_IDX)
+    # chain states, interleaved so ids match the reference layout
+    # (b0 t0 b1 t1 ... t_{L-1} bL, then the star states)
+    bk, tk = [], []
+    for i in range(L + 1):
+        bk.append(g.add_node(i == 0, i == L))
+        if i < L:
+            tk.append(g.add_node(False, i == L - 1))
+    for i, b in enumerate(bk):
+        g.add_arc(b, b, STC_BLANK_IDX)
+        if i > 0:
+            g.add_arc(tk[i - 1], b, STC_BLANK_IDX)
+    for i, t in enumerate(tk):
+        g.add_arc(bk[i], t, target[i])
+        if i > 0:
+            g.add_arc(tk[i - 1], t, target[i])
+    for i in range(L + 1):
+        star = g.add_node(False, i == L)
+        chan = star_idx if i == L else star_idx + target[i]
+        into = ([] if i == 0 else [tk[i - 1]]) + [bk[i]]
+        for src in into + [star]:
+            g.add_arc(src, star, chan, chan, _STAR_SENTINEL)
+        if i < L:
+            g.add_arc(star, tk[i], target[i])
+        g.add_arc(star, bk[i], STC_BLANK_IDX)
     return g
 
 

@@ -178,39 +178,62 @@ class Preprocessor(TextPreprocessor):
         return self._use_words
 
 
-if __name__ == "__main__":
+def _cli(argv=None):
+    """Dataset inspection / asset-export CLI.
+
+    Flag names are a contract with scripts/iamdb_transitions.sh (parity:
+    reference datasets/iamdb.py:249-303 + scripts/iamdb_transitions.sh);
+    the report formatting is this repo's own.
+    """
     import argparse
 
-    import PIL.ImageOps  # noqa: F401
+    ap = argparse.ArgumentParser(
+        description="IAM dataset report and train-text/token export."
+    )
+    ap.add_argument("--data_path", type=str, help="Path to dataset.")
+    ap.add_argument("--use_words", default=False, action="store_true")
+    ap.add_argument("--save_text", type=str, default=None)
+    ap.add_argument("--save_tokens", type=str, default=None)
+    ap.add_argument("--compute_stats", action="store_true", default=False)
+    args = ap.parse_args(argv)
 
-    parser = argparse.ArgumentParser(description="Compute data stats.")
-    parser.add_argument("--data_path", type=str, help="Path to dataset.")
-    parser.add_argument("--use_words", default=False, action="store_true")
-    parser.add_argument("--save_text", type=str, default=None)
-    parser.add_argument("--save_tokens", type=str, default=None)
-    parser.add_argument("--compute_stats", action="store_true", default=False)
-    args = parser.parse_args()
+    pre = Preprocessor(args.data_path, 64, use_words=args.use_words)
+    splits = {
+        "train": Dataset(args.data_path, pre, split="train", augment=False)
+    }
 
-    preprocessor = Preprocessor(args.data_path, 64, use_words=args.use_words)
-    trainset = Dataset(args.data_path, preprocessor, split="train", augment=False)
-    if args.save_text is not None:
-        with open(args.save_text, "w") as fid:
-            fid.write("\n".join(t for _, t in trainset.dataset))
-    if args.save_tokens is not None:
-        with open(args.save_tokens, "w") as fid:
-            fid.write("\n".join(preprocessor.tokens))
-    valset = Dataset(args.data_path, preprocessor, split="validation")
-    testset = Dataset(args.data_path, preprocessor, split="test")
-    print("Number of examples per dataset:")
-    print(f"Training: {len(trainset)}")
-    print(f"Validation: {len(valset)}")
-    print(f"Test: {len(testset)}")
+    exports = {
+        args.save_text: lambda: (
+            line for _, line in splits["train"].dataset
+        ),
+        args.save_tokens: lambda: iter(pre.tokens),
+    }
+    for path, rows in exports.items():
+        if path is not None:
+            with open(path, "w") as out:
+                out.write("\n".join(rows()))
+
+    for name in ("validation", "test"):
+        splits[name] = Dataset(args.data_path, pre, split=name)
+    counts = ", ".join(f"{k}={len(v)}" for k, v in splits.items())
+    print(f"split sizes: {counts}")
 
     if args.compute_stats:
-        images = np.concatenate(
-            [trainset[i][0] for i in range(len(trainset))], axis=1
+        train = splits["train"]
+        pixels = np.concatenate(
+            [train[i][0] for i in range(len(train))], axis=1
         )
-        print(f"Data mean {images.mean()} and standard deviation {images.std()}.")
-        sizes = trainset.sample_sizes()
-        print(f"Average image width {sum(w for (w, _), _ in sizes) / len(trainset)}")
-        print(f"Average target length {sum(l for _, l in sizes) / len(trainset)}")
+        widths, tgt_lens = zip(
+            *(((w, l)) for (w, _), l in train.sample_sizes())
+        )
+        print(
+            f"pixel stats: mean={pixels.mean():.6f} std={pixels.std():.6f}"
+        )
+        print(
+            f"averages: image_width={sum(widths) / len(train):.3f} "
+            f"target_len={sum(tgt_lens) / len(train):.3f}"
+        )
+
+
+if __name__ == "__main__":
+    _cli()

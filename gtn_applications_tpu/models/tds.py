@@ -34,7 +34,13 @@ class InstanceNorm(nn.Module):
         # read pass (jnp.var's centered pass depends on the mean and costs
         # a second full read — measurable on an HBM-bound step).  fp32
         # accumulation keeps the cancellation error ~2^-24 * E[x^2], below
-        # the 1e-5 epsilon for activation-scale inputs.
+        # the 1e-5 epsilon for activation-scale inputs.  Input-scale
+        # assumption: channels with |mean|/std beyond ~2^12 lose the true
+        # variance to cancellation (clamped to 0, never NaN) — normalized
+        # image/mel features sit at |mean|/std ~ O(1), orders of magnitude
+        # inside the envelope.  Raw un-normalized features at extreme
+        # offsets should be centered by the dataset pipeline (every
+        # dataset here normalizes — e.g. datasets/iamdb.py Normalize).
         mean = jnp.mean(x32, axis=self.axes, keepdims=True)
         m2 = jnp.mean(x32 * x32, axis=self.axes, keepdims=True)
         var = jnp.maximum(m2 - mean * mean, 0.0)

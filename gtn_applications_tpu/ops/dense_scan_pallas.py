@@ -48,7 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .semiring import NEG
 
-_FLOOR = 1e-30
+# Same floor as the oracle these kernels must stay semantically
+# identical to (ops/factored.py _FLOOR) — a 1e-30 floor here would clamp
+# log z at -69 instead of -85 for underflow-adjacent lattices, a silent
+# divergence in the deep-underflow regime.  1e-37 is a NORMAL fp32
+# (min normal 1.18e-38), so XLA's subnormal flush cannot zero it.
+_FLOOR = 1e-37
 _HI = jax.lax.Precision.HIGHEST
 
 

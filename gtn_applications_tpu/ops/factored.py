@@ -78,6 +78,19 @@ def _maybe_remat(step):
 # the loop-overhead balance differs.
 _DENSE_SCAN_IMPL = os.environ.get("GTN_DENSE_SCAN", "off")
 
+# analytic alpha-beta custom VJP for the dense scans (ops/factored_vjp):
+# the backward becomes ONE reverse scan of forward-frame cost instead of
+# XLA's scan transpose (~2.4 forward-equivalents, chip-measured).  The
+# full-ngram scorer additionally folds its bigram factor into a fixed
+# [B, S, S] exp-matrix, collapsing the per-frame [B, S, N] einsum to a
+# one-time build.  "off" keeps the original autodiffed scans as the
+# differential oracle (tests/test_factored_vjp.py).
+_VJP_IMPL = os.environ.get("GTN_FACTORED_VJP", "auto")
+
+
+def _use_vjp():
+    return _VJP_IMPL not in ("off", "0")
+
 
 def _use_dense_scan(B, S):
     if _DENSE_SCAN_IMPL != "on":
@@ -181,25 +194,34 @@ def alignment_lattice_score(em, adj_exp, lab_oh, start, accept,
         NEG,
     )
 
-    def step(alpha, xs):
-        em_s_t, t = xs
-        sh = jax.lax.stop_gradient(
-            jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
-        )
-        z = jnp.einsum("bus,bs->bu", adj_exp, jnp.exp(alpha - sh))
-        new = jnp.where(
-            (z > 0.0) & has_lab,
-            em_s_t + sh + jnp.log(jnp.maximum(z, _FLOOR)),
-            NEG,
-        )
-        live = (t < input_lengths)[:, None]
-        return jnp.where(live, new, alpha), None
+    if _use_vjp():
+        from . import factored_vjp as fvjp
 
-    alpha, _ = jax.lax.scan(
-        _maybe_remat(step), alpha,
-        (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
-        unroll=_SCAN_UNROLL,
-    )
+        alpha = fvjp.lattice_scan(
+            em_state[:, 1:], adj_exp, alpha,
+            fvjp.live_mask(T, input_lengths),
+            has_lab.astype(jnp.float32), jnp.zeros((), jnp.float32),
+        )
+    else:
+        def step(alpha, xs):
+            em_s_t, t = xs
+            sh = jax.lax.stop_gradient(
+                jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
+            )
+            z = jnp.einsum("bus,bs->bu", adj_exp, jnp.exp(alpha - sh))
+            new = jnp.where(
+                (z > 0.0) & has_lab,
+                em_s_t + sh + jnp.log(jnp.maximum(z, _FLOOR)),
+                NEG,
+            )
+            live = (t < input_lengths)[:, None]
+            return jnp.where(live, new, alpha), None
+
+        alpha, _ = jax.lax.scan(
+            _maybe_remat(step), alpha,
+            (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+            unroll=_SCAN_UNROLL,
+        )
     score = logsumexp(alpha + accept, axis=1)
     # zero-frame samples: the empty path (start ∩ accept), if any
     base0 = logsumexp(start + accept, axis=1)
@@ -270,29 +292,49 @@ def factored_lattice_score(em, adj_exp, lab_oh, start, accept, ws, W, we,
         NEG,
     )
 
-    def step(alpha, xs):
-        em_s_t, t = xs
-        v = alpha[:, :, None] + wsel                          # [B, S, N]
-        shift = jax.lax.stop_gradient(
-            jnp.max(v, axis=1, keepdims=True))                # [B, 1, N]
-        shift = jnp.maximum(shift, NEG)
-        z = jnp.einsum(
-            "bus,bsl->bul", adj_exp, jnp.exp(v - shift))      # [B, S, N]
-        m = jnp.where(
-            z > 0.0,
-            shift + jnp.log(jnp.maximum(z, _FLOOR)),
-            NEG,
-        )
-        pick = jnp.sum(m * lab_oh, axis=-1)                   # [B, S]
-        new = jnp.where(has_lab, em_s_t + pick, NEG)
-        live = (t < input_lengths)[:, None]
-        return jnp.where(live, new, alpha), None
+    if _use_vjp():
+        from . import factored_vjp as fvjp
 
-    alpha, _ = jax.lax.scan(
-        _maybe_remat(step), alpha,
-        (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
-        unroll=_SCAN_UNROLL,
-    )
+        # fold the bigram factor into a frame-invariant exp-matrix:
+        # K[b, u, s] = adj[b, u, s] * e^{W[l_s, l_u] - k_shift} — the
+        # per-frame [B, S, N] einsum collapses to this one-time build
+        # (cost of a single old frame).  Envelope: one global shift for
+        # W (vs the old per-frame per-label shift); entries > ~88 nats
+        # below max(W) flush — within this module's documented envelope,
+        # with GTN_TRANSDUCER_FACTORED=off the full-range fallback.
+        k_shift = jax.lax.stop_gradient(jnp.maximum(jnp.max(W), 0.0))
+        src_rows = jnp.einsum(
+            "bsn,nl->bsl", lab_oh, jnp.exp(W - k_shift))      # e^W[l_s, :]
+        K_exp = adj_exp * jnp.einsum("bsl,bul->bus", src_rows, lab_oh)
+        alpha = fvjp.lattice_scan(
+            em_state[:, 1:], K_exp, alpha,
+            fvjp.live_mask(T, input_lengths),
+            has_lab.astype(jnp.float32), k_shift,
+        )
+    else:
+        def step(alpha, xs):
+            em_s_t, t = xs
+            v = alpha[:, :, None] + wsel                      # [B, S, N]
+            shift = jax.lax.stop_gradient(
+                jnp.max(v, axis=1, keepdims=True))            # [B, 1, N]
+            shift = jnp.maximum(shift, NEG)
+            z = jnp.einsum(
+                "bus,bsl->bul", adj_exp, jnp.exp(v - shift))  # [B, S, N]
+            m = jnp.where(
+                z > 0.0,
+                shift + jnp.log(jnp.maximum(z, _FLOOR)),
+                NEG,
+            )
+            pick = jnp.sum(m * lab_oh, axis=-1)               # [B, S]
+            new = jnp.where(has_lab, em_s_t + pick, NEG)
+            live = (t < input_lengths)[:, None]
+            return jnp.where(live, new, alpha), None
+
+        alpha, _ = jax.lax.scan(
+            _maybe_remat(step), alpha,
+            (em_state.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+            unroll=_SCAN_UNROLL,
+        )
     final = alpha + accept + we_state
     score = logsumexp(final, axis=1)
     # zero-frame samples: only paths that consume nothing (start ∩ accept
@@ -317,20 +359,37 @@ def dense_ngram_norm(em, ws, W, we, input_lengths=None, we0=0.0):
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
 
     alpha = ws[None, :] + em[:, 0]
-    mt = jax.lax.stop_gradient(jnp.max(W, axis=0))            # [N]
-    exp_W = jnp.exp(W - mt[None, :])
+    if _use_vjp():
+        from . import factored_vjp as fvjp
 
-    def step(alpha, xs):
-        em_t, t = xs
-        ma = jax.lax.stop_gradient(jnp.max(alpha, axis=1, keepdims=True))
-        z = jnp.exp(alpha - ma) @ exp_W                       # MXU
-        new = em_t + ma + mt[None, :] + jnp.log(jnp.maximum(z, _FLOOR))
-        return jnp.where((t < input_lengths)[:, None], new, alpha), None
+        # K[u, s] = e^{W[s, u] - k_shift}, shared across the batch (the
+        # scan broadcasts a [1, N, N] K).  One global shift instead of
+        # the off path's per-column max — same ~88-nat envelope note as
+        # factored_lattice_score.
+        k_shift = jax.lax.stop_gradient(jnp.maximum(jnp.max(W), 0.0))
+        alpha = fvjp.lattice_scan(
+            em[:, 1:], jnp.exp(W.T - k_shift)[None], alpha,
+            fvjp.live_mask(T, input_lengths),
+            jnp.ones((1, N), jnp.float32), k_shift,
+        )
+    else:
+        mt = jax.lax.stop_gradient(jnp.max(W, axis=0))        # [N]
+        exp_W = jnp.exp(W - mt[None, :])
 
-    alpha, _ = jax.lax.scan(
-        _maybe_remat(step), alpha, (em.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
-        unroll=_SCAN_UNROLL,
-    )
+        def step(alpha, xs):
+            em_t, t = xs
+            ma = jax.lax.stop_gradient(
+                jnp.max(alpha, axis=1, keepdims=True))
+            z = jnp.exp(alpha - ma) @ exp_W                   # MXU
+            new = em_t + ma + mt[None, :] + jnp.log(jnp.maximum(z, _FLOOR))
+            return jnp.where(
+                (t < input_lengths)[:, None], new, alpha), None
+
+        alpha, _ = jax.lax.scan(
+            _maybe_remat(step), alpha,
+            (em.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+            unroll=_SCAN_UNROLL,
+        )
     final = alpha + we[None, :]
     return jnp.where(
         input_lengths > 0, logsumexp(final, axis=1), jnp.asarray(we0, em.dtype)

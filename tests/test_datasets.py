@@ -193,3 +193,24 @@ def test_wrapper_short_ctor_and_augment(tmp_path):
     assert feats.shape[0] == 40 and len(tgt) == 5
     plain = librispeech.Dataset(str(tmp_path), pre, split="validation")
     assert plain.augmentation == []
+
+
+def test_iam_cli_exports_and_stats(tmp_path, capsys):
+    """The __main__ CLI contract scripts/iamdb_transitions.sh relies on:
+    --save_text writes the train transcripts, --save_tokens the grapheme
+    inventory; --compute_stats reports without crashing."""
+    root = str(tmp_path)
+    if not _make_iam_fixture(root):
+        pytest.skip("PIL unavailable")
+    text_out = str(tmp_path / "text.txt")
+    tok_out = str(tmp_path / "tokens.txt")
+    iamdb._cli([
+        "--data_path", root, "--save_text", text_out,
+        "--save_tokens", tok_out, "--compute_stats",
+    ])
+    lines = open(text_out).read().splitlines()
+    assert len(lines) == 2 and lines[0] == "A\u2581MOVE\u2581to\u2581stop"
+    toks = open(tok_out).read().splitlines()
+    assert WORDSEP in toks and "o" in toks
+    report = capsys.readouterr().out
+    assert "train=2" in report and "pixel stats" in report

@@ -1,0 +1,187 @@
+"""Differential tests: analytic alpha-beta custom VJP for the dense
+factored scans (ops/factored_vjp.py) vs the autodiffed lax.scan oracle
+(GTN_FACTORED_VJP=off — the exact round-4 path).
+
+The custom path must match the oracle's losses AND all gradients
+(emissions, transition rows, adjacency) on every scorer it rewires:
+``alignment_lattice_score``, ``factored_lattice_score``,
+``dense_ngram_norm``.  Behavioral spec: reference transducer.py:239-309;
+gradient semantics reference ctc.py:71-94 (gtn.backward posteriors).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gtn_applications_tpu.ops import factored as fact
+from gtn_applications_tpu.ops.semiring import NEG
+
+
+def _both(fn, *args, wrt):
+    """(value, grads) under the custom path and the oracle path."""
+    out = []
+    saved = fact._VJP_IMPL
+    for impl in ("auto", "off"):
+        fact._VJP_IMPL = impl
+        try:
+            val, grads = jax.value_and_grad(
+                lambda *a: jnp.sum(fn(*a)), argnums=wrt
+            )(*args)
+        finally:
+            fact._VJP_IMPL = saved
+        out.append((np.asarray(val), [np.asarray(g) for g in grads]))
+    return out
+
+
+def _random_lattice(rng, B, S, N, density=0.4):
+    """Random dense-adjacency alignment tables in the factored layout:
+    every state has a unique in-label, a random subset of arcs."""
+    adj = np.zeros((B, S, S), np.float32)
+    lab_oh = np.zeros((B, S, N), np.float32)
+    start = np.full((B, S), NEG, np.float32)
+    accept = np.full((B, S), NEG, np.float32)
+    for b in range(B):
+        labels = rng.integers(0, N, size=S)
+        lab_oh[b, np.arange(S), labels] = 1.0
+        mask = rng.random((S, S)) < density
+        mask[np.arange(S), np.roll(np.arange(S), -1)] = True  # connected
+        w = rng.normal(size=(S, S)).astype(np.float32)
+        adj[b][mask] = np.exp(w[mask])
+        start[b, rng.integers(0, S, size=2)] = 0.0
+        accept[b, rng.integers(0, S, size=2)] = 0.0
+    return jnp.asarray(adj), jnp.asarray(lab_oh), jnp.asarray(
+        start), jnp.asarray(accept)
+
+
+@pytest.mark.parametrize("seed,B,T,S,N", [(0, 3, 7, 9, 5), (1, 2, 12, 6, 4),
+                                          (2, 4, 5, 11, 7)])
+def test_alignment_score_matches_oracle(seed, B, T, S, N):
+    rng = np.random.default_rng(seed)
+    adj, lab, start, accept = _random_lattice(rng, B, S, N)
+    em = jnp.asarray(rng.normal(size=(B, T, N)), jnp.float32)
+    lens = jnp.asarray(rng.integers(1, T + 1, size=B), jnp.int32)
+
+    (v_new, g_new), (v_old, g_old) = _both(
+        lambda e, a: fact.alignment_lattice_score(e, a, lab, start,
+                                                  accept, lens),
+        em, adj, wrt=(0, 1),
+    )
+    np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
+    for gn, go in zip(g_new, g_old):
+        np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,B,T,S,N", [(3, 3, 9, 8, 5), (4, 2, 6, 10, 6)])
+def test_factored_score_matches_oracle(seed, B, T, S, N):
+    rng = np.random.default_rng(seed)
+    adj, lab, start, accept = _random_lattice(rng, B, S, N)
+    em = jnp.asarray(rng.normal(size=(B, T, N)), jnp.float32)
+    ws = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(N, N)) * 1.5, jnp.float32)
+    we = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+    lens = jnp.asarray(rng.integers(1, T + 1, size=B), jnp.int32)
+
+    (v_new, g_new), (v_old, g_old) = _both(
+        lambda e, a, w1, w2, w3: fact.factored_lattice_score(
+            e, a, lab, start, accept, w1, w2, w3, lens),
+        em, adj, ws, W, we, wrt=(0, 1, 2, 3, 4),
+    )
+    np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
+    for gn, go in zip(g_new, g_old):
+        np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,B,T,N", [(5, 3, 10, 6), (6, 2, 4, 9)])
+def test_dense_norm_matches_oracle(seed, B, T, N):
+    rng = np.random.default_rng(seed)
+    em = jnp.asarray(rng.normal(size=(B, T, N)), jnp.float32)
+    ws = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(N, N)) * 2.0, jnp.float32)
+    we = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
+    lens = jnp.asarray(rng.integers(1, T + 1, size=B), jnp.int32)
+
+    (v_new, g_new), (v_old, g_old) = _both(
+        lambda e, w1, w2, w3: fact.dense_ngram_norm(e, w1, w2, w3, lens),
+        em, ws, W, we, wrt=(0, 1, 2, 3),
+    )
+    np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
+    for gn, go in zip(g_new, g_old):
+        np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
+
+
+def test_zero_and_one_frame_edges():
+    """T=1 (empty scan tail) and zero-length samples must agree."""
+    rng = np.random.default_rng(7)
+    B, T, S, N = 3, 1, 6, 4
+    adj, lab, start, accept = _random_lattice(rng, B, S, N)
+    em = jnp.asarray(rng.normal(size=(B, T, N)), jnp.float32)
+    lens = jnp.asarray([1, 0, 1], jnp.int32)
+
+    (v_new, g_new), (v_old, g_old) = _both(
+        lambda e, a: fact.alignment_lattice_score(e, a, lab, start,
+                                                  accept, lens),
+        em, adj, wrt=(0, 1),
+    )
+    np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
+    for gn, go in zip(g_new, g_old):
+        np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
+
+
+def test_gradcheck_vs_numeric():
+    """The custom VJP against central finite differences (fp64-free:
+    loose tolerance, smooth regime)."""
+    rng = np.random.default_rng(8)
+    B, T, S, N = 2, 5, 5, 4
+    adj, lab, start, accept = _random_lattice(rng, B, S, N, density=0.7)
+    em0 = rng.normal(size=(B, T, N)).astype(np.float32)
+    W0 = (rng.normal(size=(N, N)) * 0.5).astype(np.float32)
+    ws = jnp.zeros((N,), jnp.float32)
+    we = jnp.zeros((N,), jnp.float32)
+
+    def f(e, w):
+        return jnp.sum(fact.factored_lattice_score(
+            e, adj, lab, start, accept, ws, w, we))
+
+    g_em, g_W = jax.grad(f, argnums=(0, 1))(jnp.asarray(em0),
+                                            jnp.asarray(W0))
+    eps = 1e-2
+    for _ in range(6):
+        i = tuple(rng.integers(0, d) for d in em0.shape)
+        ep, en = em0.copy(), em0.copy()
+        ep[i] += eps
+        en[i] -= eps
+        num = (f(jnp.asarray(ep), jnp.asarray(W0))
+               - f(jnp.asarray(en), jnp.asarray(W0))) / (2 * eps)
+        np.testing.assert_allclose(g_em[i], num, rtol=5e-2, atol=5e-3)
+    for _ in range(6):
+        i = tuple(rng.integers(0, d) for d in W0.shape)
+        wp, wn = W0.copy(), W0.copy()
+        wp[i] += eps
+        wn[i] -= eps
+        num = (f(jnp.asarray(em0), jnp.asarray(wp))
+               - f(jnp.asarray(em0), jnp.asarray(wn))) / (2 * eps)
+        np.testing.assert_allclose(g_W[i], num, rtol=5e-2, atol=5e-3)
+
+
+def test_underflow_adjacent_no_nans():
+    """Deep-underflow lattices (huge negative emissions): scores may
+    clamp but gradients must stay finite on both paths."""
+    rng = np.random.default_rng(9)
+    B, T, S, N = 2, 6, 5, 4
+    adj, lab, start, accept = _random_lattice(rng, B, S, N, density=0.6)
+    em = jnp.asarray(rng.normal(size=(B, T, N)) * 40.0 - 60.0, jnp.float32)
+    lens = jnp.asarray([T, T - 2], jnp.int32)
+
+    for impl in ("auto", "off"):
+        saved = fact._VJP_IMPL
+        fact._VJP_IMPL = impl
+        try:
+            val, g = jax.value_and_grad(
+                lambda e: jnp.sum(fact.alignment_lattice_score(
+                    e, adj, lab, start, accept, lens))
+            )(em)
+        finally:
+            fact._VJP_IMPL = saved
+        assert np.isfinite(np.asarray(val))
+        assert np.all(np.isfinite(np.asarray(g)))
