@@ -520,7 +520,17 @@ def bench_word_decomps_graph_engine_cpu():
 
     ms = _time(run, iters=2, warmup=1)
     log(f"graph-engine-cpu word-decomps fwd+bwd: {ms:.3f} ms/iter")
-    return ms
+
+    # decode denominator (reference transducer_benchmark.py:44-50 times
+    # viterbi alongside the loss): same pipeline as the reference's
+    # Transducer.viterbi — emissions best path ∘ token graph, second
+    # best path — threaded on the host C++ tier
+    def run_vit():
+        native.transducer_viterbi_batch(lp, crit.tokens)
+
+    vit_ms = _time(run_vit, iters=3, warmup=1)
+    log(f"graph-engine-cpu word-decomps viterbi: {vit_ms:.3f} ms/iter")
+    return ms, vit_ms
 
 
 def bench_transducer_ngram2_graph_engine_cpu():
@@ -694,9 +704,10 @@ def main():
     trans_engine_ms = soft(
         bench_transducer_graph_engine_cpu, "graph engine transducer"
     )
-    wd_engine_ms = soft(
+    wd_engine = soft(
         bench_word_decomps_graph_engine_cpu, "graph engine word decomps"
-    )
+    ) or (None, None)
+    wd_engine_ms, wd_engine_vit_ms = wd_engine
     ngram2_engine_ms = soft(
         bench_transducer_ngram2_graph_engine_cpu, "graph engine ngram2"
     )
@@ -768,6 +779,15 @@ def main():
         ),
         "word_decomps_viterbi_ms": r3(wd_viterbi_ms),
         "word_decomps_viterbi_pipelined_ms": r3(wd_viterbi_pipe_ms),
+        "word_decomps_viterbi_graph_engine_cpu_ms": r3(wd_engine_vit_ms),
+        "word_decomps_viterbi_vs_baseline": (
+            round(wd_engine_vit_ms / wd_viterbi_ms, 3)
+            if wd_engine_vit_ms and wd_viterbi_ms else None
+        ),
+        "word_decomps_viterbi_pipelined_vs_baseline": (
+            round(wd_engine_vit_ms / wd_viterbi_pipe_ms, 3)
+            if wd_engine_vit_ms and wd_viterbi_pipe_ms else None
+        ),
         "wordpiece_bytes_per_s": (
             round(wordpiece_rate) if wordpiece_rate else None
         ),

@@ -118,6 +118,12 @@ def load_library():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.tw_transducer_viterbi_batch.restype = ctypes.c_int64
+    lib.tw_transducer_viterbi_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
     lib.tw_acceptor_engine_batch.restype = ctypes.c_int64
     lib.tw_acceptor_engine_batch.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -360,6 +366,35 @@ def transducer_engine_batch(log_probs, lexicon, tokens, targets):
     if fails:
         raise ValueError(f"{fails} samples had no accepting alignment path")
     return losses, grad
+
+
+def transducer_viterbi_batch(log_probs, tokens, cap=None):
+    """Graph-engine transducer decode (no transition model) on the host.
+
+    Per sample: best path through the emissions, composed with the token
+    graph, second best path, output-projected with epsilons dropped —
+    the reference's Transducer.viterbi pipeline (transducer.py:199-234
+    with transitions=None), threaded over the batch.  bench.py's
+    same-algorithm CPU denominator for the word-decomps decode protocol
+    (reference benchmarks/transducer_benchmark.py:44-50).
+
+    Args: log_probs [B, T, C]; tokens: host ``Graph`` (the criterion's
+    ``self.tokens``); cap: max labels per sample (default T).
+    Returns a list of B int lists (decoded token ids).
+    """
+    lib = load_library()
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    B, T, C = lp.shape
+    ht = to_native(tokens, warm=True)
+    cap = int(cap or max(T, 1))
+    out = np.full((B, cap), -1, dtype=np.int32)
+    fails = lib.tw_transducer_viterbi_batch(
+        B, T, C, _ptr(lp, ctypes.c_float), ht.h,
+        _ptr(out, ctypes.c_int32), cap,
+    )
+    if fails:
+        raise ValueError(f"{fails} samples had no accepting decode path")
+    return [[int(v) for v in row[row >= 0]] for row in out]
 
 
 def transducer_ngram_engine_batch(log_probs, lexicon, tokens, transitions,

@@ -829,6 +829,47 @@ CompiledTables* compile_tables(const Graph& g, const std::vector<int64_t>& prov)
   return t;
 }
 
+// Tropical best path with backpointers (gtn.viterbi_path semantics:
+// reference transducer.py:221,228 call sites).  Fills *path with the
+// best accepting path's arc ids in traversal order; false if none.
+bool viterbi_arcs(const Graph& g, std::vector<int64_t>* path) {
+  std::vector<int64_t> order;
+  if (!topo_order(g, &order)) return false;
+  int64_t n = g.num_nodes();
+  std::vector<double> alpha(n, kNeg);
+  std::vector<int64_t> bp(n, -1);
+  for (int64_t i = 0; i < n; ++i)
+    if (g.start[i]) alpha[i] = 0.0;
+  auto adj = g.out_arcs();
+  for (auto s : order) {
+    if (alpha[s] <= kNeg / 2) continue;
+    for (auto a : adj[s]) {
+      double v = alpha[s] + g.weight[a];
+      if (v > alpha[g.dst[a]]) {
+        alpha[g.dst[a]] = v;
+        bp[g.dst[a]] = a;
+      }
+    }
+  }
+  double best = kNeg;
+  int64_t best_node = -1;
+  for (size_t i = 0; i < g.final_node.size(); ++i) {
+    double v = alpha[g.final_node[i]];
+    if (v <= kNeg / 2) continue;
+    v += g.final_weight[i];
+    if (v > best) {
+      best = v;
+      best_node = g.final_node[i];
+    }
+  }
+  if (best_node < 0) return false;
+  path->clear();
+  for (int64_t node = best_node; bp[node] >= 0; node = g.src[bp[node]])
+    path->push_back(bp[node]);
+  std::reverse(path->begin(), path->end());
+  return true;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1090,6 +1131,64 @@ int64_t tw_transducer_engine_batch(int64_t B, int64_t T, int64_t C,
         fails[b] = 1;
         losses[b] = 0.0f;
       }
+    }
+  };
+  if (n_threads <= 1) {
+    task(0, B);
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t)
+      pool.emplace_back(task, B * t / n_threads, B * (t + 1) / n_threads);
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto f : fails) total += f;
+  return total;
+}
+
+// Batched graph-engine transducer decode WITHOUT a transition model —
+// the reference's Transducer.viterbi (transducer.py:199-234 with
+// transitions=None): per sample, tropical best path through the linear
+// emission graph, composed with the token graph, second best path for
+// the shortest ambiguous transduction, output labels with epsilons
+// dropped.  Threaded over the batch; `out` is a [B, cap] int32 array the
+// caller pre-fills with -1 (labels written front-aligned).  Returns the
+// number of samples with no accepting decode.  This is bench.py's
+// same-algorithm CPU denominator for the word-decomps decode protocol
+// (reference benchmarks/transducer_benchmark.py:44-50).
+int64_t tw_transducer_viterbi_batch(int64_t B, int64_t T, int64_t C,
+                                    const float* log_probs, void* tokens_h,
+                                    int32_t* out, int64_t cap) {
+  Graph* tokens = (Graph*)tokens_h;
+  tokens->compose_index();
+  std::vector<int64_t> fails(B, 0);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(std::min<int64_t>(hw ? hw : 1, 16), B);
+  auto task = [&](int64_t lo, int64_t hi) {
+    std::vector<int64_t> path;
+    for (int64_t b = lo; b < hi; ++b) {
+      bool ok = false;
+      Graph* em = emission_graph(T, C, log_probs + b * T * C);
+      if (viterbi_arcs(*em, &path)) {
+        std::vector<int32_t> chain(path.size());
+        for (size_t i = 0; i < path.size(); ++i)
+          chain[i] = em->ilabel[path[i]];
+        Graph* ch = chain_graph(chain.data(), (int64_t)chain.size());
+        Graph* full = compose(*ch, *tokens, false);
+        delete ch;
+        if (full && viterbi_arcs(*full, &path)) {
+          int64_t k = 0;
+          int32_t* ob = out + b * cap;
+          for (auto a : path) {
+            int32_t ol = full->olabel[a];
+            if (ol != kEps && k < cap) ob[k++] = ol;
+          }
+          ok = true;
+        }
+        delete full;
+      }
+      delete em;
+      if (!ok) fails[b] = 1;
     }
   };
   if (n_threads <= 1) {

@@ -488,3 +488,32 @@ def test_acceptor_engine_matches_stc():
     )
     gx = np.asarray(vjp(jnp.asarray(grad_em / Bs))[0])
     np.testing.assert_allclose(np.asarray(g_ours), gx, rtol=1e-4, atol=1e-5)
+
+
+def test_transducer_viterbi_batch_matches_criterion():
+    """Native batched decode (tw_transducer_viterbi_batch — the bench.py
+    decode denominator) == the criterion's device decode, on random
+    emissions at word-decomps-style settings (blank=optional,
+    allow_repeats=False) and a multi-grapheme wordpiece inventory."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    tokens = ["a", "b", "ab", "ba", "c"]
+    g2i = {c: i for i, c in enumerate("abc")}
+    crit = Transducer(tokens, g2i, blank="optional", allow_repeats=False)
+    B, T = 6, 14
+    C = len(tokens) + 1
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    lp = np.asarray(jax.nn.log_softmax(x, 2))
+    want = crit.viterbi(x)
+    got = native.transducer_viterbi_batch(lp, crit.tokens)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(
+            np.asarray(g, np.int32), np.asarray(w, np.int32)
+        )
