@@ -88,9 +88,21 @@ class RandomResizeCrop:
 
 
 class Dataset:
-    """IAM dataset with eager multiprocess image loading (iamdb.py:26-91)."""
+    """IAM dataset with eager multiprocess image loading (iamdb.py:26-91).
 
-    def __init__(self, data_path, preprocessor, split, augment=False):
+    ``fast_pipeline=True`` switches the per-sample/collate split for
+    throughput: ``__getitem__`` stops at the PIL stage (uint8 pixels +
+    the drawn jitter scalars — all GIL-releasing C work) and the
+    float conversion / brightness / contrast / clip / Normalize run
+    ONCE per batch as vectorized numpy passes inside ``collate_fn``
+    (measured: the per-sample small-array numpy ops hold the GIL and
+    cap DataLoader thread scaling).  Numerically equivalent to the
+    default path (same op order, batch-level summation; see
+    tests/test_datasets.py fast-pipeline equivalence)."""
+
+    def __init__(self, data_path, preprocessor, split, augment=False,
+                 fast_pipeline=False):
+        self.fast_pipeline = fast_pipeline
         forms = load_metadata(
             data_path, preprocessor.wordsep, use_words=preprocessor.use_words
         )
@@ -133,18 +145,58 @@ class Dataset:
             img = RandomResizeCrop()(img)
             angle = random.uniform(-2, 2)
             img = img.rotate(angle, PIL.Image.BILINEAR, fillcolor=255)
-            arr = np.asarray(img, dtype=np.float32) / 255.0
-            # brightness/contrast jitter (grayscale analogue of ColorJitter)
-            arr = arr * random.uniform(0.5, 1.5)
-            mean = arr.mean()
-            arr = (arr - mean) * random.uniform(0.5, 1.5) + mean
-            arr = np.clip(arr, 0.0, 1.0)
+            bright = random.uniform(0.5, 1.5)
+            contrast = random.uniform(0.5, 1.5)
         else:
-            arr = np.asarray(img, dtype=np.float32) / 255.0
-        arr = (arr - NORM_MEAN) / NORM_STD
-        inputs = arr  # [H, W]
+            bright = contrast = 1.0
         outputs = self.preprocessor.to_index(text)
-        return inputs, outputs
+        if self.fast_pipeline:
+            return np.asarray(img, dtype=np.uint8), (bright, contrast), outputs
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        if self.augment:
+            # brightness/contrast jitter (grayscale analogue of ColorJitter)
+            arr = arr * bright
+            mean = arr.mean()
+            arr = (arr - mean) * contrast + mean
+            arr = np.clip(arr, 0.0, 1.0)
+        arr = (arr - NORM_MEAN) / NORM_STD
+        return arr, outputs  # [H, W]
+
+    @property
+    def collate_fn(self):
+        return self._collate_fast if self.fast_pipeline else None
+
+    def _collate_fast(self, samples, width_multiple=16):
+        """Vectorized finalize + pad for fast_pipeline samples.
+
+        Same semantics as __getitem__'s float stage + utils.padding_collate
+        (u8/255 * bright, mean-centered contrast over the unpadded region,
+        clip to [0, 1], Normalize, zero padding), but each stage is one
+        batch-wide numpy pass — GIL-released SIMD instead of B small-array
+        ops.  The identity jitter (bright = contrast = 1) makes the
+        non-augment path exact: u8/255 is already in [0, 1] so the clip is
+        a no-op and centering cancels."""
+        arrs, params, targets = zip(*samples)
+        h = arrs[0].shape[0]
+        widths = np.asarray([a.shape[1] for a in arrs], np.int32)
+        max_w = -(-max(int(widths.max()), 1) // width_multiple) * width_multiple
+        B = len(arrs)
+        x = np.zeros((B, h, max_w), np.float32)
+        for e, a in enumerate(arrs):
+            x[e, :, : a.shape[1]] = a
+        bright = np.asarray([p[0] for p in params], np.float32)
+        contrast = np.asarray([p[1] for p in params], np.float32)
+        x *= (bright / 255.0)[:, None, None]
+        # padded zeros contribute 0 to the sums, so means are unpadded
+        means = x.sum(axis=(1, 2)) / (h * widths.astype(np.float32))
+        x *= contrast[:, None, None]
+        x += (means * (1.0 - contrast))[:, None, None]
+        np.clip(x, 0.0, 1.0, out=x)
+        x -= NORM_MEAN
+        x /= NORM_STD
+        for e, w in enumerate(widths):
+            x[e, :, w:] = 0.0
+        return x, widths, list(targets)
 
     def __len__(self):
         return len(self.dataset)

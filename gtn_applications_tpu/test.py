@@ -34,12 +34,18 @@ def parse_args(argv=None):
         default="test",
         choices=["train", "validation", "test"],
     )
+    parser.add_argument(
+        "--disable_tpu", action="store_true",
+        help="Force CPU execution (parity with train.py)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     return args
 
 
 def run_test(args):
+    if getattr(args, "disable_tpu", False):
+        jax.config.update("jax_platforms", "cpu")
     with open(args.config, "r") as fid:
         config = json.load(fid)
 

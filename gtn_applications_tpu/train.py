@@ -346,8 +346,18 @@ def train(args):
     logging.info("Loading dataset ...")
     dataset, preprocessor, criterion, model, input_size = load_experiment(config)
     data_path = config["data"]["data_path"]
-    trainset = dataset.Dataset(data_path, preprocessor, split="train", augment=True)
-    valset = dataset.Dataset(data_path, preprocessor, split="validation")
+    # config extension: data.fast_pipeline moves the float/jitter/
+    # normalize stages into a batch-vectorized collate on datasets that
+    # support it (iamdb) — see utils.DataLoader / docs/design.md
+    ds_kwargs = {}
+    if config["data"].get("fast_pipeline", False):
+        ds_kwargs["fast_pipeline"] = True
+    trainset = dataset.Dataset(
+        data_path, preprocessor, split="train", augment=True, **ds_kwargs
+    )
+    valset = dataset.Dataset(
+        data_path, preprocessor, split="validation", **ds_kwargs
+    )
     train_loader = utils.data_loader(trainset, config, world_rank, world_size, seed)
     val_loader = utils.data_loader(valset, config, world_rank, world_size, seed)
 

@@ -97,6 +97,11 @@ class Subset:
     def __getitem__(self, i):
         return self.dataset[self.indices[i]]
 
+    @property
+    def collate_fn(self):
+        # forward a dataset-provided collate (e.g. iamdb fast_pipeline)
+        return getattr(self.dataset, "collate_fn", None)
+
     def __len__(self):
         return len(self.indices)
 
@@ -163,38 +168,73 @@ class DataLoader:
     """Loader with background-thread prefetch: sampler -> collated numpy
     batches, with up to ``prefetch`` batches prepared ahead so host data
     work (augmentation, collation, target padding) overlaps device steps
-    (the reference leans on torch DataLoader workers, utils.py:28-35)."""
+    (the reference leans on torch DataLoader workers, utils.py:28-35).
 
-    def __init__(self, dataset, sampler, collate_fn=padding_collate, prefetch=2):
+    ``num_workers`` > 1 fans batch production over that many threads
+    (batch i is built by thread i % K and consumed in order, so batch
+    order is identical to the single-producer path).  Threads, not
+    processes: PIL/numpy release the GIL for the heavy transforms, and
+    os.fork() after JAX initialization deadlocks on this stack.  The
+    augment RNG is per-thread (random.random's lock-free thread-local
+    use is safe; sequences differ from the 1-worker path but the
+    distribution is identical)."""
+
+    def __init__(self, dataset, sampler, collate_fn=padding_collate,
+                 prefetch=2, num_workers=1):
         self.dataset = dataset
         self.sampler = sampler
         self.collate_fn = collate_fn
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
 
-    def _produce(self, queue):
-        for batch_indices in self.sampler:
-            queue.put(self.collate_fn([self.dataset[i] for i in batch_indices]))
-        queue.put(None)
+    def _build(self, batch_indices):
+        return self.collate_fn([self.dataset[i] for i in batch_indices])
 
     def __iter__(self):
         if self.prefetch <= 0:
             for batch_indices in self.sampler:
-                yield self.collate_fn(
-                    [self.dataset[i] for i in batch_indices]
-                )
+                yield self._build(batch_indices)
             return
         import queue as queue_mod
         import threading
 
-        q = queue_mod.Queue(maxsize=self.prefetch)
-        worker = threading.Thread(target=self._produce, args=(q,), daemon=True)
-        worker.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        worker.join()
+        K = self.num_workers
+        if K == 1:
+            q = queue_mod.Queue(maxsize=self.prefetch)
+
+            def produce():
+                for batch_indices in self.sampler:
+                    q.put(self._build(batch_indices))
+                q.put(None)
+
+            worker = threading.Thread(target=produce, daemon=True)
+            worker.start()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+            worker.join()
+            return
+
+        batches = list(self.sampler)
+        depth = max(1, -(-self.prefetch // K))
+        queues = [queue_mod.Queue(maxsize=depth) for _ in range(K)]
+
+        def produce(k):
+            for i in range(k, len(batches), K):
+                queues[k].put(self._build(batches[i]))
+
+        workers = [
+            threading.Thread(target=produce, args=(k,), daemon=True)
+            for k in range(K)
+        ]
+        for w in workers:
+            w.start()
+        for i in range(len(batches)):
+            yield queues[i % K].get()
+        for w in workers:
+            w.join()
 
     def __len__(self):
         return len(self.sampler)
@@ -212,6 +252,12 @@ def data_loader(dataset, config, world_rank=0, world_size=1, seed=0):
             dataset, config["optim"]["batch_size"], world_rank, world_size,
             seed=seed,
         ),
+        # datasets may provide a batch-vectorized collate (iamdb
+        # fast_pipeline); the generic padding_collate is the default
+        collate_fn=getattr(dataset, "collate_fn", None) or padding_collate,
+        # config extension (documented in docs/design.md): fan batch
+        # production over N threads when the augment stack is the bound
+        num_workers=config["data"].get("num_workers", 1),
     )
 
 

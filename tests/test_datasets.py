@@ -214,3 +214,69 @@ def test_iam_cli_exports_and_stats(tmp_path, capsys):
     assert WORDSEP in toks and "o" in toks
     report = capsys.readouterr().out
     assert "train=2" in report and "pixel stats" in report
+
+
+def test_iam_fast_pipeline_equivalence(tmp_path):
+    """fast_pipeline batches (uint8 getitem + vectorized collate) must
+    match the default path exactly on the non-augment split and to fp32
+    tolerance under augmentation (same RNG draw order, batch-level
+    summation)."""
+    import random
+
+    from gtn_applications_tpu import utils as U
+
+    root = str(tmp_path)
+    if not _make_iam_fixture(root):
+        pytest.skip("PIL unavailable")
+    pre = iamdb.Preprocessor(root, num_features=48)
+
+    for augment in (False, True):
+        slow = iamdb.Dataset(root, pre, split="train", augment=augment)
+        fast = iamdb.Dataset(root, pre, split="train", augment=augment,
+                             fast_pipeline=True)
+        assert slow.collate_fn is None and fast.collate_fn is not None
+        idx = list(range(len(slow)))
+        random.seed(7)
+        b_slow = U.padding_collate([slow[i] for i in idx])
+        random.seed(7)
+        b_fast = fast.collate_fn([fast[i] for i in idx])
+        np.testing.assert_array_equal(b_slow[1], b_fast[1])  # widths
+        for t1, t2 in zip(b_slow[2], b_fast[2]):
+            np.testing.assert_array_equal(t1, t2)
+        # fp32 rounding only: the fast path folds /255 into the
+        # brightness multiply (one fused scalar), the slow path divides
+        # then multiplies
+        tol = 1e-6 if not augment else 2e-5
+        np.testing.assert_allclose(b_slow[0], b_fast[0], atol=tol)
+
+
+def test_dataloader_multiworker_order_and_content():
+    """num_workers > 1 must yield the same batches in the same order as
+    the single-producer path."""
+    from gtn_applications_tpu import utils as U
+
+    class Toy:
+        def __init__(self, n):
+            self.n = n
+
+        def sample_sizes(self):
+            return [((i % 5 + 3, 4), 2) for i in range(self.n)]
+
+        def __getitem__(self, i):
+            return (np.full((4, i % 5 + 3), i, np.float32),
+                    np.asarray([i, i + 1], np.int32))
+
+        def __len__(self):
+            return self.n
+
+    ds = Toy(37)
+    s1 = U.BatchSortedSampler(ds, 4, shuffle=False)
+    s2 = U.BatchSortedSampler(ds, 4, shuffle=False)
+    ref = list(U.DataLoader(ds, s1, num_workers=1))
+    got = list(U.DataLoader(ds, s2, num_workers=3))
+    assert len(ref) == len(got)
+    for (a1, w1, t1), (a2, w2, t2) in zip(ref, got):
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(w1, w2)
+        for x, y in zip(t1, t2):
+            np.testing.assert_array_equal(x, y)

@@ -258,3 +258,29 @@ def test_arpa_hand_computed_goldens():
         gs = load_arpa.build_sentence_graph(sent, vocab)
         wscore = wfst.viterbi_score(wfst.intersect(g, gs))
         assert abs(wscore - golden) < 1e-4, (sent, wscore, golden)
+
+
+@pytest.mark.slow
+def test_iamdb_repro_dry_run(tmp_path):
+    """Every non-download stage of recipes/iamdb_repro.sh (the packaged
+    real-data reproduction of the reference notebook's CER-17.0 claim)
+    runs end-to-end on the synthetic fixture: export -> wordpieces ->
+    transitions -> train -> eval with a printed test CER."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, DRY_RUN="1", DRY_EPOCHS="1")
+    proc = subprocess.run(
+        ["bash", os.path.join(repo, "recipes", "iamdb_repro.sh"),
+         str(tmp_path)],
+        capture_output=True, text=True, timeout=1500, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "reference quick-train claim" in proc.stdout
+    assert "CER" in proc.stdout
+    # stage artifacts all produced
+    for f in ("train_text.txt", "train_tokens.txt",
+              "word_pieces_tokens_30.txt", "word_pieces_lex_30.txt",
+              "transitions_wp_0_5_10.bin", "repro_config.json",
+              "test_eval.log"):
+        assert (tmp_path / f).exists(), f
