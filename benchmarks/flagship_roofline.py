@@ -181,6 +181,48 @@ def layer_specs(B, H, W, depth, groups, kernel, out_size, packed=False,
     return specs
 
 
+def analytic_step_attainable(specs, peak_tflops, hbm_gbps, params_bytes=0):
+    """Whole-step analytic roofline from the per-layer traffic model —
+    never from XLA ``cost_analysis()['bytes accessed']``, which counts
+    pre-fusion per-op operands (~3x real HBM traffic, CLAUDE.md gotcha
+    9) and produced round-4's physically impossible ``attainable
+    10.8 ms vs measured 4.0 ms`` row.
+
+    Returns a dict with two tiers:
+      * ``attainable_ms`` — a TRUE lower bound any measured step must
+        satisfy: max(FLOP floor at eff = 1, HBM floor).  The HBM floor
+        counts only unavoidable traffic for no-remat training: the
+        step input, each layer-boundary activation twice (saved by the
+        forward, re-read by the backward), and params read + grad
+        write + optimizer update.  Fusion cannot remove these.
+      * ``shaped_estimate_ms`` — the per-layer sum with MXU shape
+        efficiencies and per-layer io (the ``run_layers`` model).  A
+        target, NOT a bound: cross-layer fusion and XLA's conv
+        emitter routinely beat it (measured B=64 step 3.99 ms vs
+        5.58 shaped sum), so measured/shaped may exceed 1.
+    """
+    flops = sum(s["flops_fwd"] for s in specs)
+    shaped = 0.0
+    act_bytes = 0
+    for s in specs:
+        eff = s.get("eff", mxu_eff(s.get("K", 128), s.get("N", 128)))
+        t_mxu = s["flops_fwd"] / (peak_tflops * 1e12 * eff) * 1e3
+        t_hbm = s["bytes_fwd"] / (hbm_gbps * 1e9) * 1e3
+        shaped += 3.0 * max(t_mxu, t_hbm)
+        act_bytes += 4 * int(np.prod(s["in_shape"]))
+    t_mxu_floor = 3.0 * flops / (peak_tflops * 1e12) * 1e3
+    t_hbm_floor = (2 * act_bytes + 3 * params_bytes) / (hbm_gbps * 1e9) * 1e3
+    return {
+        "attainable_ms": round(max(t_mxu_floor, t_hbm_floor), 4),
+        "attainable_bound": "mxu" if t_mxu_floor >= t_hbm_floor else "hbm",
+        "mxu_floor_ms": round(t_mxu_floor, 4),
+        "hbm_floor_ms": round(t_hbm_floor, 4),
+        "shaped_estimate_ms": round(shaped, 4),
+        "flops_fwd_total": flops,
+        "saved_activation_bytes": act_bytes,
+    }
+
+
 def _scan_layer(module, params, x, K, with_grad):
     """K data-chained evaluations of the layer inside ONE executable: a
     scalar carry perturbs the input each iteration (x + c*1e-38, never

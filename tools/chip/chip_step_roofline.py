@@ -3,8 +3,10 @@
 
 Prints, readback-closed on the real chip:
   * XLA cost-analysis flops AND bytes accessed for the B=64 train step;
-  * attainable step time = max(flops/measured_peak, bytes/measured_bw)
-    vs the measured step -> step_vs_roofline_attainable;
+  * analytic attainable step time (flagship_roofline.
+    analytic_step_attainable: FLOP floor at eff=1 vs unavoidable-traffic
+    HBM floor) vs the measured step -> step_vs_roofline_attainable;
+    cost_analysis bytes recorded as DIAGNOSTIC ONLY (gotcha 9);
   * K=8 fused steps (lax.scan inside one executable) vs K dispatches —
     quantifies the per-dispatch gap the fused path removes.
 """
@@ -38,22 +40,32 @@ step, params, x, prepared, _ = _flagship_step(B, 1)
 xs = jnp.asarray(x)
 key = jax.random.PRNGKey(1)
 
-# cost analysis: flops + bytes accessed of the compiled step
+# analytic step attainable: the per-layer activation-traffic model
+# (flagship_roofline.run_layers), summed with the 3x backward factor.
+# cost_analysis bytes are recorded for diagnostics ONLY — they count
+# pre-fusion per-op operands (~3x real traffic, CLAUDE.md gotcha 9)
+# and are NOT a roofline denominator (round-4's impossible
+# attainable-10.8-vs-measured-4.0 row came from exactly that).
+from flagship_roofline import analytic_step_attainable, layer_specs
+
+model, _criterion = _flagship()
+specs = layer_specs(B, 64, 128, model.depth, model.tds_groups,
+                    tuple(model.kernel_size), model.output_size)
+params_bytes = 4 * sum(
+    int(np.prod(l.shape))
+    for l in jax.tree_util.tree_leaves(params.get("model", params))
+)
+roof = analytic_step_attainable(specs, peak, bw, params_bytes)
+out.update(roof)
+
 lowered = step.lower(params, xs, prepared, key, 1.0)
 cost = lowered.compile().cost_analysis()
 if isinstance(cost, (list, tuple)):
     cost = cost[0]
-flops = float(cost.get("flops", 0.0))
-babytes = float(cost.get("bytes accessed", 0.0))
-out["flops_per_step"] = flops
-out["bytes_accessed_per_step"] = babytes
-t_mxu = flops / (peak * 1e12)
-t_hbm = babytes / (bw * 1e9)
-out["attainable_ms_mxu"] = round(t_mxu * 1e3, 4)
-out["attainable_ms_hbm"] = round(t_hbm * 1e3, 4)
-att = max(t_mxu, t_hbm)
-out["attainable_ms"] = round(att * 1e3, 4)
-out["roofline_bound"] = "mxu" if t_mxu >= t_hbm else "hbm"
+out["flops_per_step"] = float(cost.get("flops", 0.0))
+out["bytes_accessed_per_step_DIAGNOSTIC_ONLY"] = float(
+    cost.get("bytes accessed", 0.0))
+att = roof["attainable_ms"] / 1e3
 
 # measured step, readback-closed
 p = params
@@ -68,7 +80,7 @@ t_step = (time.perf_counter() - start) / 200
 out["step_ms"] = round(t_step * 1e3, 4)
 out["step_vs_roofline_attainable"] = round(att / t_step, 4)
 print(f"step {t_step*1e3:.3f} ms, attainable {att*1e3:.3f} ms "
-      f"({out['roofline_bound']}), ratio {att/t_step:.2f}",
+      f"({out['attainable_bound']}), ratio {att/t_step:.2f}",
       file=sys.stderr, flush=True)
 
 # fused K steps in one executable
