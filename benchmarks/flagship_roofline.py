@@ -429,6 +429,9 @@ def main(argv=None):
     ap.add_argument("--conv-layout", default="transpose",
                     choices=["transpose", "dimnums"],
                     help="TDS block conv layout variant")
+    ap.add_argument("--blocks", type=int, default=1,
+                    help="TDS blocks per group (3 = the full iamdb "
+                         "tds2d.json production depth)")
     ap.add_argument("--out", default=None,
                     help="artifact path (default docs/flagship_roofline.json)")
     args = ap.parse_args(argv)
@@ -447,7 +450,8 @@ def main(argv=None):
           flush=True)
 
     from __graft_entry__ import _flagship
-    model, _ = _flagship()
+    model, _ = _flagship(blocks_per_group=args.blocks)
+    result["blocks_per_group"] = args.blocks
     import jax.numpy as jnp
     specs = layer_specs(B, 64, 128, model.depth, model.tds_groups,
                         tuple(model.kernel_size), model.output_size,
