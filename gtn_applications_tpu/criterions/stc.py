@@ -17,6 +17,7 @@ Blank index is REQUIRED to be 0 (stc.py:13).
 """
 
 import math
+import os
 from typing import Dict
 
 import jax
@@ -27,6 +28,18 @@ from ..ops import sparse
 from ..wfst import compile as wcompile
 from ..wfst.graph import Graph
 from .base import Criterion
+
+# Dense-adjacency scoring tier (round 5): every STC graph state has a
+# unique in-label (blank states take blank, token states their token,
+# star states their gap's star channel), so the lattice qualifies for
+# the transducer's dense scorer (ops/factored.alignment_lattice_score)
+# with its analytic custom VJP.  The traced insertion penalty enters as
+# adj = adj_base + e^penalty * adj_star — two host-built matrices, no
+# recompilation across the annealing schedule.  "off" keeps the sparse
+# arc-table path (the differential oracle, tests/test_stc_dense.py).
+_DENSE_IMPL = os.environ.get("GTN_STC_DENSE", "auto")
+# [B, S, S] adjacency + [B, S, C] label working-set gate (floats)
+_DENSE_MAX_WORKSET = 48_000_000
 
 STC_BLANK_IDX = 0
 
@@ -185,11 +198,65 @@ class STC(Criterion):
                     for c in compiled
                 ]
             )
-        return {
+        prepared = {
             "table": table,
             "star_mask": jnp.asarray(star_mask),
             "select": jnp.asarray(select_padded, dtype=jnp.int32),
             "log_penalty": jnp.asarray(math.log(prob), dtype=jnp.float32),
+        }
+        if _DENSE_IMPL not in ("off", "0"):
+            dense = self._prepare_dense(compiled, Csel)
+            if dense is not None:
+                prepared["dense"] = dense
+        return prepared
+
+    def _prepare_dense(self, compiled, Csel):
+        """Dense-adjacency tables for ops.factored.alignment_lattice_score.
+
+        adj0 holds the non-star arcs (chain arcs, weight 0), adj_star the
+        star arcs at unit base weight; the loss scales adj_star by
+        e^{log_penalty} (star arc weight = 0 + penalty, so e^{0+p} =
+        e^0 * e^p exactly).  Returns None when a sample violates the
+        dense preconditions (epsilon arcs, mixed in-labels — neither
+        occurs for make_stc_graph output) or the working set exceeds
+        the gate."""
+        C_em = 2 * Csel
+        B = len(compiled)
+        S = -(-max(len(c[0].start) for c in compiled) // 8) * 8
+        if B * S * (S + C_em) > _DENSE_MAX_WORKSET:
+            return None
+        adj0 = np.zeros((B, S, S), np.float32)
+        adj_star = np.zeros((B, S, S), np.float32)
+        lab_oh = np.zeros((B, S, C_em), np.float32)
+        start = np.full((B, S), wcompile.NEG, np.float32)
+        accept = np.full((B, S), wcompile.NEG, np.float32)
+        for b, (cg, smask) in enumerate(compiled):
+            if len(cg.eps_src) > 0:
+                return None
+            lab = cg.label.astype(np.int64)
+            n = len(cg.start)
+            lo = np.full((n,), 2**31, np.int64)
+            np.minimum.at(lo, cg.dst, lab)
+            hi = np.full((n,), -1, np.int64)
+            np.maximum.at(hi, cg.dst, lab)
+            entered = hi >= 0
+            if np.any(lo[entered] != hi[entered]) or (
+                lab.size and lab.max() >= C_em
+            ):
+                return None
+            ew = np.exp(cg.weight)
+            np.add.at(adj0[b], (cg.dst, cg.src), ew * (1.0 - smask))
+            np.add.at(adj_star[b], (cg.dst, cg.src), ew * smask)
+            states = np.nonzero(entered)[0]
+            lab_oh[b, states, hi[states]] = 1.0
+            start[b, :n] = cg.start
+            accept[b, :n] = cg.accept
+        return {
+            "adj0": jnp.asarray(adj0),
+            "adj_star": jnp.asarray(adj_star),
+            "lab_oh": jnp.asarray(lab_oh),
+            "start": jnp.asarray(start),
+            "accept": jnp.asarray(accept),
         }
 
     def star_channels(self, log_probs, select):
@@ -206,10 +273,23 @@ class STC(Criterion):
         B, T, C = inputs.shape
         inputs = jax.nn.log_softmax(inputs, axis=2)
         em = self.star_channels(inputs, prepared["select"])
-        table = prepared["table"]
-        weight = table.weight + prepared["star_mask"] * prepared["log_penalty"]
-        table = table._replace(weight=weight)
-        scores = sparse.forward_score_batch_tables(em, table, input_lengths)
+        if "dense" in prepared and _DENSE_IMPL not in ("off", "0"):
+            from ..ops import factored as _fact
+
+            d = prepared["dense"]
+            adj = d["adj0"] + jnp.exp(prepared["log_penalty"]) * d["adj_star"]
+            scores = _fact.alignment_lattice_score(
+                em, adj, d["lab_oh"], d["start"], d["accept"], input_lengths
+            )
+        else:
+            table = prepared["table"]
+            weight = (
+                table.weight + prepared["star_mask"] * prepared["log_penalty"]
+            )
+            table = table._replace(weight=weight)
+            scores = sparse.forward_score_batch_tables(
+                em, table, input_lengths
+            )
         losses = -scores
         if self.reduction == "mean":
             losses = losses / T
