@@ -460,6 +460,24 @@ def asg_fcc_score(inputs, transitions, input_lengths=None):
     # and exp(trans - mt) is constant across the scan so it hoists out.
     # This turns the hot per-step op from a [B, C, C] broadcast
     # reduction (VPU) into a [B, C] @ [C, C] matmul (MXU).
+    from .factored import _use_vjp
+
+    if _use_vjp():
+        # analytic alpha-beta custom VJP (ops/factored_vjp.py): the
+        # backward becomes one reverse scan instead of XLA's scan
+        # transpose — same rewiring as the factored transducer scorers,
+        # same GTN_FACTORED_VJP gate (off = this file's scan below, the
+        # differential oracle; ASG golden grad tables pin both).
+        from . import factored_vjp as fvjp
+
+        k_shift = jax.lax.stop_gradient(jnp.maximum(jnp.max(trans), 0.0))
+        alpha = fvjp.lattice_scan(
+            inputs[:, 1:], jnp.exp(trans - k_shift).T[None], alpha0,
+            fvjp.live_mask(T, input_lengths),
+            jnp.ones((1, C), jnp.float32), k_shift,
+        )
+        return logsumexp(alpha, axis=1)
+
     mt = jax.lax.stop_gradient(jnp.max(trans, axis=0))  # [C]
     exp_trans = jnp.exp(trans - mt[None, :])  # [C, C]
 
@@ -505,15 +523,39 @@ def asg_fal_score(inputs, transitions, targets, target_lengths, input_lengths=No
     alpha0 = jnp.full((B, L), NEG)
     alpha0 = alpha0.at[:, 0].set(adv_cost[:, 0] + em_tgt[0, :, 0])
 
-    def step(alpha, xs):
-        em_t, t = xs
-        stay = alpha + self_cost
-        prev = jnp.concatenate([jnp.full((B, 1), NEG), alpha[:, :-1]], 1) + adv_cost
-        new = em_t + logaddexp(stay, prev)
-        new = jnp.where((t < input_lengths)[:, None], new, alpha)
-        return new, None
+    from .factored import _use_vjp
 
-    alpha, _ = jax.lax.scan(step, alpha0, (em_tgt[1:], jnp.arange(1, T)))
+    if _use_vjp():
+        # banded [L, L] form of the same recursion for the custom-VJP
+        # scan: K[l, l] = e^{self_cost}, K[l, l-1] = e^{adv_cost}
+        # (adv_cost[:, 0] is the entry cost, consumed by alpha0 only).
+        from . import factored_vjp as fvjp
+
+        k_shift = jax.lax.stop_gradient(jnp.maximum(
+            jnp.maximum(jnp.max(self_cost), jnp.max(adv_cost)), 0.0))
+        # eye-mask broadcasts, not scatters (gotcha: .at[].set lowers to
+        # serial loops on this stack); eye(k=-1) row 0 is all zero, so
+        # adv_cost[:, 0] (the entry cost, already in alpha0) is unused
+        eye = jnp.eye(L, dtype=jnp.float32)
+        sub = jnp.eye(L, k=-1, dtype=jnp.float32)
+        K = (jnp.exp(self_cost - k_shift)[:, :, None] * eye[None]
+             + jnp.exp(adv_cost - k_shift)[:, :, None] * sub[None])
+        alpha = fvjp.lattice_scan(
+            em_tgt[1:].transpose(1, 0, 2), K, alpha0,
+            fvjp.live_mask(T, input_lengths),
+            jnp.ones((1, L), jnp.float32), k_shift,
+        )
+    else:
+        def step(alpha, xs):
+            em_t, t = xs
+            stay = alpha + self_cost
+            prev = jnp.concatenate(
+                [jnp.full((B, 1), NEG), alpha[:, :-1]], 1) + adv_cost
+            new = em_t + logaddexp(stay, prev)
+            new = jnp.where((t < input_lengths)[:, None], new, alpha)
+            return new, None
+
+        alpha, _ = jax.lax.scan(step, alpha0, (em_tgt[1:], jnp.arange(1, T)))
     idx = jnp.maximum(target_lengths - 1, 0)[:, None]
     score = jnp.take_along_axis(alpha, idx, axis=1)[:, 0]
     return jnp.where(target_lengths > 0, score, 0.0)
