@@ -205,15 +205,9 @@ class Dataset:
 class Preprocessor(TextPreprocessor):
     """IAM preprocessor (iamdb.py:124-218)."""
 
-    def __init__(
-        self,
-        data_path,
-        num_features,
-        tokens_path=None,
-        lexicon_path=None,
-        use_words=False,
-        prepend_wordsep=False,
-    ):
+    def __init__(self, data_path, num_features, tokens_path=None,
+                 lexicon_path=None, use_words=False,
+                 prepend_wordsep=False):
         self._use_words = use_words
         forms = load_metadata(data_path, WORDSEP, use_words=use_words)
         train_text = [line["text"] for _, form in forms.items() for line in form]
