@@ -77,11 +77,13 @@ def compute_edit_distance(predictions, targets, preprocessor):
 
 
 def module_from_file(module_name, file_path):
+    """Import a module by path and register it (stdlib importlib recipe;
+    the reference uses it for dynamic dataset loading, utils.py:38)."""
     spec = importlib.util.spec_from_file_location(module_name, file_path)
-    module = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(module)
-    sys.modules[module_name] = module
-    return module
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[module_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 class Subset:
@@ -121,14 +123,11 @@ class BatchSortedSampler:
         sorted_indices = [
             i for i, _ in sorted(enumerate(widths), key=lambda x: x[1])
         ]
-        global_batches = [
-            sorted_indices[idx : idx + local_batchsize]
-            for idx in range(0, len(sorted_indices), local_batchsize)
-        ]
-        self.length = len(global_batches) // world_size
-        self.batches = [
-            global_batches[world_rank + i * world_size] for i in range(self.length)
-        ]
+        chunks = [sorted_indices[i:i + local_batchsize]
+                  for i in range(0, len(sorted_indices), local_batchsize)]
+        # deal chunk (rank + i * world_size) to this rank
+        self.length = len(chunks) // world_size
+        self.batches = chunks[world_rank::world_size][: self.length]
         self.shuffle = shuffle
         self._rng = np.random.RandomState(seed)
 
@@ -303,25 +302,23 @@ class Meters:
             self.edit_distance_words,
         ) = np.asarray(vals).tolist()
 
+    # derived rates (reference utils.py:128-146 semantics: zero-safe,
+    # error rates in percent)
+    @staticmethod
+    def _rate(total, count, scale=1.0):
+        return scale * total / count if count > 0 else 0
+
     @property
     def avg_loss(self):
-        return self.loss / self.num_samples if self.num_samples > 0 else 0
+        return self._rate(self.loss, self.num_samples)
 
     @property
     def cer(self):
-        return (
-            self.edit_distance_tokens * 100.0 / self.num_tokens
-            if self.num_tokens > 0
-            else 0
-        )
+        return self._rate(self.edit_distance_tokens, self.num_tokens, 100.0)
 
     @property
     def wer(self):
-        return (
-            self.edit_distance_words * 100.0 / self.num_words
-            if self.num_words > 0
-            else 0
-        )
+        return self._rate(self.edit_distance_words, self.num_words, 100.0)
 
 
 # ---------------------------------------------------------------------------
@@ -449,13 +446,10 @@ def load_criterion(criterion_type, preprocessor, config):
         if transitions is not None:
             transitions = wfst.load(transitions)
         criterion = Transducer(
-            preprocessor.tokens,
-            preprocessor.graphemes_to_index,
+            preprocessor.tokens, preprocessor.graphemes_to_index,
+            blank=blank, transitions=transitions, reduction="mean",
             ngram=config.get("ngram", 0),
-            transitions=transitions,
-            blank=blank,
             allow_repeats=config.get("allow_repeats", True),
-            reduction="mean",
         )
         return criterion, num_tokens + int(blank != "none")
     else:
