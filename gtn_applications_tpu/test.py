@@ -51,7 +51,12 @@ def run_test(args):
 
     dataset, preprocessor, criterion, model, input_size = load_experiment(config)
     data_path = config["data"]["data_path"]
-    ds = dataset.Dataset(data_path, preprocessor, split=args.split)
+    ds_kwargs = (
+        {"fast_pipeline": True}
+        if config["data"].get("fast_pipeline", False) else {}
+    )
+    ds = dataset.Dataset(data_path, preprocessor, split=args.split,
+                         **ds_kwargs)
     loader = utils.data_loader(ds, config)
 
     state = utils.load_checkpoint(args.checkpoint_path, load_last=args.load_last)
