@@ -42,6 +42,12 @@ echo "=== phase 6: ngram2 train step ==="
 (cd benchmarks && timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site python train_step_benchmark.py 32 --ngram2) \
   2>&1 | tee /tmp/chip_trainstep_ngram2.log
 
+echo "=== phase 6b: custom-VJP / dense-tier A/Bs (round 5) ==="
+for d in drive_vjp drive_stc drive_wd drive_asg; do
+  timeout 2400 env PYTHONPATH=/root/repo:/root/.axon_site \
+    python tools/chip/drives/$d.py 2>&1 | tee /tmp/chip_$d.log
+done
+
 echo "=== phase 7: timing-methodology sanity (runs LAST: readback) ==="
 timeout 1800 env PYTHONPATH=/root/repo:/root/.axon_site \
   python tools/chip/chip_timing_sanity.py 2>&1 | tee /tmp/chip_timing.log
