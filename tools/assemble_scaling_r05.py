@@ -54,6 +54,9 @@ def main():
         ("full_recipe_prefix_attribution_b128", "r5_full_prefix_b128.json"),
         ("step_roofline_b64", "r5_step_roofline.json"),
         ("factored_vjp_chip_ab", "drive_vjp.json"),
+        ("stc_dense_chip_ab", "drive_stc.json"),
+        ("word_decomps_protocol_chip_ab", "drive_wd.json"),
+        ("asg_protocol_chip_ab", "drive_asg.json"),
         ("host_pipeline", "r5_host_pipeline.json"),
     ):
         d = load(name)
