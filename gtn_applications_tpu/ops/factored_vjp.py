@@ -88,12 +88,21 @@ def lattice_scan(em_tail, K_exp, alpha0, live, valid, k_shift):
 
 def _forward(em_tail, K_exp, alpha0, live, valid, k_shift):
     valid_b = valid > 0.0
+    # shared K (norm/fcc shapes): contract as a REAL [B, S] @ [S, S]
+    # matmul — the [1, S, S] @ [B, S, 1] batched-matvec form lowers to a
+    # loop of tiny per-sample MXU passes (chip-measured ~2x slower on
+    # the ASG free-energy scan)
+    shared = K_exp.shape[0] == 1
+    KT = K_exp[0].T if shared else None
 
     def step(alpha, xs):
         em_t, live_t = xs
         sh = jnp.maximum(jnp.max(alpha, axis=1, keepdims=True), NEG)
         ea = jnp.exp(alpha - sh)
-        z = _matmul(K_exp, ea[..., None])[..., 0]
+        if shared:
+            z = _matmul(ea, KT)
+        else:
+            z = _matmul(K_exp, ea[..., None])[..., 0]
         new = jnp.where(
             (z > 0.0) & valid_b,
             em_t + sh + k_shift + jnp.log(jnp.maximum(z, _FLOOR)),
@@ -122,6 +131,9 @@ def _bwd(res, g):
     # previous-frame carries, aligned with alphas: prevs[t] = alpha_{t-1}
     prevs = jnp.concatenate([alpha0[None], alphas], axis=0)[:-1]
 
+    shared = K_exp.shape[0] == 1
+    K0 = K_exp[0] if shared else None
+
     def bstep(lam, xs):
         alpha_t, prev, em_t, live_t = xs
         sh = jnp.maximum(jnp.max(prev, axis=1, keepdims=True), NEG)
@@ -139,7 +151,10 @@ def _bwd(res, g):
             jnp.max(jnp.abs(r), axis=1, keepdims=True), _FLOOR
         )
         rn = r / c
-        ktr = _matmul(rn[:, None, :], K_exp)[:, 0, :]
+        if shared:
+            ktr = _matmul(rn, K0)  # [B, S] @ [S, S]: sum_u rn[u] K[u, s]
+        else:
+            ktr = _matmul(rn[:, None, :], K_exp)[:, 0, :]
         eprev = jnp.where(
             prev > DEAD, jnp.exp(prev - sh) * c, 0.0
         )

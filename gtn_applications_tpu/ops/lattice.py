@@ -523,39 +523,23 @@ def asg_fal_score(inputs, transitions, targets, target_lengths, input_lengths=No
     alpha0 = jnp.full((B, L), NEG)
     alpha0 = alpha0.at[:, 0].set(adv_cost[:, 0] + em_tgt[0, :, 0])
 
-    from .factored import _use_vjp
+    # NOTE (round 5): a custom-VJP form with a bidiagonal per-sample
+    # [B, L, L] K was tried and REVERTED — the [B, 1, L] @ [B, L, L]
+    # batched matvec lowers to a loop of tiny per-sample MXU passes and
+    # loses to this banded VPU recursion (part of the chip-measured ASG
+    # 1.03 -> 1.89 ms regression, with the shared-K orientation bug in
+    # the fcc scan).  The scan transpose is cheap here: two shifted adds
+    # and a logaddexp per frame.
+    def step(alpha, xs):
+        em_t, t = xs
+        stay = alpha + self_cost
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), NEG), alpha[:, :-1]], 1) + adv_cost
+        new = em_t + logaddexp(stay, prev)
+        new = jnp.where((t < input_lengths)[:, None], new, alpha)
+        return new, None
 
-    if _use_vjp():
-        # banded [L, L] form of the same recursion for the custom-VJP
-        # scan: K[l, l] = e^{self_cost}, K[l, l-1] = e^{adv_cost}
-        # (adv_cost[:, 0] is the entry cost, consumed by alpha0 only).
-        from . import factored_vjp as fvjp
-
-        k_shift = jax.lax.stop_gradient(jnp.maximum(
-            jnp.maximum(jnp.max(self_cost), jnp.max(adv_cost)), 0.0))
-        # eye-mask broadcasts, not scatters (gotcha: .at[].set lowers to
-        # serial loops on this stack); eye(k=-1) row 0 is all zero, so
-        # adv_cost[:, 0] (the entry cost, already in alpha0) is unused
-        eye = jnp.eye(L, dtype=jnp.float32)
-        sub = jnp.eye(L, k=-1, dtype=jnp.float32)
-        K = (jnp.exp(self_cost - k_shift)[:, :, None] * eye[None]
-             + jnp.exp(adv_cost - k_shift)[:, :, None] * sub[None])
-        alpha = fvjp.lattice_scan(
-            em_tgt[1:].transpose(1, 0, 2), K, alpha0,
-            fvjp.live_mask(T, input_lengths),
-            jnp.ones((1, L), jnp.float32), k_shift,
-        )
-    else:
-        def step(alpha, xs):
-            em_t, t = xs
-            stay = alpha + self_cost
-            prev = jnp.concatenate(
-                [jnp.full((B, 1), NEG), alpha[:, :-1]], 1) + adv_cost
-            new = em_t + logaddexp(stay, prev)
-            new = jnp.where((t < input_lengths)[:, None], new, alpha)
-            return new, None
-
-        alpha, _ = jax.lax.scan(step, alpha0, (em_tgt[1:], jnp.arange(1, T)))
+    alpha, _ = jax.lax.scan(step, alpha0, (em_tgt[1:], jnp.arange(1, T)))
     idx = jnp.maximum(target_lengths - 1, 0)[:, None]
     score = jnp.take_along_axis(alpha, idx, axis=1)[:, 0]
     return jnp.where(target_lengths > 0, score, 0.0)

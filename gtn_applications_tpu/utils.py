@@ -189,6 +189,14 @@ class DataLoader:
     def _build(self, batch_indices):
         return self.collate_fn([self.dataset[i] for i in batch_indices])
 
+    class _Raise:
+        """Producer-thread exception carrier: re-raised at the consumer
+        so a bad sample fails the epoch instead of deadlocking the
+        queue (a silent futex hang was the previous failure mode)."""
+
+        def __init__(self, exc):
+            self.exc = exc
+
     def __iter__(self):
         if self.prefetch <= 0:
             for batch_indices in self.sampler:
@@ -197,19 +205,30 @@ class DataLoader:
         import queue as queue_mod
         import threading
 
+        def produce_into(q, indices_iter):
+            try:
+                for batch_indices in indices_iter:
+                    q.put(self._build(batch_indices))
+            except BaseException as exc:  # noqa: BLE001 — carried over
+                q.put(DataLoader._Raise(exc))
+
+        def check(item):
+            if isinstance(item, DataLoader._Raise):
+                raise item.exc
+            return item
+
         K = self.num_workers
         if K == 1:
             q = queue_mod.Queue(maxsize=self.prefetch)
 
             def produce():
-                for batch_indices in self.sampler:
-                    q.put(self._build(batch_indices))
+                produce_into(q, iter(self.sampler))
                 q.put(None)
 
             worker = threading.Thread(target=produce, daemon=True)
             worker.start()
             while True:
-                item = q.get()
+                item = check(q.get())
                 if item is None:
                     break
                 yield item
@@ -219,19 +238,19 @@ class DataLoader:
         batches = list(self.sampler)
         depth = max(1, -(-self.prefetch // K))
         queues = [queue_mod.Queue(maxsize=depth) for _ in range(K)]
-
-        def produce(k):
-            for i in range(k, len(batches), K):
-                queues[k].put(self._build(batches[i]))
-
         workers = [
-            threading.Thread(target=produce, args=(k,), daemon=True)
+            threading.Thread(
+                target=produce_into,
+                args=(queues[k], (batches[i] for i in
+                                  range(k, len(batches), K))),
+                daemon=True,
+            )
             for k in range(K)
         ]
         for w in workers:
             w.start()
         for i in range(len(batches)):
-            yield queues[i % K].get()
+            yield check(queues[i % K].get())
         for w in workers:
             w.join()
 

@@ -284,3 +284,26 @@ def test_iamdb_repro_dry_run(tmp_path):
               "transitions_wp_0_5_10.bin", "repro_config.json",
               "test_eval.log"):
         assert (tmp_path / f).exists(), f
+
+
+@pytest.mark.slow
+def test_librispeech_repro_dry_run(tmp_path):
+    """Every non-download stage of recipes/librispeech_repro.sh on the
+    synthetic FLAC fixture (real flac_fixture-encoded streams, so the
+    dry run also exercises native/flac.cc): manifests -> wordpieces ->
+    train -> eval with a printed WER."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, DRY_RUN="1", DRY_EPOCHS="1")
+    proc = subprocess.run(
+        ["bash", os.path.join(repo, "recipes", "librispeech_repro.sh"),
+         str(tmp_path)],
+        capture_output=True, text=True, timeout=1500, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "WER" in proc.stdout
+    for f in ("word_pieces_tokens_30.txt", "word_pieces_lex_30.txt",
+              "repro_config.json", "test_eval.log"):
+        assert (tmp_path / f).exists(), f
+    assert (tmp_path / "data" / "train-clean-100.json").exists()

@@ -108,3 +108,33 @@ def test_checkpoint_formats(tmp_path):
                 np.asarray(back["params"]["model"]["w"]),
                 np.asarray(state["params"]["model"]["w"]),
             )
+
+
+def test_dataloader_propagates_worker_exceptions():
+    """A bad sample must fail the epoch at the consumer, not deadlock
+    the prefetch queue (regression: a producer-thread exception used to
+    hang every thread on a futex)."""
+    import pytest as _pytest
+
+    from gtn_applications_tpu import utils as U
+
+    class Bad:
+        def sample_sizes(self):
+            return [((4, 4), 1)] * 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise ValueError("bad sample")
+            return (np.zeros((4, 4), np.float32), np.zeros(1, np.int32))
+
+        def __len__(self):
+            return 8
+
+    for workers in (1, 3):
+        ds = Bad()
+        loader = U.DataLoader(
+            ds, U.BatchSortedSampler(ds, 2, shuffle=False),
+            num_workers=workers,
+        )
+        with _pytest.raises(ValueError, match="bad sample"):
+            list(loader)
