@@ -460,24 +460,15 @@ def asg_fcc_score(inputs, transitions, input_lengths=None):
     # and exp(trans - mt) is constant across the scan so it hoists out.
     # This turns the hot per-step op from a [B, C, C] broadcast
     # reduction (VPU) into a [B, C] @ [C, C] matmul (MXU).
-    from .factored import _use_vjp
-
-    if _use_vjp():
-        # analytic alpha-beta custom VJP (ops/factored_vjp.py): the
-        # backward becomes one reverse scan instead of XLA's scan
-        # transpose — same rewiring as the factored transducer scorers,
-        # same GTN_FACTORED_VJP gate (off = this file's scan below, the
-        # differential oracle; ASG golden grad tables pin both).
-        from . import factored_vjp as fvjp
-
-        k_shift = jax.lax.stop_gradient(jnp.maximum(jnp.max(trans), 0.0))
-        alpha = fvjp.lattice_scan(
-            inputs[:, 1:], jnp.exp(trans - k_shift).T[None], alpha0,
-            fvjp.live_mask(T, input_lengths),
-            jnp.ones((1, C), jnp.float32), k_shift,
-        )
-        return logsumexp(alpha, axis=1)
-
+    # NOTE (round 5): the analytic custom VJP (ops/factored_vjp.py) was
+    # tried here and REVERTED after a chip A/B: this scan's step is one
+    # small shared [B, C] @ [C, C] matmul whose transpose is the same
+    # matmul, so XLA's backward is already near-optimal and the custom
+    # path's recompute bookkeeping measured ~8% SLOWER (1.25 vs 1.16 ms
+    # fwd+bwd at the bench protocol; tools/chip/drives/drive_asg.py).
+    # The VJP wins where it removes per-frame [B, S, N] einsums or
+    # per-sample batched matvec transposes (factored transducer, STC
+    # dense) — not here.
     mt = jax.lax.stop_gradient(jnp.max(trans, axis=0))  # [C]
     exp_trans = jnp.exp(trans - mt[None, :])  # [C, C]
 

@@ -185,37 +185,3 @@ def test_underflow_adjacent_no_nans():
             fact._VJP_IMPL = saved
         assert np.isfinite(np.asarray(val))
         assert np.all(np.isfinite(np.asarray(g)))
-
-
-@pytest.mark.parametrize("seed,B,T,C,L", [(10, 3, 9, 6, 4), (11, 2, 14, 8, 5)])
-def test_asg_scans_match_oracle(seed, B, T, C, L):
-    """Both ASG scans (free-energy fcc + force-aligned fal) through the
-    custom VJP vs the autodiffed lax.scan oracle: losses and all grads
-    (emissions AND learned transitions)."""
-    from gtn_applications_tpu.ops import lattice
-
-    rng = np.random.default_rng(seed)
-    em = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
-    trans = jnp.asarray(rng.normal(size=(C + 1, C)), jnp.float32)
-    targets = jnp.asarray(rng.integers(0, C, size=(B, L)), jnp.int32)
-    tlens = jnp.asarray(rng.integers(1, L + 1, size=B), jnp.int32)
-    ilens = jnp.asarray(rng.integers(L, T + 1, size=B), jnp.int32)
-
-    for fn in (
-        lambda e, w: jnp.sum(lattice.asg_fcc_score(e, w, ilens)),
-        lambda e, w: jnp.sum(
-            lattice.asg_fal_score(e, w, targets, tlens, ilens)),
-    ):
-        out = []
-        saved = fact._VJP_IMPL
-        for impl in ("auto", "off"):
-            fact._VJP_IMPL = impl
-            try:
-                v, g = jax.value_and_grad(fn, argnums=(0, 1))(em, trans)
-            finally:
-                fact._VJP_IMPL = saved
-            out.append((np.asarray(v), [np.asarray(x) for x in g]))
-        (v_new, g_new), (v_old, g_old) = out
-        np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
-        for gn, go in zip(g_new, g_old):
-            np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
