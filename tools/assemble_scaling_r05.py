@@ -42,7 +42,12 @@ def main():
             "traffic HBM floor) — every artifact satisfies measured >= "
             "attainable; cost_analysis bytes are diagnostic-only "
             "(CLAUDE.md gotcha 9); (4) host input-pipeline sustainment "
-            "is measured: see host_pipeline."
+            "is measured: see host_pipeline; (5) the VJP's win boundary "
+            "is mapped: STC dense tier 1.47x (stc_dense_chip_ab), "
+            "word-decomps protocol neutral, ASG ~8% SLOWER (small "
+            "shared-matmul / banded-VPU steps whose transposes are "
+            "already cheap) and therefore reverted to XLA's transpose "
+            "(asg_protocol_chip_ab records the losing A/B)."
         ),
     }
     for tag, name in (
