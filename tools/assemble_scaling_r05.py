@@ -119,13 +119,16 @@ def main():
         out["host_pipeline_samples_per_s"] = best128["samples_per_s"]
         out["host_pipeline_note"] = (
             f"best w=128 config on this {host.get('host_cores')}-core "
-            "bench host; per-core the augment stack sustains ~0.7-2.9k "
-            "samples/s (width-dependent) -> feeding the 32.2k/s B=128 "
-            "device rate needs ~12-45 cores of augment work, a "
-            "production TPU-host budget. Mitigations shipped+measured: "
-            "DataLoader num_workers (order-preserving threads) and the "
-            "iamdb fast_pipeline batch-vectorized collate (+26-65%); "
-            "thread scaling on this host is GIL-capped at 4 cores."
+            "bench host; with the shipped mitigations the augment stack "
+            "sustains ~4.0k samples/s per producer at the flagship "
+            "width (~1.1k at IAM line width 900) -> feeding the "
+            "32.2k/s B=128 device rate needs ~8 cores of augment work "
+            "at w=128 (~30 at w=900), a production TPU-host budget but "
+            "5-10x beyond this 4-core dev host. Mitigations "
+            "shipped+measured: DataLoader num_workers (order-preserving "
+            "threads) and the iamdb fast_pipeline batch-vectorized "
+            "collate (+38-58% at n=2048); thread scaling here is "
+            "GIL/core-capped."
         )
 
     root = os.path.dirname(CAP.rstrip("/")).rsplit("/docs", 1)[0]
