@@ -185,3 +185,36 @@ def test_underflow_adjacent_no_nans():
             fact._VJP_IMPL = saved
         assert np.isfinite(np.asarray(val))
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_vjp_arbitrary_cotangents(seed):
+    """lattice_scan's bwd must be the true linear transpose for ANY
+    cotangent (not just the loss-readout posteriors our criteria feed
+    it): compare jax.vjp against the oracle path under random
+    mixed-sign cotangents on the raw scan output."""
+    rng = np.random.default_rng(seed)
+    B, T, S, N = 3, 6, 7, 4
+    adj, lab, start, accept = _random_lattice(rng, B, S, N, density=0.6)
+    em = jnp.asarray(rng.normal(size=(B, T, N)), jnp.float32)
+    lens = jnp.asarray(rng.integers(1, T + 1, size=B), jnp.int32)
+    ct = jnp.asarray(rng.normal(size=(B,)), jnp.float32)  # mixed signs
+
+    outs = []
+    saved = fact._VJP_IMPL
+    for impl in ("auto", "off"):
+        fact._VJP_IMPL = impl
+        try:
+            val, pull = jax.vjp(
+                lambda e, a: fact.alignment_lattice_score(
+                    e, a, lab, start, accept, lens),
+                em, adj,
+            )
+            outs.append((np.asarray(val), [np.asarray(g) for g in
+                                           pull(ct)]))
+        finally:
+            fact._VJP_IMPL = saved
+    (v_new, g_new), (v_old, g_old) = outs
+    np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
+    for gn, go in zip(g_new, g_old):
+        np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
