@@ -580,3 +580,53 @@ def test_plain_factored_matches_sparse(monkeypatch, blank):
     outs_g = twin.viterbi(inputs, input_lengths=lens)
     for a, b in zip(outs_f, outs_g):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_factored_loss_on_data_mesh():
+    """The factored ngram path (with its analytic custom VJP) jitted
+    over an 8-device data mesh: batch + prepared tables sharded, loss
+    and grads identical to the unsharded run.  Pins the custom_vjp's
+    batching/partitioning behavior in CI (previously only the driver's
+    dryrun exercised it)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    rng = np.random.default_rng(42)
+    fact_crit, _, C = _pair(2, "optional", True)
+    B, T = 8, 10
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    targets = [[0, 1], [2], [1, 0], [2, 1], [0], [1], [2, 0], [1, 2]]
+    prep = fact_crit.prepare(targets)
+    assert "factored" in prep
+    p0 = jnp.asarray(
+        rng.normal(size=(fact_crit.num_transition_arcs,)) * 0.3,
+        jnp.float32,
+    )
+
+    def loss(p, x, pr):
+        return fact_crit.loss({"transitions": p}, x, pr)
+
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(
+        p0, inputs, prep)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    bsh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    x_sh = jax.device_put(inputs, bsh)
+    prep_sh = jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, bsh if hasattr(a, "shape") and a.ndim >= 1
+            and a.shape[0] == B else rep),
+        prep,
+    )
+    v_sh, g_sh = jax.jit(
+        jax.value_and_grad(loss, argnums=(0, 1))
+    )(jax.device_put(p0, rep), x_sh, prep_sh)
+
+    np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_sh[0]), np.asarray(g_ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_sh[1]), np.asarray(g_ref[1]),
+                               rtol=1e-4, atol=1e-5)
