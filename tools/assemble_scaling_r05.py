@@ -57,7 +57,7 @@ def main():
         ("chip_local_batch_256_full_recipe", "r5_scale_b256_blk3.json"),
         ("full_recipe_layer_table_b128", "r5_full_layers_b128.json"),
         ("full_recipe_prefix_attribution_b128",
-         "r5_full_prefix_b128_partial.json"),
+         "r5_full_prefix_b128.json"),
         ("step_roofline_b64", "r5_step_roofline.json"),
         ("factored_vjp_chip_ab", "drive_vjp.json"),
         ("stc_dense_chip_ab", "drive_stc.json"),
