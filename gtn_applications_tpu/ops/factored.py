@@ -359,37 +359,31 @@ def dense_ngram_norm(em, ws, W, we, input_lengths=None, we0=0.0):
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
 
     alpha = ws[None, :] + em[:, 0]
-    if _use_vjp():
-        from . import factored_vjp as fvjp
+    # NOTE (round 5): the analytic custom VJP was tried here and
+    # REVERTED after a chip A/B (0.802 vs 0.741 ms fwd+bwd at the
+    # ngram-2 protocol shape, tools/chip/drives/drive_norm.py): like
+    # the ASG free-energy scan, this step is one small SHARED
+    # [B, N] @ [N, N] matmul whose transpose is the same matmul — XLA's
+    # backward is already near-optimal and the custom path's recompute
+    # bookkeeping nets a small loss.  The VJP stays on the per-sample
+    # scorers above, where it removes real per-frame work.
+    mt = jax.lax.stop_gradient(jnp.max(W, axis=0))            # [N]
+    exp_W = jnp.exp(W - mt[None, :])
 
-        # K[u, s] = e^{W[s, u] - k_shift}, shared across the batch (the
-        # scan broadcasts a [1, N, N] K).  One global shift instead of
-        # the off path's per-column max — same ~88-nat envelope note as
-        # factored_lattice_score.
-        k_shift = jax.lax.stop_gradient(jnp.maximum(jnp.max(W), 0.0))
-        alpha = fvjp.lattice_scan(
-            em[:, 1:], jnp.exp(W.T - k_shift)[None], alpha,
-            fvjp.live_mask(T, input_lengths),
-            jnp.ones((1, N), jnp.float32), k_shift,
-        )
-    else:
-        mt = jax.lax.stop_gradient(jnp.max(W, axis=0))        # [N]
-        exp_W = jnp.exp(W - mt[None, :])
+    def step(alpha, xs):
+        em_t, t = xs
+        ma = jax.lax.stop_gradient(
+            jnp.max(alpha, axis=1, keepdims=True))
+        z = jnp.exp(alpha - ma) @ exp_W                       # MXU
+        new = em_t + ma + mt[None, :] + jnp.log(jnp.maximum(z, _FLOOR))
+        return jnp.where(
+            (t < input_lengths)[:, None], new, alpha), None
 
-        def step(alpha, xs):
-            em_t, t = xs
-            ma = jax.lax.stop_gradient(
-                jnp.max(alpha, axis=1, keepdims=True))
-            z = jnp.exp(alpha - ma) @ exp_W                   # MXU
-            new = em_t + ma + mt[None, :] + jnp.log(jnp.maximum(z, _FLOOR))
-            return jnp.where(
-                (t < input_lengths)[:, None], new, alpha), None
-
-        alpha, _ = jax.lax.scan(
-            _maybe_remat(step), alpha,
-            (em.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
-            unroll=_SCAN_UNROLL,
-        )
+    alpha, _ = jax.lax.scan(
+        _maybe_remat(step), alpha,
+        (em.transpose(1, 0, 2)[1:], jnp.arange(1, T)),
+        unroll=_SCAN_UNROLL,
+    )
     final = alpha + we[None, :]
     return jnp.where(
         input_lengths > 0, logsumexp(final, axis=1), jnp.asarray(we0, em.dtype)

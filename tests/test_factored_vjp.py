@@ -4,8 +4,9 @@ factored scans (ops/factored_vjp.py) vs the autodiffed lax.scan oracle
 
 The custom path must match the oracle's losses AND all gradients
 (emissions, transition rows, adjacency) on every scorer it rewires:
-``alignment_lattice_score``, ``factored_lattice_score``,
-``dense_ngram_norm``.  Behavioral spec: reference transducer.py:239-309;
+``alignment_lattice_score`` and ``factored_lattice_score``
+(the shared-K dense normalizer and ASG scans were measured slower
+under the VJP and stay on XLA's transpose).  Behavioral spec: reference transducer.py:239-309;
 gradient semantics reference ctc.py:71-94 (gtn.backward posteriors).
 """
 
@@ -91,23 +92,6 @@ def test_factored_score_matches_oracle(seed, B, T, S, N):
     for gn, go in zip(g_new, g_old):
         np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
 
-
-@pytest.mark.parametrize("seed,B,T,N", [(5, 3, 10, 6), (6, 2, 4, 9)])
-def test_dense_norm_matches_oracle(seed, B, T, N):
-    rng = np.random.default_rng(seed)
-    em = jnp.asarray(rng.normal(size=(B, T, N)), jnp.float32)
-    ws = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
-    W = jnp.asarray(rng.normal(size=(N, N)) * 2.0, jnp.float32)
-    we = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
-    lens = jnp.asarray(rng.integers(1, T + 1, size=B), jnp.int32)
-
-    (v_new, g_new), (v_old, g_old) = _both(
-        lambda e, w1, w2, w3: fact.dense_ngram_norm(e, w1, w2, w3, lens),
-        em, ws, W, we, wrt=(0, 1, 2, 3),
-    )
-    np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
-    for gn, go in zip(g_new, g_old):
-        np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
 
 
 def test_zero_and_one_frame_edges():
