@@ -520,6 +520,16 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
     if input_lengths is None:
         input_lengths = jnp.full((B,), T, dtype=jnp.int32)
 
+    if _use_vjp():
+        # exp-linear tier (one folded matmul per stage, single closure
+        # matmul): chip-measured 4.0x on the recipe-scale protocol.
+        # The staged path below stays as the full-range oracle.
+        return backoff_dst_exp_score(
+            em, adj_exp, lab_oh, a_start, a_accept, ctx_start,
+            ctx_accept, W_adv_exp, D_exp_t, P_dst, t_shift, E_exp,
+            e_shift, eps_depth, input_lengths,
+        )
+
     em_state = jnp.einsum("btn,bsn->bts", em, lab_oh)         # [B, T, S_a]
     has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S_a]
 
@@ -554,6 +564,97 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
         _maybe_remat(step), alpha0,
         (em_state.transpose(1, 0, 2), jnp.arange(T)),
         unroll=_SCAN_UNROLL,
+    )
+    final = alpha + a_accept[:, :, None] + ctx_accept[None, None, :]
+    score = logsumexp(final.reshape(B, -1), axis=1)
+    base0 = logsumexp(a_start + a_accept, axis=1)
+    score0 = jnp.where(
+        base0 > DEAD, base0 + logsumexp(ctx0 + ctx_accept, axis=0), NEG
+    )
+    return jnp.where(input_lengths > 0, score, score0)
+
+
+@_f32_matmuls
+def backoff_dst_exp_score(em, adj_exp, lab_oh, a_start, a_accept,
+                          ctx_start, ctx_accept, W_adv_exp, D_exp_t,
+                          P_dst, t_shift, E_exp, e_shift, eps_depth,
+                          input_lengths=None):
+    """Exp-linear reformulation of ``backoff_dst_factored_score``.
+
+    The dst-factored frame is LINEAR in exp(alpha): with
+    E = adj_exp @ exp(alpha), the advance term is a per-state dot
+    against W_adv_exp's label column, the self-loop term an elementwise
+    product with D's label row, and the backoff closure a fixed matrix
+    Mc = sum_k (E_eps * e^{e_shift})^k.  Folding the label selection
+    into three per-sample [S_a, S_c] matrices ONCE (WlT, Dl, Pd — the
+    same one-time-build trick as the ngram K-fold) turns every frame
+    into one batched [S_a, S_a] @ [S_a, S_c] matmul, a VPU
+    multiply-reduce, and one shared [*, S_c] @ [S_c, S_c] closure
+    matmul — no per-frame N-sized contraction and no depth-times
+    shift/log/exp closure ladder.  Chip-measured 4.0x on the recipe-
+    scale protocol (tools/chip/drives/drive_backoff.py; ledger row).
+
+    Envelope: one dynamic shift per frame (max over the whole [S_a,
+    S_c] carry) instead of the staged per-axis shifts — terms more than
+    ~88 nats below the frame max flush, the same documented envelope as
+    the other dense tiers; ``GTN_FACTORED_VJP=off`` keeps the staged
+    path (the full-range oracle).  Behavioral spec unchanged
+    (reference transducer.py:239-309 with a loaded transition graph).
+    """
+    B, T, N = em.shape
+    S_c = ctx_start.shape[0]
+    if input_lengths is None:
+        input_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+    em_state = jnp.einsum("btn,bsn->bts", em, lab_oh)         # [B, T, S_a]
+    has_lab = jnp.sum(lab_oh, axis=-1) > 0.0                  # [B, S_a]
+
+    # per-sample folded operators (one einsum each, outside the scan)
+    WlT = jnp.einsum("bal,cl->bac", lab_oh, W_adv_exp)        # W_adv[c,l_a]
+    Dl = jnp.einsum("bal,lc->bac", lab_oh, D_exp_t)           # D[c,l_a]
+    Pd = jnp.einsum("bal,lc->bac", lab_oh, P_dst)             # dst one-hot
+    # closure matrix: exp-domain power series (exact: E is nilpotent at
+    # eps_depth+1 for backoff graphs)
+    E_sh = E_exp * jnp.exp(e_shift)
+    Mc = jnp.eye(S_c, dtype=jnp.float32)
+    cur = jnp.eye(S_c, dtype=jnp.float32)
+    for _ in range(eps_depth):
+        cur = cur @ E_sh
+        Mc = Mc + cur
+
+    # init: alpha0[a, c] = a_start[a] + closure(ctx_start)[c]
+    z0 = (jnp.exp(jnp.minimum(ctx_start, 0.0))
+          * (ctx_start > NEG / 2)) @ Mc                       # [S_c]
+    ctx0 = jnp.where(z0 > 0.0, jnp.log(jnp.maximum(z0, _FLOOR)), NEG)
+    alpha0 = a_start[:, :, None] + ctx0[None, None, :]
+
+    def step(alpha, xs):
+        em_s_t, t = xs
+        sh = jax.lax.stop_gradient(jnp.maximum(
+            jnp.max(alpha, axis=(1, 2), keepdims=True), NEG))
+        X = jnp.exp(alpha - sh)                               # [B,S_a,S_c]
+        Eu = jnp.matmul(adj_exp, X,
+                        precision=jax.lax.Precision.HIGHEST)
+        advv = jnp.sum(Eu * WlT, axis=2)                      # [B, S_a]
+        me = jax.lax.stop_gradient(jnp.maximum(
+            jnp.max(em_s_t, axis=1, keepdims=True), NEG))
+        w = jnp.exp(em_s_t - me)                              # [B, S_a]
+        Z = (advv[:, :, None] * Pd + Eu * Dl) * w[:, :, None]
+        Zc = jnp.matmul(
+            Z.reshape(B * Z.shape[1], S_c), Mc,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(Z.shape)
+        new = jnp.where(
+            (Zc > 0.0) & has_lab[:, :, None],
+            sh + me[:, :, None] + t_shift
+            + jnp.log(jnp.maximum(Zc, _FLOOR)),
+            NEG,
+        )
+        live = (t < input_lengths)[:, None, None]
+        return jnp.where(live, new, alpha), None
+
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (em_state.transpose(1, 0, 2), jnp.arange(T)),
     )
     final = alpha + a_accept[:, :, None] + ctx_accept[None, None, :]
     score = logsumexp(final.reshape(B, -1), axis=1)

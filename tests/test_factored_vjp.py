@@ -202,3 +202,56 @@ def test_vjp_arbitrary_cotangents(seed):
     np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
     for gn, go in zip(g_new, g_old):
         np.testing.assert_allclose(gn, go, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,blank,prune", [(50, "optional", 0),
+                                              (51, "none", 1)])
+def test_backoff_dst_exp_tier_matches_staged(seed, blank, prune):
+    """The exp-linear dst-factored tier (backoff_dst_exp_score, the
+    GTN_FACTORED_VJP default) vs the staged oracle: losses + all grads
+    (emissions AND learned transition arc weights) on pruned backoff
+    graphs with ragged/zero-length samples."""
+    from tests.test_factored import _bigram_lm_graph, _prepare_generic  # noqa
+    from gtn_applications_tpu.criterions import transducer as tmod
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    ntok = 4
+    g = _bigram_lm_graph(7 + prune, ntok, blank, prune)
+    tokens = [str(i) for i in range(ntok)]
+    crit = Transducer(tokens, {str(i): i for i in range(ntok)},
+                      transitions=g, blank=blank)
+    assert crit._factored_backoff_dst
+    rng = np.random.default_rng(seed)
+    B, T = 3, 7
+    C = ntok + int(blank != "none")
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    targets = [[0, 1], [], [2, 0, 1]]
+    lens = jnp.asarray([T, 0, T - 1], jnp.int32)
+    params = jnp.asarray(
+        rng.normal(size=(crit.num_transition_arcs,)) * 0.4, jnp.float32)
+
+    saved_f = tmod._FACTORED_IMPL
+    tmod._FACTORED_IMPL = "on"
+    try:
+        crit._factored_backoff = False  # force the dst variant
+        prep = crit.prepare(targets)
+        assert "factored_dst" in prep
+        out = []
+        saved = fact._VJP_IMPL
+        for impl in ("auto", "off"):
+            fact._VJP_IMPL = impl
+            try:
+                v, grads = jax.value_and_grad(
+                    lambda p, x: crit.loss(
+                        {"transitions": p}, x, prep, lens),
+                    argnums=(0, 1),
+                )(params, inputs)
+            finally:
+                fact._VJP_IMPL = saved
+            out.append((np.asarray(v), [np.asarray(g) for g in grads]))
+    finally:
+        tmod._FACTORED_IMPL = saved_f
+    (v_new, g_new), (v_old, g_old) = out
+    np.testing.assert_allclose(v_new, v_old, rtol=1e-4, atol=1e-4)
+    for gn, go in zip(g_new, g_old):
+        np.testing.assert_allclose(gn, go, rtol=2e-3, atol=1e-4)
