@@ -522,7 +522,7 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
 
     if _use_vjp():
         # exp-linear tier (one folded matmul per stage, single closure
-        # matmul): chip-measured 4.0x on the recipe-scale protocol.
+        # matmul): chip-measured 3.06x on the recipe-scale protocol.
         # The staged path below stays as the full-range oracle.
         return backoff_dst_exp_score(
             em, adj_exp, lab_oh, a_start, a_accept, ctx_start,
@@ -591,8 +591,12 @@ def backoff_dst_exp_score(em, adj_exp, lab_oh, a_start, a_accept,
     into one batched [S_a, S_a] @ [S_a, S_c] matmul, a VPU
     multiply-reduce, and one shared [*, S_c] @ [S_c, S_c] closure
     matmul — no per-frame N-sized contraction and no depth-times
-    shift/log/exp closure ladder.  Chip-measured 4.0x on the recipe-
-    scale protocol (tools/chip/drives/drive_backoff.py; ledger row).
+    shift/log/exp closure ladder.  Chip-measured 3.06x on the recipe-
+    scale protocol — a 1k-wordpiece pruned bigram backoff LM
+    (S_c=1004, 7.8k arcs) at the word-decomps shapes, fwd+bwd 60.2 vs
+    184.3 ms/iter readback-closed, grad parity <= 6.4e-6
+    (tools/chip/drives/drive_backoff.py;
+    docs/captures_r05/drive_backoff.json; ledger row).
 
     Envelope: one dynamic shift per frame (max over the whole [S_a,
     S_c] carry) instead of the staged per-axis shifts — terms more than
