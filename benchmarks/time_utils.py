@@ -36,8 +36,15 @@ def time_func(fn, iterations=100, name="", warmup=5):
 def time_func_readback(fn, iterations=200, name="", warmup=5):
     """Readback-closed ms/iteration; ``fn`` must return a (small) device
     array — the timer reads one scalar from the LAST result."""
+    out = None
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        out = fn()
+    # prime the device->host sync path OUTSIDE the timed window: the
+    # FIRST real readback in a process costs ~3 s on this stack
+    # (block_until_ready alone does not pay it — it can return early),
+    # which at 20 iterations showed up as a phantom +150 ms/iter on
+    # whichever protocol was measured first
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])).ravel()[0]
     start = time.perf_counter()
     out = None
     for _ in range(iterations):

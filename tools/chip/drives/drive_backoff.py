@@ -141,5 +141,63 @@ def main():
     print("DRIVE_OK", flush=True)
 
 
+def split():
+    """Profile the loss's internals: score vs norm, fwd vs fwd+bwd —
+    sizes the analytic-VJP opportunity (XLA's scan transpose runs the
+    backward at ~2.4x the forward on this chip)."""
+    from gtn_applications_tpu.criterions import transducer as tmod
+    from gtn_applications_tpu.criterions.transducer import Transducer
+    from gtn_applications_tpu.ops import factored as fact
+
+    g = recipe_scale_lm()
+    crit = Transducer([(i,) for i in range(NTOK)],
+                      {i: i for i in range(NTOK)},
+                      transitions=g, blank="optional", reduction="mean")
+    assert crit._factored_backoff_dst
+    crit._factored_backoff = False
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(B, T, NTOK + 1).astype(np.float32))
+    targets = [rng.randint(0, NTOK, size=L).tolist() for _ in range(B)]
+    saved_f = tmod._FACTORED_IMPL
+    tmod._FACTORED_IMPL = "on"
+    try:
+        prepared = crit.prepare(targets)
+    finally:
+        tmod._FACTORED_IMPL = saved_f
+    f = prepared["factored"]
+    lens = jnp.full((B,), T, jnp.int32)
+    params = jnp.asarray(
+        rng.randn(crit.num_transition_arcs).astype(np.float32)) * 0.3
+    N = NTOK + 1
+
+    @jax.jit
+    def score_f(p, x):
+        tm = crit._transition_matrices_dst(p, N)
+        return jnp.sum(fact.backoff_dst_factored_score(
+            x, f["adj_exp"], f["lab_oh"], f["start"], f["accept"],
+            *tm, lens))
+
+    @jax.jit
+    def norm_f(p, x):
+        tm = crit._transition_matrices_dst(p, N)
+        return jnp.sum(fact.backoff_dst_norm(x, *tm, lens))
+
+    out = {}
+    for name, fn in (("score", score_f), ("norm", norm_f)):
+        g_fn = jax.jit(jax.grad(fn, argnums=(0, 1)))
+        ms_f = timed(lambda: fn(params, inputs))
+        ms_fb = timed(lambda: g_fn(params, inputs)[1])
+        out[name] = {"fwd": ms_f, "fwd_bwd": ms_fb,
+                     "bwd_over_fwd": (ms_fb - ms_f) / ms_f}
+        print(f"[{name}] fwd={ms_f:.3f} fwd+bwd={ms_fb:.3f} ms "
+              f"(bwd/fwd={(ms_fb - ms_f) / ms_f:.2f})", flush=True)
+    with open("/tmp/drive_backoff_split.json", "w") as fo:
+        json.dump(out, fo, indent=1)
+    print("DRIVE_OK", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "split":
+        split()
+    else:
+        main()
