@@ -202,6 +202,7 @@ class Transducer(Criterion):
         # dense [N, S_c, S_c] materialization stays small.
         self._factored_backoff = False
         self._factored_backoff_dst = False
+        self._eps_lr_struct = None
         if self.transitions is not None and not self._factored_ngram:
             nt = self._norm_table
             S_c = len(nt.start)
@@ -241,6 +242,14 @@ class Transducer(Criterion):
                     p_dst[np.nonzero(have)[0], dst_of[have]] = 1.0
                     self._dst_onehot = p_dst
                     self._factored_backoff_dst = True
+                    # low-rank eps-closure structure (backoff chains
+                    # land in few columns): host-static; weights fold
+                    # in per step (ops.factored.eps_lowrank_build)
+                    from ..ops import factored as _fact
+
+                    self._eps_lr_struct = _fact.eps_chain_struct(
+                        nt.eps_src, nt.eps_dst, S_c, nt.eps_depth
+                    )
         self._align_cache: Dict[tuple, tuple] = {}
 
     # -- parameters -----------------------------------------------------
@@ -582,6 +591,18 @@ class Transducer(Criterion):
             t_shift, E_exp, e_shift, nt.eps_depth,
         )
 
+    def _eps_eff_weights(self, params):
+        """Effective (static + learnable, UNshifted) epsilon arc weights
+        of the loaded transition graph — the input of
+        ops.factored.eps_lowrank_build."""
+        nt = self._norm_table
+        p = jnp.asarray(params)
+        w_ext = jnp.concatenate([p, jnp.zeros((1,), p.dtype)])
+        widx = self._norm_eps_widx
+        return jnp.asarray(nt.eps_weight) + w_ext[
+            np.where(widx >= 0, widx, p.shape[0])
+        ]
+
     # -- loss -----------------------------------------------------------
     @staticmethod
     def _apply_params(table, widx, eps_widx, params):
@@ -638,12 +659,21 @@ class Transducer(Criterion):
                 tmats = self._transition_matrices_dst(
                     params["transitions"], N
                 )
+                # low-rank eps closure rides the exp-linear tier (same
+                # GTN_FACTORED_VJP switch; off = dense-closure oracle)
+                elr = None
+                if self._eps_lr_struct is not None and _fact._use_vjp():
+                    elr = _fact.eps_lowrank_build(
+                        self._eps_eff_weights(params["transitions"]),
+                        self._eps_lr_struct,
+                    )
                 score = _fact.backoff_dst_factored_score(
                     inputs, f["adj_exp"], f["lab_oh"], f["start"],
                     f["accept"], *tmats, input_lengths,
+                    eps_lowrank=elr,
                 )
                 norm = _fact.backoff_dst_norm(
-                    inputs, *tmats, input_lengths
+                    inputs, *tmats, input_lengths, eps_lowrank=elr
                 )
             losses = -(score - norm)
             return self._reduce(losses, prepared)

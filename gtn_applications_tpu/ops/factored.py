@@ -44,6 +44,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .semiring import DEAD, NEG, logaddexp, logsumexp
 
@@ -409,6 +410,105 @@ def _ctx_closure(x, E_exp, e_shift, depth):
     return acc
 
 
+def eps_chain_struct(eps_src, eps_dst, num_states, eps_depth,
+                     max_paths=32):
+    """Host-static low-rank structure of a backoff automaton's epsilon
+    closure.
+
+    In the n-gram automata the offline builder emits, epsilon paths
+    from any context land in a TINY set of states — the backoff
+    (lower-order context) chain plus the merged ``</s>`` accept state
+    (its arcs are epsilon too, so states have fan-out ~2).  ``Mc - I``
+    (the off-identity part of the closure matrix ``sum_k E^k``) is
+    then rank-K with K = |union of landing states| (a bigram LM: 2 of
+    ~1000), and the per-frame closure matmul ``Z @ Mc``
+    ([.., S_c] @ [S_c, S_c]) collapses to ``Z + (Z @ U) @ C`` with
+    U [S_c, K], C [K, S_c] — ~250x fewer FLOPs at 1k-wordpiece scale
+    (chip numbers in docs/chip_verification.md).
+
+    Enumerates ALL epsilon paths of length 1..eps_depth per state
+    (fan-out safe).  Returns None (callers keep the dense closure) if
+    there are no epsilon arcs, some state has more than ``max_paths``
+    paths, or 2K > num_states (no win).  Otherwise
+    (path_arcs [S, P, depth] int32 — arc ids of each path, -1 pad
+    (unused path slots have path_arcs[s, p, 0] == -1);
+    path_col_oh [S, P, K] f32 — one-hot of each path's landing
+    column; col_onehot [K, S] f32).  Weights stay learnable: the
+    device-side companion ``eps_lowrank_build`` folds per-step
+    effective arc weights into U.
+    """
+    eps_src = np.asarray(eps_src)
+    eps_dst = np.asarray(eps_dst)
+    if len(eps_src) == 0 or eps_depth == 0:
+        return None
+    arcs_of = [[] for _ in range(num_states)]
+    for i, s in enumerate(eps_src):
+        arcs_of[s].append(i)
+    paths = []  # per state: list of (arc_id_tuple, end_state)
+    for s in range(num_states):
+        got = []
+        frontier = [((), s)]
+        for _ in range(eps_depth):
+            nxt = []
+            for chain, at in frontier:
+                for a in arcs_of[at]:
+                    p = (chain + (a,), int(eps_dst[a]))
+                    got.append(p)
+                    nxt.append(p)
+            frontier = nxt
+            if len(got) > max_paths:
+                return None
+        paths.append(got)
+    P = max((len(g) for g in paths), default=0)
+    if P == 0:
+        return None
+    cols = np.unique([e for g in paths for _, e in g])
+    K = len(cols)
+    if 2 * K > num_states:
+        return None
+    col_of = np.full((num_states,), -1, np.int64)
+    col_of[cols] = np.arange(K)
+    path_arcs = np.full((num_states, P, eps_depth), -1, np.int32)
+    path_col_oh = np.zeros((num_states, P, K), np.float32)
+    for s, g in enumerate(paths):
+        for p, (chain, end) in enumerate(g):
+            path_arcs[s, p, : len(chain)] = chain
+            path_col_oh[s, p, col_of[end]] = 1.0
+    col_onehot = np.zeros((K, num_states), np.float32)
+    col_onehot[np.arange(K), cols] = 1.0
+    return path_arcs, path_col_oh, col_onehot
+
+
+def eps_lowrank_build(ew_eff, struct):
+    """Device-side companion of ``eps_chain_struct``: fold the per-step
+    effective epsilon arc weights ``ew_eff [E]`` (static graph weight +
+    learnable offset, NO shift) into the low-rank closure factors.
+    Returns (U [S, K], C [K, S]): closure(z) = z + (z @ U) @ C, exactly
+    ``z @ (I + sum_k E^k)`` with E[c, d] = e^{ew_eff(arc c->d)} — each
+    path's weight is the product of its arcs' exp-weights, i.e. exp of
+    the sum along the path.  Overflow envelope matches the dense
+    exp-domain closure: a path-sum above ~+80 nats (far outside any
+    trainable regime) overflows f32."""
+    path_arcs, path_col_oh, col_onehot = struct
+    w = jnp.where(path_arcs >= 0,
+                  ew_eff[np.maximum(path_arcs, 0)], 0.0)      # [S, P, D]
+    valid = path_arcs[:, :, 0] >= 0                           # np [S, P]
+    pathw = jnp.where(valid, jnp.exp(jnp.sum(w, axis=2)), 0.0)
+    U = jnp.einsum("sp,spk->sk", pathw, path_col_oh,
+                   precision=jax.lax.Precision.HIGHEST)
+    return U, col_onehot
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _lowrank_close_exp(z2d, eps_lowrank):
+    """closure(z) = z + (z @ U) @ C on a [rows, S_c] exp-domain matrix."""
+    U, C = eps_lowrank
+    return z2d + _mm(_mm(z2d, U), C)
+
+
 @_f32_matmuls
 def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
                            ctx_start, ctx_accept, T_exp, t_shift,
@@ -494,7 +594,7 @@ def backoff_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
 def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
                                ctx_start, ctx_accept, W_adv_exp, D_exp_t,
                                P_dst, t_shift, E_exp, e_shift, eps_depth,
-                               input_lengths=None):
+                               input_lengths=None, eps_lowrank=None):
     """``backoff_factored_score`` for transition graphs whose non-self
     arcs have a label-determined destination (every n-gram automaton from
     scripts/build_transitions.py: label l advances to l's context state,
@@ -522,12 +622,13 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
 
     if _use_vjp():
         # exp-linear tier (one folded matmul per stage, single closure
-        # matmul): chip-measured 3.06x on the recipe-scale protocol.
+        # matmul): chip-measured 3.06x on the recipe-scale protocol,
+        # 5.82x with the low-rank closure (eps_lowrank).
         # The staged path below stays as the full-range oracle.
         return backoff_dst_exp_score(
             em, adj_exp, lab_oh, a_start, a_accept, ctx_start,
             ctx_accept, W_adv_exp, D_exp_t, P_dst, t_shift, E_exp,
-            e_shift, eps_depth, input_lengths,
+            e_shift, eps_depth, input_lengths, eps_lowrank=eps_lowrank,
         )
 
     em_state = jnp.einsum("btn,bsn->bts", em, lab_oh)         # [B, T, S_a]
@@ -578,7 +679,7 @@ def backoff_dst_factored_score(em, adj_exp, lab_oh, a_start, a_accept,
 def backoff_dst_exp_score(em, adj_exp, lab_oh, a_start, a_accept,
                           ctx_start, ctx_accept, W_adv_exp, D_exp_t,
                           P_dst, t_shift, E_exp, e_shift, eps_depth,
-                          input_lengths=None):
+                          input_lengths=None, eps_lowrank=None):
     """Exp-linear reformulation of ``backoff_dst_factored_score``.
 
     The dst-factored frame is LINEAR in exp(alpha): with
@@ -594,9 +695,10 @@ def backoff_dst_exp_score(em, adj_exp, lab_oh, a_start, a_accept,
     shift/log/exp closure ladder.  Chip-measured 3.06x on the recipe-
     scale protocol — a 1k-wordpiece pruned bigram backoff LM
     (S_c=1004, 7.8k arcs) at the word-decomps shapes, fwd+bwd 60.2 vs
-    184.3 ms/iter readback-closed, grad parity <= 6.4e-6
-    (tools/chip/drives/drive_backoff.py;
-    docs/captures_r05/drive_backoff.json; ledger row).
+    184.3 ms/iter readback-closed, grad parity <= 6.4e-6 — and 5.82x
+    with the low-rank closure (``eps_lowrank``, 31.7 ms; see
+    eps_chain_struct) (tools/chip/drives/drive_backoff.py;
+    docs/captures_r05/drive_backoff.json; ledger rows).
 
     Envelope: one dynamic shift per frame (max over the whole [S_a,
     S_c] carry) instead of the staged per-axis shifts — terms more than
@@ -617,18 +719,25 @@ def backoff_dst_exp_score(em, adj_exp, lab_oh, a_start, a_accept,
     WlT = jnp.einsum("bal,cl->bac", lab_oh, W_adv_exp)        # W_adv[c,l_a]
     Dl = jnp.einsum("bal,lc->bac", lab_oh, D_exp_t)           # D[c,l_a]
     Pd = jnp.einsum("bal,lc->bac", lab_oh, P_dst)             # dst one-hot
-    # closure matrix: exp-domain power series (exact: E is nilpotent at
-    # eps_depth+1 for backoff graphs)
-    E_sh = E_exp * jnp.exp(e_shift)
-    Mc = jnp.eye(S_c, dtype=jnp.float32)
-    cur = jnp.eye(S_c, dtype=jnp.float32)
-    for _ in range(eps_depth):
-        cur = cur @ E_sh
-        Mc = Mc + cur
+    # closure: low-rank ``z + (z @ U) @ C`` when the host found the
+    # backoff chain structure (eps_chain_struct — ~500x fewer FLOPs per
+    # frame at 1k-wordpiece scale), else the dense exp-domain power
+    # series (exact either way: E is nilpotent at eps_depth+1 for
+    # backoff graphs)
+    if eps_lowrank is not None:
+        close2d = lambda z: _lowrank_close_exp(z, eps_lowrank)  # noqa: E731
+    else:
+        E_sh = E_exp * jnp.exp(e_shift)
+        Mc = jnp.eye(S_c, dtype=jnp.float32)
+        cur = jnp.eye(S_c, dtype=jnp.float32)
+        for _ in range(eps_depth):
+            cur = cur @ E_sh
+            Mc = Mc + cur
+        close2d = lambda z: _mm(z, Mc)  # noqa: E731
 
     # init: alpha0[a, c] = a_start[a] + closure(ctx_start)[c]
-    z0 = (jnp.exp(jnp.minimum(ctx_start, 0.0))
-          * (ctx_start > NEG / 2)) @ Mc                       # [S_c]
+    z0 = close2d((jnp.exp(jnp.minimum(ctx_start, 0.0))
+                  * (ctx_start > NEG / 2))[None])[0]          # [S_c]
     ctx0 = jnp.where(z0 > 0.0, jnp.log(jnp.maximum(z0, _FLOOR)), NEG)
     alpha0 = a_start[:, :, None] + ctx0[None, None, :]
 
@@ -644,10 +753,7 @@ def backoff_dst_exp_score(em, adj_exp, lab_oh, a_start, a_accept,
             jnp.max(em_s_t, axis=1, keepdims=True), NEG))
         w = jnp.exp(em_s_t - me)                              # [B, S_a]
         Z = (advv[:, :, None] * Pd + Eu * Dl) * w[:, :, None]
-        Zc = jnp.matmul(
-            Z.reshape(B * Z.shape[1], S_c), Mc,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(Z.shape)
+        Zc = close2d(Z.reshape(B * Z.shape[1], S_c)).reshape(Z.shape)
         new = jnp.where(
             (Zc > 0.0) & has_lab[:, :, None],
             sh + me[:, :, None] + t_shift
@@ -721,7 +827,7 @@ def backoff_dense_norm(em, ctx_start, ctx_accept, T_exp, t_shift,
 @_f32_matmuls
 def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
                      t_shift, E_exp, e_shift, eps_depth,
-                     input_lengths=None):
+                     input_lengths=None, eps_lowrank=None):
     """Normalizer companion of ``backoff_dst_factored_score``: forward
     score of the emissions through the transition WFST alone as a dense
     [B, S_c] recursion (the sparse per-arc scan over a 1k-wordpiece LM's
@@ -755,14 +861,19 @@ def backoff_dst_norm(em, ctx_start, ctx_accept, W_adv_exp, D_exp_t, P_dst,
     # feeding the scan's initial carry with the tables as traced jit
     # arguments (the real training config) — chip-bisected; closures
     # inside the scan body compile fine.
-    E_sh = E_exp * jnp.exp(e_shift)                            # [S_c, S_c]
+    if eps_lowrank is not None:
+        # low-rank chain closure (eps_chain_struct) — same exact series
+        def _close(z):
+            return _lowrank_close_exp(z, eps_lowrank)
+    else:
+        E_sh = E_exp * jnp.exp(e_shift)                        # [S_c, S_c]
 
-    def _close(z):
-        zc = z
-        for _ in range(eps_depth):
-            zc = zc @ E_sh
-            z = z + zc
-        return z
+        def _close(z):
+            zc = z
+            for _ in range(eps_depth):
+                zc = zc @ E_sh
+                z = z + zc
+            return z
 
     alpha0 = jnp.broadcast_to(ctx_start[None], (B, ctx_start.shape[0]))
     if T == 0:

@@ -255,3 +255,116 @@ def test_backoff_dst_exp_tier_matches_staged(seed, blank, prune):
     np.testing.assert_allclose(v_new, v_old, rtol=1e-4, atol=1e-4)
     for gn, go in zip(g_new, g_old):
         np.testing.assert_allclose(gn, go, rtol=2e-3, atol=1e-4)
+
+
+# -- low-rank epsilon closure (eps_chain_struct / eps_lowrank_build) ----
+
+
+def test_eps_chain_struct_gates():
+    """Structure builder: fan-out-safe enumeration; None on no-eps,
+    too-many-paths, and no-win (2K > S) inputs."""
+    # simple chain 0->1->2 at depth 2: paths 0->1, 0->1->2, 1->2
+    st = fact.eps_chain_struct([0, 1], [1, 2], 8, 2)
+    assert st is not None
+    path_arcs, path_col_oh, col_onehot = st
+    assert path_arcs.shape[0] == 8 and col_onehot.shape == (2, 8)
+    # state 0 has two paths (lengths 1, 2); landing cols {1, 2}
+    assert (path_arcs[0, :, 0] >= 0).sum() == 2
+    # no eps arcs
+    assert fact.eps_chain_struct([], [], 8, 2) is None
+    # depth 0
+    assert fact.eps_chain_struct([0], [1], 8, 0) is None
+    # no win: landing columns cover more than half the states (2K > S)
+    assert fact.eps_chain_struct(
+        [0, 1, 2, 3, 4], [5, 6, 7, 3, 4], 8, 1) is None
+    # path explosion: complete eps fan-out blows max_paths
+    src = [0] * 6 + [1] * 6
+    dst = [1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2]
+    assert fact.eps_chain_struct(src, dst, 16, 4, max_paths=8) is None
+
+
+@pytest.mark.parametrize("seed,fanout", [(0, False), (1, True)])
+def test_eps_lowrank_closure_matches_dense(seed, fanout):
+    """I + U @ C == the dense exp-domain power series sum_k E^k on a
+    random eps DAG (optionally with fan-out), random learnable weights."""
+    rng = np.random.default_rng(seed)
+    S, depth = 12, 3
+    # a layered DAG into two hub states {10, 11}
+    src, dst = [], []
+    for s in range(8):
+        src.append(s)
+        dst.append(10 if s % 2 else 11)
+        if fanout and s < 3:
+            src.append(s)
+            dst.append(8 + (s % 2))
+    src += [8, 9]
+    dst += [10, 11]
+    ew = jnp.asarray(rng.normal(size=(len(src),)), jnp.float32)
+    st = fact.eps_chain_struct(src, dst, S, depth)
+    assert st is not None
+    U, C = fact.eps_lowrank_build(ew, st)
+    E = np.zeros((S, S), np.float64)
+    for i, (s, d) in enumerate(zip(src, dst)):
+        E[s, d] += np.exp(float(ew[i]))
+    M = np.eye(S)
+    cur = np.eye(S)
+    for _ in range(depth):
+        cur = cur @ E
+        M = M + cur
+    M_lr = np.eye(S) + np.asarray(U, np.float64) @ np.asarray(C, np.float64)
+    np.testing.assert_allclose(M_lr, M, rtol=1e-5, atol=1e-6)
+
+
+def test_backoff_dst_lowrank_engaged(monkeypatch):
+    """The bigram-LM fixture must actually ENGAGE the low-rank closure
+    under the default gate (guards against the tier silently gating
+    itself off), and its loss/grads must match the dense-closure oracle
+    — including gradients of the epsilon (backoff) arc weights."""
+    from tests.test_factored import _bigram_lm_graph  # noqa
+    from gtn_applications_tpu.criterions import transducer as tmod
+    from gtn_applications_tpu.criterions.transducer import Transducer
+
+    ntok = 4
+    g = _bigram_lm_graph(9, ntok, "optional", 0)
+    crit = Transducer([str(i) for i in range(ntok)],
+                      {str(i): i for i in range(ntok)},
+                      transitions=g, blank="optional")
+    assert crit._factored_backoff_dst
+    assert crit._eps_lr_struct is not None, (
+        "low-rank closure must engage on the builder's bigram output"
+    )
+    assert len(np.asarray(crit._norm_table.eps_src)) > 0
+    monkeypatch.setattr(crit, "_factored_backoff", False)
+    rng = np.random.default_rng(11)
+    B, T, C = 3, 8, ntok + 1
+    inputs = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    saved_f = tmod._FACTORED_IMPL
+    tmod._FACTORED_IMPL = "on"
+    try:
+        prep = crit.prepare([[0, 1], [2], [3, 0, 1]])
+    finally:
+        tmod._FACTORED_IMPL = saved_f
+    assert "factored_dst" in prep
+    params = jnp.asarray(
+        rng.normal(size=(crit.num_transition_arcs,)) * 0.5, jnp.float32)
+    out = []
+    saved = fact._VJP_IMPL
+    for impl in ("auto", "off"):
+        fact._VJP_IMPL = impl
+        try:
+            v, grads = jax.value_and_grad(
+                lambda p, x: crit.loss({"transitions": p}, x, prep),
+                argnums=(0, 1),
+            )(params, inputs)
+        finally:
+            fact._VJP_IMPL = saved
+        out.append((np.asarray(v), [np.asarray(gr) for gr in grads]))
+    (v_new, g_new), (v_old, g_old) = out
+    np.testing.assert_allclose(v_new, v_old, rtol=1e-5, atol=1e-5)
+    for gn, go in zip(g_new, g_old):
+        np.testing.assert_allclose(gn, go, rtol=1e-3, atol=1e-5)
+    # the eps arc weights must receive NONZERO gradient through the
+    # low-rank build (a broken fold would silently zero them)
+    eps_widx = np.asarray(crit._norm_eps_widx)
+    eps_params = eps_widx[eps_widx >= 0]
+    assert np.abs(g_new[0][eps_params]).max() > 0.0

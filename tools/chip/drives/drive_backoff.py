@@ -170,17 +170,25 @@ def split():
         rng.randn(crit.num_transition_arcs).astype(np.float32)) * 0.3
     N = NTOK + 1
 
+    def _elr(p):
+        # mirror the criterion's dispatch: low-rank closure under auto
+        if crit._eps_lr_struct is not None and fact._use_vjp():
+            return fact.eps_lowrank_build(
+                crit._eps_eff_weights(p), crit._eps_lr_struct)
+        return None
+
     @jax.jit
     def score_f(p, x):
         tm = crit._transition_matrices_dst(p, N)
         return jnp.sum(fact.backoff_dst_factored_score(
             x, f["adj_exp"], f["lab_oh"], f["start"], f["accept"],
-            *tm, lens))
+            *tm, lens, eps_lowrank=_elr(p)))
 
     @jax.jit
     def norm_f(p, x):
         tm = crit._transition_matrices_dst(p, N)
-        return jnp.sum(fact.backoff_dst_norm(x, *tm, lens))
+        return jnp.sum(fact.backoff_dst_norm(x, *tm, lens,
+                                             eps_lowrank=_elr(p)))
 
     out = {}
     for name, fn in (("score", score_f), ("norm", norm_f)):
