@@ -31,6 +31,7 @@ re-measure failed — on this stack dispatch timers can return early).
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
+import functools
 import json
 import os
 import sys
@@ -533,6 +534,107 @@ def bench_word_decomps_graph_engine_cpu():
     return ms, vit_ms
 
 
+@functools.lru_cache(maxsize=1)
+def _backoff_lm_protocol():
+    """Shared fixture for the loaded-backoff-LM protocol (the
+    1kwp_ngram2 recipe regime): a pruned bigram + optional-blank
+    backoff WFST over 1000 wordpiece tokens from the offline builder
+    (scripts/build_transitions.py), zipf-ish corpus with full unigram
+    coverage, at the word-decomps shapes (B=32, T=100, L=15, N=1001).
+    Returns (criterion, inputs_np [B,T,N+1], targets)."""
+    import random
+
+    from gtn_applications_tpu.criterions.transducer import Transducer
+    from gtn_applications_tpu.scripts import build_transitions as bt
+
+    ntok, Tb, Lb = 1000, 100, 15
+    rng = random.Random(0)
+    lines = [
+        [str(min(ntok - 1, int(rng.paretovariate(1.1)) - 1))
+         for _ in range(rng.randint(5, 20))]
+        for _ in range(4000)
+    ]
+    order = list(range(ntok))
+    rng.shuffle(order)
+    lines += [[str(i) for i in order[k:k + 10]]
+              for k in range(0, ntok, 10)]
+    t2i = {str(i): i for i in range(ntok)}
+    counts = bt.count_ngrams(lines, 2, t2i)
+    grams = bt.add_blank_grams(
+        bt.prune_ngrams(counts, [0, 0]), ntok, "optional")
+    g = bt.build_graph(bt.add_self_loops(grams))
+    crit = Transducer([(i,) for i in range(ntok)],
+                      {i: i for i in range(ntok)},
+                      transitions=g, blank="optional", reduction="mean")
+    nprng = np.random.RandomState(0)
+    inputs = nprng.randn(B, Tb, ntok + 1).astype(np.float32)
+    targets = [nprng.randint(0, ntok, size=Lb).tolist() for _ in range(B)]
+    return crit, inputs, targets
+
+
+def bench_backoff_tpu():
+    """Loaded backoff-LM fwd+bwd (destination-factored exp-linear tier +
+    low-rank eps closure — ops/factored.py; 5.82x its own staged oracle,
+    docs/captures_r05/drive_backoff.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    crit, inputs_np, targets = _backoff_lm_protocol()
+    assert crit._factored_backoff_dst and crit._eps_lr_struct is not None
+    crit._factored_backoff = False  # dense [N,S_c,S_c] cannot materialize
+    inputs = jnp.asarray(inputs_np)
+    prepared = crit.prepare(targets)
+    assert "factored_dst" in prepared
+    params = {"transitions": jnp.zeros(
+        (crit.num_transition_arcs,), jnp.float32)}
+
+    @jax.jit
+    def fwd_bwd(p, x, prep):
+        return jax.value_and_grad(
+            lambda p, x: crit.loss(p, x, prep), argnums=(0, 1))(p, x)
+
+    def run():
+        _, grads = fwd_bwd(params, inputs, prepared)
+        jax.block_until_ready(grads[1])
+
+    ms = _time(run, iters=20)
+    log(f"tpu backoff-1kwp fwd+bwd: {ms:.3f} ms/iter")
+
+    def readback_closed(iters=20):
+        last = None
+        start = time.perf_counter()
+        for _ in range(iters):
+            last, _ = fwd_bwd(params, inputs, prepared)
+        float(last)
+        return (time.perf_counter() - start) / iters * 1000
+
+    return ms, readback_closed
+
+
+def bench_backoff_graph_engine_cpu():
+    """Same-algorithm denominator for the backoff-LM protocol: the C++
+    engine's per-sample (em o (transitions o alignment)) compositions +
+    normalizer with graph autodiff over the LOADED backoff WFST."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtn_applications_tpu.wfst import native
+
+    if not native.available():
+        return None
+    crit, inputs_np, targets = _backoff_lm_protocol()
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(inputs_np), 2))
+
+    def run():
+        native.transducer_ngram_engine_batch(
+            lp, crit.lexicon, crit.tokens, crit.transitions, targets
+        )
+
+    ms = _time(run, iters=2, warmup=1)
+    log(f"graph-engine-cpu backoff-1kwp fwd+bwd: {ms:.3f} ms/iter")
+    return ms
+
+
 def bench_transducer_ngram2_graph_engine_cpu():
     """Same-algorithm denominator for the ngram-2 protocol: per-sample
     normalizer (em ∘ transitions) and aligned (em ∘ (transitions ∘
@@ -666,6 +768,7 @@ def main():
         ("transducer_ngram2", bench_transducer_ngram2_tpu,
          "transducer ngram2"),
         ("stc", bench_stc_tpu, "stc"),
+        ("backoff_1kwp", bench_backoff_tpu, "backoff 1kwp"),
     ):
         sections[key] = list(soft(fn, label) or (None, None))
     wd = soft(bench_word_decomps_tpu, "word decomps") or (None, None, None)
@@ -712,6 +815,9 @@ def main():
         bench_transducer_ngram2_graph_engine_cpu, "graph engine ngram2"
     )
     stc_engine_ms = soft(bench_stc_graph_engine_cpu, "graph engine stc")
+    backoff_engine_ms = soft(
+        bench_backoff_graph_engine_cpu, "graph engine backoff 1kwp"
+    )
     torch_ms = soft(bench_torch_cpu, "torch cpu")
     wp_rates = soft(bench_wordpiece_bytes_per_s, "wordpiece encode")
     wordpiece_rate, wordpiece_hf_rate = wp_rates or (None, None)
@@ -769,6 +875,13 @@ def main():
         "stc_vs_baseline": (
             round(stc_engine_ms / primary["stc"], 3)
             if stc_engine_ms and primary["stc"] else None
+        ),
+        "backoff_1kwp_fwd_bwd_ms": r3(primary["backoff_1kwp"]),
+        "backoff_1kwp_dispatch_ms": r3(sections["backoff_1kwp"][0]),
+        "backoff_1kwp_graph_engine_cpu_ms": r3(backoff_engine_ms),
+        "backoff_1kwp_vs_baseline": (
+            round(backoff_engine_ms / primary["backoff_1kwp"], 3)
+            if backoff_engine_ms and primary["backoff_1kwp"] else None
         ),
         "word_decomps_fwd_bwd_ms": r3(primary["word_decomps"]),
         "word_decomps_dispatch_ms": r3(sections["word_decomps"][0]),
