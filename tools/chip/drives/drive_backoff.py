@@ -6,10 +6,14 @@ backoff_dst_factored_score); this drive builds that regime synthetically —
 a pruned bigram + optional-blank transition graph over 1000 wordpiece
 tokens via the offline builder (scripts/build_transitions.py), exactly the
 structure the recipes load — at the word-decomps protocol shapes
-(B=32, T=100, L=15, N=1001), then A/Bs the exp-linear tier
-(GTN_FACTORED_VJP=auto -> backoff_dst_exp_score) against the staged
-oracle (off), asserting loss + emission + transition-grad parity on the
-real chip before timing both readback-closed.
+(B=32, T=100, L=15, N=1001), then A/Bs the auto path — the exp-linear
+tier (backoff_dst_exp_score) with the low-rank eps closure
+(eps_chain_struct) when the structure gate engages — against the
+staged dense-closure oracle (GTN_FACTORED_VJP=off), asserting loss +
+emission + transition-grad parity on the real chip before timing both
+readback-closed.  Measured tiers: staged 184.3 ms, exp-linear 60.2
+(3.06x), + low-rank closure 31.7 (5.82x) —
+docs/captures_r05/drive_backoff.json.
 """
 import json
 import random
